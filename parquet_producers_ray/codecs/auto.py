@@ -1,0 +1,76 @@
+"""Sampling-based per-column codec auto-selection.
+
+For each column of a partition: take a deterministic evenly-spaced
+sample, trial-encode every applicable codec, pick the smallest, then
+encode the full column with the winner (falling back down the ranking
+on failure).  The choice is recorded in the partition's lineage
+manifest (engine/manifest.py).  The reference has no such layer — it
+defers to Parquet defaults (SURVEY.md §2.3); selection strategy follows
+standard practice (e.g. per-block scheme selection in BtrBlocks/FSST
+literature, see PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import bitpack, dictionary, for_, fsst, plain, rle
+from .base import Encoded
+
+CODECS = {
+    plain.NAME: plain,
+    dictionary.NAME: dictionary,
+    rle.NAME: rle,
+    bitpack.NAME: bitpack,
+    for_.NAME: for_,
+    fsst.NAME: fsst,
+}
+
+# trial order is a mild prior; selection is purely by sampled size
+_CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, for_.NAME, bitpack.NAME,
+                    fsst.NAME, plain.NAME]
+
+
+def candidates(typ: pa.DataType) -> list:
+    out = [n for n in _CANDIDATE_ORDER if CODECS[n].applicable(typ)]
+    return out or [plain.NAME]
+
+
+def sample_array(arr: pa.Array, frac: float = 0.01, min_rows: int = 256,
+                 max_rows: int = 4096) -> pa.Array:
+    n = len(arr)
+    k = int(min(max(n * frac, min_rows), max_rows, n))
+    if k >= n:
+        return arr
+    idx = np.linspace(0, n - 1, k).astype(np.int64)
+    return arr.take(pa.array(idx))
+
+
+def select_codec(arr: pa.Array, allowed: list | None = None) -> str:
+    """Pick the codec with the smallest encoded sample."""
+    s = sample_array(arr)
+    best_name, best_size = plain.NAME, None
+    for name in (allowed or candidates(arr.type)):
+        codec = CODECS[name]
+        if not codec.applicable(arr.type):
+            continue
+        try:
+            size = codec.encode(s).nbytes
+        except (ValueError, pa.ArrowInvalid):
+            continue
+        if best_size is None or size < best_size:
+            best_name, best_size = name, size
+    return best_name
+
+
+def encode_auto(arr: pa.Array, allowed: list | None = None) -> Encoded:
+    name = select_codec(arr, allowed)
+    try:
+        return CODECS[name].encode(arr)
+    except (ValueError, pa.ArrowInvalid):
+        return plain.encode(arr)
+
+
+def decode(enc: Encoded) -> pa.Array:
+    return CODECS[enc.codec].decode(enc)

@@ -1,0 +1,250 @@
+"""FSST-style string compression: ≤255 symbols of 1–8 bytes + escape.
+
+Fast Static Symbol Table compression after Boncz, Neumann & Leis,
+"FSST: Fast Random Access String Compression" (VLDB 2020) — public
+literature; the reference repo has no such codec (it defers to Parquet
+defaults, SURVEY.md §2.3).
+
+Layout: codes 0..254 index a trained symbol table (each symbol 1–8
+bytes); code 255 is an escape followed by one literal byte.  The table
+is trained on a sample (per partition by default; an actor pool may
+share a table across batches — see stages/encode.py).
+
+Encode is regex-driven (one pass, longest-symbol-first alternation —
+C-speed matching, per-match Python dispatch); decode is fully
+vectorized NumPy over the concatenated encoded buffer.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from .base import (Encoded, apply_validity, field_from_bytes,
+                   field_to_bytes, ipc_array, ipc_bytes)
+
+NAME = "fsst"
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYM_LEN = 8
+
+
+def applicable(typ: pa.DataType) -> bool:
+    return (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ))
+
+
+# ---------------------------------------------------------------------------
+# training
+
+def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list:
+    """Pick ≤255 symbols (bytes, len 1..8) from a sample buffer.
+
+    Strategy: reserve a slot for every distinct single byte observed
+    (keeps escapes rare), then spend the rest on the highest-gain
+    multi-byte substrings, gain = count × (len−1).
+    """
+    sample = sample[: 1 << 17]
+    a = np.frombuffer(sample, dtype=np.uint8)
+    if len(a) == 0:
+        return []
+    singles_vals, singles_cnt = np.unique(a, return_counts=True)
+    order = np.argsort(singles_cnt)[::-1]
+    singles = [bytes([int(singles_vals[i])]) for i in order]
+
+    multi_budget = max(0, max_symbols - len(singles))
+    cnt: Counter = Counter()
+    for L in (2, 3, 4, 6, 8):
+        if len(a) < L:
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(a, L)
+        v = np.ascontiguousarray(w).view(np.dtype((np.void, L))).ravel()
+        uniq, c = np.unique(v, return_counts=True)
+        keep = c >= 4
+        uniq, c = uniq[keep], c[keep]
+        top = np.argsort(c)[::-1][:1024]
+        for u, k in zip(uniq[top], c[top]):
+            cnt[bytes(u)] += int(k)
+
+    multis = []
+    for s, c in sorted(cnt.items(), key=lambda kv: kv[1] * (len(kv[0]) - 1),
+                       reverse=True):
+        if len(multis) >= multi_budget:
+            break
+        multis.append(s)
+    return multis + singles
+
+
+class SymbolTable:
+    """Compiled encode/decode machinery for one trained table."""
+
+    def __init__(self, symbols: list):
+        self.symbols = symbols
+        self.lookup = {s: bytes([i]) for i, s in enumerate(symbols)}
+        ordered = sorted(symbols, key=len, reverse=True)
+        pat = b"|".join(re.escape(s) for s in ordered) if ordered else b""
+        pat = (pat + b"|" if pat else b"") + b"[\\s\\S]"
+        self._pat = re.compile(pat)
+        lut = self.lookup
+        esc = bytes([ESCAPE])
+
+        def repl(m, _lut=lut, _esc=esc):
+            s = m.group(0)
+            c = _lut.get(s)
+            return c if c is not None else _esc + s
+
+        self._repl = repl
+        # decode tables
+        nsym = len(symbols)
+        self.sym_len = np.zeros(max(nsym, 1), dtype=np.int64)
+        self.sym_mat = np.zeros((max(nsym, 1), MAX_SYM_LEN), dtype=np.uint8)
+        for i, s in enumerate(symbols):
+            self.sym_len[i] = len(s)
+            self.sym_mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+
+    def encode_one(self, b: bytes) -> bytes:
+        return self._pat.sub(self._repl, b)
+
+    def to_blob(self) -> bytes:
+        parts = [bytes([len(self.symbols)])]
+        for s in self.symbols:
+            parts.append(bytes([len(s)]))
+            parts.append(s)
+        return b"".join(parts)
+
+    @staticmethod
+    def from_blob(blob: bytes) -> "SymbolTable":
+        n = blob[0]
+        syms, pos = [], 1
+        for _ in range(n):
+            ln = blob[pos]
+            syms.append(blob[pos + 1: pos + 1 + ln])
+            pos += 1 + ln
+        return SymbolTable(syms)
+
+
+def train_from_array(arr: pa.Array, sample_rows: int = 512) -> SymbolTable:
+    n = len(arr)
+    if n == 0:
+        return SymbolTable([])
+    step = max(1, n // sample_rows)
+    idx = np.arange(0, n, step)[:sample_rows]
+    sample_vals = arr.take(pa.array(idx)).cast(pa.large_binary())
+    buf = b"".join(v.as_py() or b"" for v in sample_vals)
+    return SymbolTable(train(buf))
+
+
+# ---------------------------------------------------------------------------
+# column encode / decode
+
+def encode(arr: pa.Array, table: SymbolTable | None = None) -> Encoded:
+    if table is None:
+        table = train_from_array(arr)
+    binvals = arr.cast(pa.large_binary())
+    enc_one = table.encode_one
+    out = [None if v is None else enc_one(v) for v in binvals.to_pylist()]
+    enc_arr = pa.array(out, type=pa.large_binary())
+    return Encoded(NAME, len(arr), field_to_bytes(arr.type), {},
+                   [table.to_blob(), ipc_bytes(enc_arr)])
+
+
+def decode(enc: Encoded) -> pa.Array:
+    typ = field_from_bytes(enc.field_bytes)
+    table = SymbolTable.from_blob(enc.buffers[0])
+    enc_arr = ipc_array(enc.buffers[1])
+    n = len(enc_arr)
+    if n == 0:
+        return pa.array([], type=typ)
+
+    offs = np.frombuffer(enc_arr.buffers()[1], dtype=np.int64)[
+        enc_arr.offset: enc_arr.offset + n + 1]
+    base = offs[0]
+    offs = offs - base
+    dbuf = enc_arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)[base: base + offs[-1]]
+            if dbuf is not None else np.zeros(0, dtype=np.uint8))
+
+    valid = np.asarray(enc_arr.is_valid()) if enc_arr.null_count else None
+
+    if len(data) == 0:
+        out_offsets = np.zeros(n + 1, dtype=np.int64)
+        out_bytes = np.zeros(0, dtype=np.uint8)
+    else:
+        out_bytes, out_offsets = _decode_buffer(data, offs, table, n)
+
+    result = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(out_offsets.tobytes()),
+         pa.py_buffer(out_bytes.tobytes())])
+    result = result.cast(typ)
+    return apply_validity(result, valid)
+
+
+def _decode_buffer(data: np.ndarray, offs: np.ndarray, table: SymbolTable,
+                   n: int):
+    """Vectorized token scan of the concatenated encoded buffer.
+
+    Escape runs never cross string boundaries; a maximal run of 0xFF
+    bytes (broken at string starts) alternates escape/literal starting
+    with an escape.
+    """
+    is_esc_byte = data == ESCAPE
+    nbytes = len(data)
+    prev = np.zeros(nbytes, dtype=bool)
+    prev[1:] = is_esc_byte[:-1]
+    # force run break at string starts
+    starts = offs[:-1]
+    starts = starts[starts < nbytes]
+    brk = np.zeros(nbytes, dtype=bool)
+    brk[starts] = True
+    run_start_mask = is_esc_byte & (brk | ~prev)
+    # also break the alternation when a run spans a string start:
+    # treat in-run string starts as run starts too (they begin a new token)
+    in_run_break = is_esc_byte & brk & prev
+    run_start_mask |= in_run_break
+
+    run_starts = np.flatnonzero(run_start_mask)
+    if len(run_starts):
+        rid = np.cumsum(run_start_mask)
+        run_lens = np.bincount(rid[is_esc_byte],
+                               minlength=len(run_starts) + 1)[1:]
+        k = (run_lens + 1) // 2
+        tot = int(k.sum())
+        csum = np.concatenate(([0], np.cumsum(k)[:-1]))
+        esc_pos = (np.repeat(run_starts, k)
+                   + 2 * (np.arange(tot) - np.repeat(csum, k)))
+        lit_pos = esc_pos + 1
+    else:
+        esc_pos = np.zeros(0, dtype=np.int64)
+        lit_pos = esc_pos
+
+    tok_mask = np.ones(nbytes, dtype=bool)
+    tok_mask[lit_pos] = False
+    tok_pos = np.flatnonzero(tok_mask)
+    tok_codes = data[tok_pos].astype(np.int64)
+    tok_is_esc = tok_codes == ESCAPE
+
+    out_len = np.where(tok_is_esc, 1,
+                       table.sym_len[np.where(tok_is_esc, 0, tok_codes)])
+    ntok = len(tok_pos)
+    tok_mat = np.zeros((ntok, MAX_SYM_LEN), dtype=np.uint8)
+    if (~tok_is_esc).any():
+        tok_mat[~tok_is_esc] = table.sym_mat[tok_codes[~tok_is_esc]]
+    if tok_is_esc.any():
+        tok_mat[tok_is_esc, 0] = data[tok_pos[tok_is_esc] + 1]
+
+    total = int(out_len.sum())
+    out_start = np.concatenate(([0], np.cumsum(out_len)[:-1]))
+    rep = np.repeat(np.arange(ntok), out_len)
+    within = np.arange(total) - np.repeat(out_start, out_len)
+    out_bytes = tok_mat[rep, within]
+
+    tok_str = np.searchsorted(offs, tok_pos, side="right") - 1
+    out_str_len = np.bincount(tok_str, weights=out_len,
+                              minlength=n).astype(np.int64)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    out_offsets[1:] = np.cumsum(out_str_len)
+    return out_bytes, out_offsets

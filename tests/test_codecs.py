@@ -1,0 +1,138 @@
+"""Codec round-trip tests: decode(encode(col)) must be bit-identical
+(`pa.Array.equals` + exact type), including nulls, empty strings and
+escape-heavy binaries — the carry-over of the reference's golden
+round-trip discipline (SURVEY.md §5, FIXTURES.md assertion style).
+No Ray needed: codecs are pure Arrow/NumPy kernels.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_producers_ray import codecs
+from parquet_producers_ray.codecs import CODECS, Encoded, encode_auto
+from parquet_producers_ray.codecs import fsst
+from parquet_producers_ray.codecs.base import (arrays_bit_identical,
+                                               pack_ints, unpack_ints)
+
+FIXTURE_ARRAYS = {
+    "lang_skewed": pa.array((["en"] * 70 + ["fr"] * 20 + ["de", None] * 5) * 20),
+    "sorted_keys": pa.array(sorted(["k%03d" % (i // 50) for i in range(2000)])),
+    "small_ints": pa.array([5, 7, 7, None, 12, 3, 5, 7] * 50, type=pa.int32()),
+    "big_ints": pa.array([2**40 + i for i in range(100)], type=pa.int64()),
+    "uint64_high": pa.array([0, 2**63 + 5, 17, 2**64 - 1], type=pa.uint64()),
+    "neg_ints": pa.array([-(2**35), -1, None, 8, 3] * 20, type=pa.int64()),
+    "timestamps": pa.array(
+        np.arange(1_700_000_000_000_000, 1_700_000_000_050_000, 250).tolist(),
+        type=pa.timestamp("us")),
+    "date32": pa.array([19000 + i % 30 for i in range(200)], type=pa.date32()),
+    "floats": pa.array([1.5, float("nan"), None, 2.5, 1.5] * 30),
+    "bools": pa.array([True, True, False, None] * 25),
+    "text": pa.array(["the quick brown fox %d" % i for i in range(300)]),
+    "large_text": pa.array(["payload " * i for i in range(100)],
+                           type=pa.large_string()),
+    "binary_escape": pa.array([b"\xff" * k for k in range(20)] +
+                              [b"\xff\x00\xff", None, b""],
+                              type=pa.large_binary()),
+    "binary_small": pa.array([b"<html><body>hi</body></html>", b"", None] * 40,
+                             type=pa.binary()),
+    "empty_str": pa.array([], type=pa.string()),
+    "empty_int": pa.array([], type=pa.int64()),
+    "all_null_int": pa.array([None] * 17, type=pa.int32()),
+    "all_null_str": pa.array([None] * 17, type=pa.string()),
+    "single": pa.array(["x"]),
+    "constant": pa.array([42] * 1000, type=pa.int16()),
+}
+
+
+@pytest.mark.parametrize("colname", list(FIXTURE_ARRAYS))
+@pytest.mark.parametrize("codec_name", list(CODECS))
+def test_roundtrip_bit_identity(colname, codec_name):
+    arr = FIXTURE_ARRAYS[colname]
+    codec = CODECS[codec_name]
+    if not codec.applicable(arr.type):
+        pytest.skip("not applicable")
+    try:
+        enc = codec.encode(arr)
+    except ValueError:
+        pytest.skip("declined input (e.g. negative for bitpack)")
+    dec = codecs.decode(enc)
+    assert dec.type == arr.type
+    assert arrays_bit_identical(dec, arr), \
+        f"{codec_name} round-trip mismatch on {colname}"
+
+
+@pytest.mark.parametrize("colname", list(FIXTURE_ARRAYS))
+def test_auto_roundtrip(colname):
+    arr = FIXTURE_ARRAYS[colname]
+    enc = encode_auto(arr)
+    dec = codecs.decode(enc)
+    assert arrays_bit_identical(dec, arr)
+
+
+def test_auto_picks_sensible_codecs():
+    assert encode_auto(FIXTURE_ARRAYS["lang_skewed"]).codec in ("dict", "rle")
+    assert encode_auto(FIXTURE_ARRAYS["sorted_keys"]).codec == "rle"
+    assert encode_auto(FIXTURE_ARRAYS["timestamps"]).codec == "for"
+
+
+def test_encoded_row_roundtrip():
+    enc = encode_auto(FIXTURE_ARRAYS["text"])
+    row = enc.to_row("text")
+    enc2 = Encoded.from_row(row)
+    assert codecs.decode(enc2).equals(FIXTURE_ARRAYS["text"])
+
+
+def test_compression_beats_plain_on_friendly_data():
+    for name in ("lang_skewed", "sorted_keys", "timestamps", "constant"):
+        arr = FIXTURE_ARRAYS[name]
+        plain_size = CODECS["plain"].encode(arr).nbytes
+        auto_size = encode_auto(arr).nbytes
+        assert auto_size < plain_size, name
+
+
+@pytest.mark.parametrize("width", [0, 1, 5, 8, 13, 32, 63, 64])
+def test_pack_ints_roundtrip(width):
+    rng = np.random.default_rng(42)
+    if width == 0:
+        vals = np.zeros(100, dtype=np.uint64)
+    elif width == 64:
+        vals = rng.integers(0, 2**63, 100, dtype=np.uint64) * 2 + 1
+    else:
+        vals = rng.integers(0, 2**width, 100, dtype=np.uint64)
+    buf = pack_ints(vals, width)
+    out = unpack_ints(buf, width, len(vals))
+    assert np.array_equal(out, vals)
+
+
+def test_fsst_on_unique_texts_beats_plain():
+    # token soup from a small vocabulary — the FIXTURES.md F-1 `text` shape
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta"]
+    texts = [" ".join(rng.choice(vocab, 40)) + f" #{i}" for i in range(500)]
+    arr = pa.array(texts)
+    enc = fsst.encode(arr)
+    dec = codecs.decode(enc)
+    assert dec.equals(arr)
+    assert enc.nbytes < CODECS["plain"].encode(arr).nbytes * 0.6
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=40)), max_size=80))
+def test_fsst_hypothesis_binary(vals):
+    arr = pa.array(vals, type=pa.large_binary())
+    enc = fsst.encode(arr)
+    assert codecs.decode(enc).equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(-2**60, 2**60)), max_size=80))
+def test_int_codecs_hypothesis(vals):
+    arr = pa.array(vals, type=pa.int64())
+    for name in ("rle", "dict", "for", "plain"):
+        enc = CODECS[name].encode(arr)
+        assert codecs.decode(enc).equals(arr), name
+    assert codecs.decode(encode_auto(arr)).equals(arr)
