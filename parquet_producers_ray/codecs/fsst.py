@@ -53,7 +53,7 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list:
         return []
     singles_vals, singles_cnt = np.unique(a, return_counts=True)
     order = np.argsort(singles_cnt)[::-1]
-    singles = [bytes([int(singles_vals[i])]) for i in order]
+    singles = [bytes([int(singles_vals[i])]) for i in order][:max_symbols]
 
     multi_budget = max(0, max_symbols - len(singles))
     cnt: Counter = Counter()
@@ -104,6 +104,31 @@ class SymbolTable:
         for i, s in enumerate(symbols):
             self.sym_len[i] = len(s)
             self.sym_mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        # vectorized-encode tables: single-byte code LUT + multi-byte
+        # symbols as sorted zero-padded big-endian uint64 "range starts"
+        # with prefix-parent links (one searchsorted + ≤8 fix-up rounds)
+        self.single_code = np.full(256, -1, dtype=np.int16)
+        multis = []
+        for i, s in enumerate(symbols):
+            if len(s) == 1:
+                self.single_code[s[0]] = i
+            else:
+                start = int.from_bytes(s + b"\x00" * (8 - len(s)), "big")
+                multis.append((start, len(s), i, s))
+        multis.sort(key=lambda t: (t[0], t[1]))
+        self.m_start = np.array([m[0] for m in multis], dtype=np.uint64)
+        self.m_len = np.array([m[1] for m in multis], dtype=np.int64)
+        self.m_code = np.array([m[2] for m in multis], dtype=np.int16)
+        self.m_shift = ((8 - self.m_len) * 8).astype(np.uint64)
+        by_sym = {m[3]: j for j, m in enumerate(multis)}
+        parent = np.full(len(multis), -1, dtype=np.int32)
+        for j, (_, _, _, s) in enumerate(multis):
+            for plen in range(len(s) - 1, 1, -1):
+                p = by_sym.get(s[:plen])
+                if p is not None:
+                    parent[j] = p
+                    break
+        self.m_parent = parent
 
     def encode_one(self, b: bytes) -> bytes:
         return self._pat.sub(self._repl, b)
@@ -138,15 +163,152 @@ def train_from_array(arr: pa.Array, sample_rows: int = 512) -> SymbolTable:
 
 
 # ---------------------------------------------------------------------------
+# vectorized encode
+
+_CHUNK_BYTES = 8 * 1024 * 1024  # caps the uint64 window temporaries
+
+
+def _encode_buffer(data: np.ndarray, offs: np.ndarray,
+                   table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy longest-match tokenization of every string at once.
+
+    1. Per position: longest matching symbol (integer window compare
+       per symbol length, boundary-masked so matches never cross
+       strings).
+    2. Wavefront: all strings advance their cursor in lock-step
+       vectorized rounds (sequential within a string, parallel across
+       strings) emitting codes / escape pairs.
+    """
+    n_strings = len(offs) - 1
+    N = len(data)
+    str_lens = np.diff(offs)
+    if N == 0:
+        return np.zeros(0, np.uint8), np.zeros(n_strings + 1, np.int64)
+
+    # split strings into ≤V-byte virtual pieces: the wavefront below is
+    # sequential within a piece but parallel across pieces, so short
+    # pieces = few wide vectorized rounds.  Tokenizing pieces
+    # independently is decode-safe (any valid tokenization decodes
+    # identically; escape-run alternation is boundary-agnostic) at a
+    # sub-1% ratio cost from matches not crossing piece boundaries.
+    V = 128
+    n_pieces_per = np.maximum((str_lens + V - 1) // V, 1)
+    total_pieces = int(n_pieces_per.sum())
+    pstr = np.repeat(np.arange(n_strings, dtype=np.int64), n_pieces_per)
+    first_piece = np.cumsum(n_pieces_per) - n_pieces_per
+    pidx = np.arange(total_pieces, dtype=np.int64) - first_piece[pstr]
+    vstart = offs[:-1][pstr] + V * pidx
+    vend = np.minimum(vstart + V, offs[1:][pstr])
+    piece_lens = vend - vstart
+
+    best_len = np.ones(N, dtype=np.int64)
+    best_code = table.single_code[data].astype(np.int16)
+    if len(table.m_start):
+        # big-endian uint64 of the 8-byte window at every position
+        pad = np.zeros(N + 8, dtype=np.uint8)
+        pad[:N] = data
+        win = np.lib.stride_tricks.sliding_window_view(pad, 8)[:N]
+        v8 = np.ascontiguousarray(win).view(">u8").ravel().astype(np.uint64)
+        # bytes remaining in the piece at each position
+        rem = np.repeat(vend, piece_lens) - np.arange(N, dtype=np.int64)
+        # deepest candidate range, then walk prefix-parents until valid
+        cand = np.searchsorted(table.m_start, v8,
+                               side="right").astype(np.int64) - 1
+        live = np.flatnonzero(cand >= 0)
+        cand = cand[live]
+        for _ in range(MAX_SYM_LEN):
+            if not len(live):
+                break
+            sh = table.m_shift[cand]
+            ok = ((v8[live] >> sh) == (table.m_start[cand] >> sh)) \
+                & (table.m_len[cand] <= rem[live])
+            hit = live[ok]
+            best_len[hit] = table.m_len[cand[ok]]
+            best_code[hit] = table.m_code[cand[ok]]
+            live = live[~ok]
+            cand = table.m_parent[cand[~ok]]
+            keep = cand >= 0
+            live = live[keep]
+            cand = cand[keep]
+
+    # wavefront emit over pieces
+    cur = vstart.copy()
+    out_start = np.zeros(total_pieces + 1, dtype=np.int64)
+    out_start[1:] = np.cumsum(2 * piece_lens)
+    out = np.empty(int(out_start[-1]), dtype=np.uint8)
+    out_pos = out_start[:-1].copy()
+    active = np.flatnonzero(cur < vend)
+    while len(active):
+        p = cur[active]
+        c = best_code[p]
+        is_sym = c >= 0
+        w = out_pos[active]
+        out[w[is_sym]] = c[is_sym].astype(np.uint8)
+        esc = ~is_sym
+        we = w[esc]
+        out[we] = ESCAPE
+        out[we + 1] = data[p[esc]]
+        out_pos[active] = w + np.where(is_sym, 1, 2)
+        cur[active] = p + np.where(is_sym, best_len[p], 1)
+        active = active[cur[active] < vend[active]]
+
+    piece_out_lens = out_pos - out_start[:-1]
+    total = int(piece_out_lens.sum())
+    piece_out_offs = np.zeros(total_pieces, dtype=np.int64)
+    piece_out_offs[1:] = np.cumsum(piece_out_lens)[:-1]
+    idx = (np.repeat(out_start[:-1], piece_out_lens)
+           + (np.arange(total) - np.repeat(piece_out_offs, piece_out_lens)))
+    out_str_len = np.bincount(pstr, weights=piece_out_lens,
+                              minlength=n_strings).astype(np.int64)
+    out_offsets = np.zeros(n_strings + 1, dtype=np.int64)
+    out_offsets[1:] = np.cumsum(out_str_len)
+    return out[idx], out_offsets
+
+
+# ---------------------------------------------------------------------------
 # column encode / decode
 
 def encode(arr: pa.Array, table: SymbolTable | None = None) -> Encoded:
     if table is None:
         table = train_from_array(arr)
     binvals = arr.cast(pa.large_binary())
-    enc_one = table.encode_one
-    out = [None if v is None else enc_one(v) for v in binvals.to_pylist()]
-    enc_arr = pa.array(out, type=pa.large_binary())
+    n = len(binvals)
+    if n == 0:
+        enc_arr = pa.array([], type=pa.large_binary())
+        return Encoded(NAME, 0, field_to_bytes(arr.type), {},
+                       [table.to_blob(), ipc_bytes(enc_arr)])
+
+    offs = np.frombuffer(binvals.buffers()[1], dtype=np.int64)[
+        binvals.offset: binvals.offset + n + 1]
+    base = int(offs[0])
+    offs = (offs - base).astype(np.int64)
+    dbuf = binvals.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)[base: base + int(offs[-1])]
+            if dbuf is not None else np.zeros(0, dtype=np.uint8))
+
+    # string-aligned chunks bound the uint64 window temporaries
+    out_parts, off_parts = [], [np.zeros(1, dtype=np.int64)]
+    s = 0
+    while s < n:
+        e = int(np.searchsorted(offs, offs[s] + _CHUNK_BYTES, side="left"))
+        e = max(e, s + 1)
+        chunk = data[offs[s]: offs[e if e <= n else n]]
+        sub_offs = offs[s: min(e, n) + 1] - offs[s]
+        ob, oo = _encode_buffer(chunk, sub_offs, table)
+        out_parts.append(ob)
+        off_parts.append(oo[1:] + off_parts[-1][-1])
+        s = min(e, n)
+    out_data = np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
+    out_offsets = np.concatenate(off_parts)
+
+    enc_arr = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(out_offsets.tobytes()),
+         pa.py_buffer(out_data.tobytes())])
+    if binvals.null_count:
+        import pyarrow.compute as pc
+        enc_arr = pc.if_else(pa.array(~np.asarray(binvals.is_valid())),
+                             pa.nulls(n, pa.large_binary()), enc_arr)
     return Encoded(NAME, len(arr), field_to_bytes(arr.type), {},
                    [table.to_blob(), ipc_bytes(enc_arr)])
 

@@ -1,0 +1,208 @@
+"""Flagship pipeline: url-keyed columnar encode of web-page Parquet.
+
+    read_parquet → hash-bucket by url → per-bucket sort(url) + encode
+    (codec auto-selection) → write encoded segment Parquet + lineage
+    manifest per partition → decode/verify path back.
+
+This is the engine's signature pipeline per ``BASELINE.json``: the
+reference's keyed sort-then-produce (``ParquetProduction.cs:20-25`` —
+content persisted sorted by key) re-expressed as Ray Data shuffles,
+with the encoding layer made explicit.
+
+Scale notes (100 TB / multi-node):
+- partitioning is ONE hash shuffle on ``url`` (urls are unique, so the
+  hash is uniform even when hosts are Zipf-skewed; host-level skew is
+  handled separately by stages/skew.py for host-keyed aggregations);
+- ``num_buckets`` targets ~128 MiB of input per partition so a batch ×
+  concurrency fits worker heaps and the object store streams/spills;
+- partition ids are pure functions of the data (crc32(url) % P), so a
+  resumed run reproduces the same membership and can skip completed
+  partitions via their manifests;
+- output is many small immutable partition files, never one giant file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..engine import manifest as mf
+from ..stages.encode import decode_segment, encode_table
+
+DEFAULT_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def add_bucket(batch: pa.Table, num_buckets: int,
+               key: str = "url") -> pa.Table:
+    col = batch.column(key).combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # splitmix64 finalizer — stable across processes/platforms
+        h = v.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        buckets = (h % np.uint64(num_buckets)).astype(np.int64)
+    else:
+        col = col.cast(pa.large_binary())
+        n = len(col)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset: col.offset + n + 1]
+        data = col.buffers()[2]
+        mv = memoryview(data) if data is not None else memoryview(b"")
+        crc = zlib.crc32
+        buckets = np.fromiter(
+            (crc(mv[offs[i]:offs[i + 1]]) % num_buckets for i in range(n)),
+            dtype=np.int64, count=n)
+    return batch.append_column("_bucket", pa.array(buckets))
+
+
+class BucketEncoder:
+    """Per-partition encode + persist, with manifest-based resume.
+
+    Used as the ``map_groups`` function of ``groupby("_bucket")``; each
+    group is one partition.  Emits one manifest row per partition.
+    """
+
+    def __init__(self, out_dir: str, sort_key: str = "url",
+                 allowed: list | None = None, resume: bool = True,
+                 compression: str = "zstd"):
+        self.out_dir = out_dir
+        self.sort_key = sort_key
+        self.allowed = allowed
+        self.resume = resume
+        self.compression = compression
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _manifest_rows([])
+        part = int(group.column("_bucket")[0].as_py())
+        group = group.drop_columns(["_bucket"])
+        data_path, man_path = mf.partition_paths(self.out_dir, part)
+
+        if self.resume:
+            done = mf.completed_partition(self.out_dir, part)
+            if done is not None and done.get("rows") == group.num_rows:
+                done = dict(done)
+                done["skipped"] = True
+                return _manifest_rows([done])
+
+        t0 = time.perf_counter()
+        if self.sort_key in group.column_names:
+            group = group.sort_by(self.sort_key)
+        seg, choices = encode_table(group, self.allowed)
+        enc_bytes = int(sum(
+            len(b) for row in seg.column("buffers").to_pylist() for b in row))
+        tmp = data_path + ".tmp"
+        pq.write_table(seg, tmp, compression=self.compression)
+        os.replace(tmp, data_path)
+        payload = {
+            "part": part,
+            "rows": group.num_rows,
+            "input_bytes": int(group.nbytes),
+            "encoded_bytes": enc_bytes,
+            "data_size": os.path.getsize(data_path),
+            "codecs": choices,
+            "sort_key": self.sort_key,
+            "key_digest": mf.column_digest(group.column(self.sort_key))
+            if self.sort_key in group.column_names else "",
+            "encode_sec": round(time.perf_counter() - t0, 4),
+            "file": os.path.basename(data_path),
+            "skipped": False,
+        }
+        mf.write_manifest(man_path, payload)
+        return _manifest_rows([payload])
+
+
+MANIFEST_ROW_SCHEMA = pa.schema([
+    pa.field("part", pa.int64()),
+    pa.field("rows", pa.int64()),
+    pa.field("input_bytes", pa.int64()),
+    pa.field("encoded_bytes", pa.int64()),
+    pa.field("data_size", pa.int64()),
+    pa.field("codecs", pa.string()),
+    pa.field("encode_sec", pa.float64()),
+    pa.field("file", pa.string()),
+    pa.field("skipped", pa.bool_()),
+])
+
+
+def _manifest_rows(payloads: list) -> pa.Table:
+    rows = [{
+        "part": p["part"], "rows": p["rows"],
+        "input_bytes": p["input_bytes"],
+        "encoded_bytes": p["encoded_bytes"],
+        "data_size": p["data_size"],
+        "codecs": json.dumps(p["codecs"], sort_keys=True),
+        "encode_sec": p.get("encode_sec", 0.0),
+        "file": p["file"], "skipped": bool(p.get("skipped", False)),
+    } for p in payloads]
+    return pa.Table.from_pylist(rows, schema=MANIFEST_ROW_SCHEMA)
+
+
+def pick_num_buckets(input_bytes: int,
+                     target: int = DEFAULT_TARGET_PARTITION_BYTES,
+                     min_buckets: int = 8) -> int:
+    return max(min_buckets, int(np.ceil(input_bytes / target)))
+
+
+def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
+                    key: str = "url", allowed: list | None = None,
+                    resume: bool = True):
+    """Run the flagship encode; returns the manifests Dataset (small)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if num_buckets is None:
+        num_buckets = pick_num_buckets(ds.size_bytes() or 0)
+    encoder = BucketEncoder(out_dir, sort_key=key, allowed=allowed,
+                            resume=resume)
+
+    def encode_group(group: pa.Table, _enc=encoder) -> pa.Table:
+        return _enc(group)
+
+    return (ds
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         fn_kwargs={"num_buckets": num_buckets, "key": key})
+            .groupby("_bucket")
+            .map_groups(encode_group, batch_format="pyarrow"))
+
+
+def decode_pipeline(out_dir: str):
+    """Stream the encoded partitions back to original rows."""
+    import ray.data
+
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        tables = [decode_segment(pq.read_table(p))
+                  for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tables)
+
+    return (ray.data.from_items([{"path": p} for p in files])
+            .map_batches(_decode, batch_format="pyarrow", batch_size=1))
+
+
+def summarize(manifests) -> dict:
+    """Collapse the manifest Dataset into headline metrics (small)."""
+    t = manifests.to_pandas()
+    total_in = int(t["input_bytes"].sum())
+    total_data = int(t["data_size"].sum())
+    return {
+        "partitions": int(len(t)),
+        "rows": int(t["rows"].sum()),
+        "input_bytes": total_in,
+        "encoded_bytes": int(t["encoded_bytes"].sum()),
+        "stored_bytes": total_data,
+        "compression_ratio": round(total_in / total_data, 3)
+        if total_data else None,
+        "skipped_partitions": int(t["skipped"].sum()),
+    }

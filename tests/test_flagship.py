@@ -1,0 +1,110 @@
+"""Flagship pipeline tests: synthetic web-page table → bucketed encode
+→ manifests → decode, asserting the reference's golden round-trip
+discipline (byte-identical columns, `extract_text(html) == text` per
+url — BASELINE.json input_hint) plus checkpoint resume.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_producers_ray.engine import manifest as mf
+from parquet_producers_ray.sources import webpages as W
+from parquet_producers_ray.stages.encode import (EncoderPool, decode_segment,
+                                                 encode_table)
+
+ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def table():
+    return W.generate_table(ROWS)
+
+
+def test_generator_deterministic(table):
+    assert table.equals(W.generate_table(ROWS))
+    assert table.schema.equals(W.SCHEMA)
+    # urls unique
+    assert len(set(table.column("url").to_pylist())) == ROWS
+
+
+def test_extract_text_invariant(table):
+    ext = W.extract_text(table.column("html").combine_chunks())
+    assert ext.equals(table.column("text").combine_chunks())
+
+
+def test_encode_table_roundtrip(table):
+    seg, choices = encode_table(table)
+    back = decode_segment(seg)
+    assert back.equals(table)
+    assert set(choices) == set(table.column_names)
+
+
+def test_encoder_pool_state_reuse(table):
+    pool = EncoderPool()
+    seg1 = pool(table.slice(0, 1500))
+    seg2 = pool(table.slice(1500, 1500))
+    # pinned codecs + shared fsst tables after first batch
+    assert pool.pinned is not None
+    t1, t2 = decode_segment(seg1), decode_segment(seg2)
+    assert pa.concat_tables([t1, t2]).equals(table)
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(ray_session, table, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("flagship"))
+    src = os.path.join(out, "input.parquet")
+    pq.write_table(table, src)
+    from parquet_producers_ray.pipelines import flagship as F
+
+    man = F.encode_pipeline(rd.read_parquet(src), out + "/enc",
+                            num_buckets=8)
+    summary = F.summarize(man)
+    return out, summary
+
+
+def test_pipeline_roundtrip_bit_identical(encoded_dir, table):
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, summary = encoded_dir
+    assert summary["partitions"] == 8
+    assert summary["rows"] == ROWS
+    back = F.decode_pipeline(out + "/enc").take_all()
+    orig = table.sort_by("url").to_pylist()
+    back_sorted = sorted(back, key=lambda r: r["url"])
+    assert len(back_sorted) == len(orig)
+    for a, b in zip(back_sorted, orig):
+        assert a == b
+
+
+def test_compressed_size_beats_plain_parquet(encoded_dir, table):
+    out, summary = encoded_dir
+    plain = os.path.getsize(os.path.join(out, "input.parquet"))
+    assert summary["stored_bytes"] <= plain
+
+
+def test_resume_skips_completed_partitions(encoded_dir):
+    import ray.data as rd
+
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    man2 = F.encode_pipeline(rd.read_parquet(os.path.join(out, "input.parquet")),
+                             out + "/enc", num_buckets=8)
+    s2 = F.summarize(man2)
+    assert s2["skipped_partitions"] == 8
+
+    # corrupt one manifest → that partition (only) is redone
+    mans = sorted(f for f in os.listdir(out + "/enc")
+                  if f.endswith(".manifest.json"))
+    os.remove(os.path.join(out + "/enc", mans[0]))
+    man3 = F.encode_pipeline(rd.read_parquet(os.path.join(out, "input.parquet")),
+                             out + "/enc", num_buckets=8)
+    s3 = F.summarize(man3)
+    assert s3["skipped_partitions"] == 7
+    assert len(mf.list_manifests(out + "/enc")) == 8
