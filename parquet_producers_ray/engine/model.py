@@ -1,0 +1,97 @@
+"""Data model for the keyed sort-then-produce engine.
+
+Reference mapping (SURVEY.md §1):
+- ``SourceUpdate<K,V>``  → Dataset with key columns + value columns +
+  ``_type`` int8 (0=Add, 1=Update, 2=Delete); Delete rows carry null
+  values (``Types/SourceUpdate.cs:10-18``).
+- ``ContentRecord<TK,SK,TV>`` → Dataset of target-key cols + source-key
+  cols + value cols, sorted by (target_key, source_key)
+  (``ParquetProduction.cs:20-25``).
+- ``KeyMapping<SK,TK>`` → Dataset of source-key + target-key cols,
+  sorted by (source_key, target_key) (``ParquetProduction.cs:23``).
+
+Keys are lists of columns (compound keys = multiple columns, the
+Ray-native form of the reference's compound ``IComparer`` chains,
+``Util/Comparers.cs:11-30``); descending target order is per-column
+flags (``Tests:315-318`` descending-count comparer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+TYPE_COL = "_type"
+ADD, UPDATE, DELETE = 0, 1, 2
+
+
+@dataclass
+class StageSpec:
+    """One producer stage (reference ``Producer<SK,SV,TK,TV>``,
+    Producer.cs:29-99).
+
+    ``produce(key_tuple, values: pa.Table) -> pa.Table`` is the sole
+    user transform (F1, ``ParquetProduction.cs:10-11``): called once
+    per distinct source key with that key's value rows; returns a table
+    with ``target_key + value_columns`` columns in any order/multiplicity.
+    """
+
+    name: str
+    produce: Callable[[tuple, pa.Table], pa.Table]
+    source_key: list
+    target_key: list
+    value_columns: list
+    source_value_columns: list
+    out_schema: pa.Schema = None        # fields for target_key + value_columns
+    source_schema: pa.Schema = None     # fields for source_key + source values
+    target_descending: Optional[list] = None   # per target_key column
+    preserver: Optional["SurrogateIdPreserver"] = None
+
+    def output_schema(self) -> pa.Schema:
+        return self.out_schema
+
+    @property
+    def source_key_schema(self) -> Optional[pa.Schema]:
+        if self.source_schema is None:
+            return None
+        return pa.schema([self.source_schema.field(c)
+                          for c in self.source_key])
+
+    def updates_schema(self) -> pa.Schema:
+        return pa.schema(list(self.source_schema)
+                         + [pa.field(TYPE_COL, pa.int8())])
+
+    def feed_schema(self) -> pa.Schema:
+        return pa.schema(list(self.out_schema)
+                         + [pa.field(TYPE_COL, pa.int8())])
+
+    def target_sort_desc(self) -> list:
+        d = self.target_descending or [False] * len(self.target_key)
+        return list(d)
+
+    def content_columns(self) -> list:
+        return self.target_key + self.source_key + self.value_columns
+
+    def mapping_columns(self) -> list:
+        return self.source_key + self.target_key
+
+
+@dataclass
+class SurrogateIdPreserver:
+    """Deterministic, scale-safe form of the reference's
+    ``PreserveKeyValues`` hook (F9, ``ParquetProducerOptions.cs:16-28``)
+    for the stable-surrogate-id pattern (U12, ``Tests:558-672``):
+    a value column that keeps its value for existing target keys and is
+    allocated ``next_id++`` in target-key order for new ones; a key
+    deleted and re-added gets a fresh id (``Tests:652-671``).
+    """
+
+    id_column: str
+    next_id: int = 1
+
+
+def empty_updates_table(key_fields: list, value_fields: list) -> pa.Table:
+    return pa.schema(list(key_fields) + list(value_fields)
+                     + [pa.field(TYPE_COL, pa.int8())]).empty_table()

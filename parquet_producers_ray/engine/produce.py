@@ -1,0 +1,287 @@
+"""Keyed sort-then-produce with incremental maintenance — the engine
+core, re-expressing the reference's single-threaded merge-scan
+algorithms (F1–F9) as Ray Data shuffles.
+
+Reference semantics reproduced (verified against
+``ParquetProduction.cs`` and the reference test goldens):
+
+- ``GenerateInstructions`` (:279-374): every updated source key first
+  deletes all its previously produced (sk, tk) pairs (discovered via
+  the key-mappings provenance index), then its upsert values are
+  re-produced.  A key carries either one Delete or ≥1 upserts, never a
+  mix (throws otherwise).
+- ``ExecuteInstructionsOnMappings`` (:376-453): per (sk, tk) group —
+  any instruction present ⇒ the group becomes exactly the non-deletion
+  instructions (with multiplicity); otherwise existing rows pass
+  through.
+- ``ExecuteInstructionsOnContent`` (:463-704) with
+  ``PendingDeleteState`` (PendingDeleteState.cs:37-96): per (tk, sk)
+  pair touched by instructions the new rows replace old ones; the
+  outgoing update feed emits, for every *touched* target key, its FULL
+  new row set in (tk, sk) order — first row labeled Add iff the target
+  key did not previously exist, everything else Update ("unnecessary
+  upserts" included, Tests:481-517) — or a single Delete when the
+  target key has no rows left.
+
+Instead of the reference's instruction spools + external sorts
+(InstructionsStorage/MergeSorter — subsumed by Ray's shuffle), the
+delta's key sets (updated source keys, touched (sk,tk) pairs, touched
+target keys) are collected on the driver and BROADCAST into vectorized
+``map_batches`` filters over the prior state.  This matches the
+reference's cost model exactly — "sort only the delta, scan prior
+state forward" (README.md:160-166): prior content/mappings stream once
+through a filter with no shuffle; only delta-sized sets move.  For
+delta sizes beyond driver memory a partitioned join formulation is the
+fallback (not needed at the reference's delta scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .model import ADD, DELETE, TYPE_COL, UPDATE, StageSpec
+
+SEQ_COL = "_seq"          # emission order within one produce() call —
+                          # makes equal-(tk,sk) row order deterministic
+UPD_SEQ_COL = "_upd_seq"  # position of an update row within its batch —
+                          # restores the reference's within-key value order
+                          # after Ray's unordered hash grouping
+ISNEW_COL = "_isnew"
+NUM_JOIN_PARTITIONS = 32
+
+
+def updates_from_table(table: pa.Table):
+    """Wrap an update batch (key + value cols + _type) as a Dataset with
+    the within-batch order column the group stage needs."""
+    import ray.data
+
+    table = table.append_column(
+        UPD_SEQ_COL, pa.array(np.arange(len(table)), type=pa.int64()))
+    return ray.data.from_arrow(table)
+
+
+def _collect_tuples(ds, cols: list) -> set:
+    """Driver-side distinct tuple set of delta-sized columns."""
+    out = set()
+    for batch in ds.select_columns(cols).iter_batches(batch_format="pyarrow"):
+        out.update(zip(*(batch.column(c).to_pylist() for c in cols)))
+    return out
+
+
+def _membership_mask(batch: pa.Table, cols: list, keyset) -> np.ndarray:
+    """Boolean mask: row's tuple over ``cols`` ∈ keyset.  Single-column
+    keys use the vectorized ``pc.is_in`` kernel; compound keys fall back
+    to a tuple-hash probe (keys are narrow; the wide value columns never
+    enter this path)."""
+    import pyarrow.compute as pc
+
+    if len(cols) == 1:
+        values = pa.array([t[0] for t in keyset],
+                          type=batch.schema.field(cols[0]).type)
+        return pc.is_in(batch.column(cols[0]),
+                        value_set=values).to_numpy(zero_copy_only=False)
+    tups = zip(*(batch.column(c).to_pylist() for c in cols))
+    return np.fromiter((t in keyset for t in tups), dtype=bool,
+                       count=len(batch))
+
+
+def _broadcast_filter(conditions):
+    """map_batches fn keeping rows that satisfy ALL (cols, keyset, keep)
+    conditions.  Key sets are shipped via ``ray.put`` (one object-store
+    copy per node) and dereferenced once per task, never per batch —
+    the broadcast-small-side pattern that replaces a shuffle join."""
+    import ray
+
+    refs = [(cols, ray.put(keyset), keep) for cols, keyset, keep in conditions]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        if len(batch) == 0:
+            return batch
+        mask = np.ones(len(batch), dtype=bool)
+        cache = getattr(fn, "_cache", None)
+        if cache is None:
+            cache = fn._cache = [ _ray.get(r) for _, r, _ in refs ]
+        for (cols, _, keep), keyset in zip(refs, cache):
+            m = _membership_mask(batch, cols, keyset)
+            mask &= m if keep else ~m
+        return batch.filter(pa.array(mask))
+    return fn
+
+
+def _produce_group_fn(spec: StageSpec):
+    tk, vals = spec.target_key, spec.value_columns
+    src_vals = spec.source_value_columns
+    sk = spec.source_key
+
+    def fn(g: pa.Table) -> pa.Table:
+        if UPD_SEQ_COL in g.column_names:
+            g = g.sort_by(UPD_SEQ_COL)
+        types = g.column(TYPE_COL).to_pylist()
+        is_del = [t == DELETE for t in types]
+        if any(is_del):
+            if not all(is_del):
+                raise ValueError(
+                    f"stage {spec.name}: key carries both Delete and "
+                    "upserts in one batch (reference "
+                    "ParquetProduction.cs:326-337 rule)")
+            out = pa.Table.from_pylist([], schema=spec.output_schema())
+        else:
+            key_tuple = tuple(g.column(c)[0].as_py() for c in sk)
+            produced = spec.produce(key_tuple, g.select(src_vals))
+            out = produced.select(tk + vals).cast(spec.output_schema())
+        n = len(out)
+        for c in sk:
+            out = out.append_column(c, pa.array([g.column(c)[0].as_py()] * n,
+                                                type=g.schema.field(c).type))
+        out = out.append_column(SEQ_COL, pa.array(np.arange(n),
+                                                  type=pa.int64()))
+        return out.select(tk + sk + vals + [SEQ_COL])
+
+    return fn
+
+
+def _output_schema(spec: StageSpec) -> pa.Schema:
+    return spec.output_schema()
+
+
+def produce_adds(spec: StageSpec, source_updates):
+    """F1+F3 production half: group upserts by source key, run the user
+    produce, emit add-instruction rows (tk + sk + values + _seq)."""
+    return (source_updates.groupby(spec.source_key)
+            .map_groups(_produce_group_fn(spec), batch_format="pyarrow"))
+
+
+def _label_feed_group(spec: StageSpec):
+    tk, sk, vals = spec.target_key, spec.source_key, spec.value_columns
+
+    def fn(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in sk + [SEQ_COL]])
+        is_new = bool(g.column(ISNEW_COL)[0].as_py())
+        n = len(g)
+        types = np.full(n, UPDATE, dtype=np.int8)
+        if is_new and n:
+            types[0] = ADD
+        out = g.select(tk + vals + sk + [SEQ_COL])
+        return out.append_column(TYPE_COL, pa.array(types))
+
+    return fn
+
+
+def apply_updates(spec: StageSpec, source_updates, prev_content=None,
+                  prev_mappings=None, num_partitions: int = NUM_JOIN_PARTITIONS):
+    """One incremental version step (reference ``ParquetProduction.Update``,
+    :52-91).  Returns (content, key_mappings, update_feed) Datasets:
+    content sorted (tk, sk, _seq), mappings sorted (sk, tk, _seq), feed
+    sorted (tk, sk) with exact Add/Update/Delete labels."""
+    import ray.data
+
+    tk, sk, vals = spec.target_key, spec.source_key, spec.value_columns
+
+    # Delta production (F1+F3): delta-sized, materialized once so the
+    # grouped produce never re-executes.
+    adds = produce_adds(spec, source_updates).materialize()
+    add_pairs = _collect_tuples(adds, sk + tk)
+
+    if prev_content is None or prev_mappings is None:
+        # Bootstrap: everything is the delta, every target key is new.
+        new_content = adds
+        mappings = adds.select_columns(sk + tk + [SEQ_COL])
+        after = adds
+        new_tk_set = None               # all target keys are new
+        dead_tks: set = set()
+    else:
+        # Delta expansion (F3): prior pairs of every updated source key
+        # are invalidated; new pairs come from the produce output.
+        updated_sks = _collect_tuples(source_updates, sk)
+        prior_pairs = _collect_tuples(
+            prev_mappings.map_batches(
+                _broadcast_filter([(sk, updated_sks, True)]),
+                batch_format="pyarrow"),
+            sk + tk)
+        touched_pairs = prior_pairs | add_pairs
+        if not touched_pairs:
+            empty_feed = ray.data.from_arrow(spec.feed_schema().empty_table())
+            return prev_content, prev_mappings, empty_feed
+        touched_tk_set = {t[len(sk):] for t in touched_pairs}
+
+        # Apply to state (F6/F7): prior state streams forward through a
+        # broadcast filter — no shuffle of the big side.
+        retained_content = prev_content.map_batches(
+            _broadcast_filter([(sk + tk, touched_pairs, False)]),
+            batch_format="pyarrow")
+        retained_mappings = prev_mappings.map_batches(
+            _broadcast_filter([(sk + tk, touched_pairs, False)]),
+            batch_format="pyarrow")
+        new_content = retained_content.union(adds)
+        mappings = retained_mappings.union(
+            adds.select_columns(sk + tk + [SEQ_COL]))
+
+        # Update feed (F7/F8): the full new row set of every touched
+        # target key — delta-sized, so materialize it once.
+        touched_retained = prev_content.map_batches(
+            _broadcast_filter([(sk + tk, touched_pairs, False),
+                               (tk, touched_tk_set, True)]),
+            batch_format="pyarrow")
+        after = touched_retained.union(adds).materialize()
+
+        before_tk_set = _collect_tuples(
+            prev_mappings.map_batches(
+                _broadcast_filter([(tk, touched_tk_set, True)]),
+                batch_format="pyarrow"),
+            tk)
+        new_tk_set = touched_tk_set - before_tk_set
+        live_tk_set = _collect_tuples(after, tk)
+        dead_tks = touched_tk_set - live_tk_set
+
+    content_sort_cols = tk + sk + [SEQ_COL]
+    content_desc = spec.target_sort_desc() + [False] * (len(sk) + 1)
+    new_content = new_content.sort(content_sort_cols, descending=content_desc)
+    mappings = mappings.sort(sk + tk + [SEQ_COL],
+                             descending=[False] * len(sk)
+                             + spec.target_sort_desc() + [False])
+
+    if new_tk_set is None:
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                ISNEW_COL, pa.array(np.ones(len(t), np.int8)))
+    else:
+        flag_sets = [(tk, new_tk_set, None)]
+
+        def flag(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t.append_column(ISNEW_COL,
+                                       pa.array([], type=pa.int8()))
+            m = _membership_mask(t, tk, flag_sets[0][1])
+            return t.append_column(ISNEW_COL,
+                                   pa.array(m.astype(np.int8)))
+
+    flagged = after.map_batches(flag, batch_format="pyarrow")
+    feed = (flagged.groupby(tk)
+            .map_groups(_label_feed_group(spec), batch_format="pyarrow"))
+
+    if dead_tks:
+        # Suppressed-delete semantics (F8): a touched target key with no
+        # remaining rows emits exactly one Delete with null values.
+        n = len(dead_tks)
+        cols = {}
+        tk_schema = pa.schema([spec.out_schema.field(c) for c in tk])
+        for i, c in enumerate(tk):
+            cols[c] = pa.array([t[i] for t in sorted(dead_tks)],
+                               type=tk_schema.field(c).type)
+        for c in vals:
+            cols[c] = pa.nulls(n, spec.out_schema.field(c).type)
+        for c in sk:
+            cols[c] = pa.nulls(n, spec.source_key_schema.field(c).type
+                               if spec.source_key_schema else pa.null())
+        cols[SEQ_COL] = pa.nulls(n, pa.int64())
+        cols[TYPE_COL] = pa.array(np.full(n, DELETE, np.int8))
+        deletes = pa.table(cols).select(tk + vals + sk + [SEQ_COL, TYPE_COL])
+        feed = feed.union(ray.data.from_arrow(deletes))
+
+    feed = feed.sort(tk + sk + [SEQ_COL],
+                     descending=spec.target_sort_desc()
+                     + [False] * (len(sk) + 1))
+    feed = feed.drop_columns(sk + [SEQ_COL])
+    return new_content, mappings, feed

@@ -10,8 +10,11 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ray.init(address="local", num_cpus=4, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"env_vars": {
+                 "PYTHONPATH": f"{repo}:{repo}/tests"}})
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield

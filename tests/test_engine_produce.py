@@ -1,0 +1,203 @@
+"""Golden tests for the keyed sort-then-produce engine core, mirroring
+the reference's `ValidFromEmpty` end-to-end scenario
+(Parquet.Producers.Tests/ParquetProductionTests.cs:184-266, FIXTURES.md
+F-2): initial load, 1→n fan-out re-production, key migration between
+target groups, and source-key deletion — asserting full content /
+key-mapping tables with strict ordering after every version.
+"""
+
+import pyarrow as pa
+import pytest
+
+from parquet_producers_ray.engine.model import (ADD, DELETE, TYPE_COL,
+                                                UPDATE, StageSpec)
+from parquet_producers_ray.engine.produce import (SEQ_COL, apply_updates,
+                                                  updates_from_table)
+
+SOURCE_SCHEMA = pa.schema([
+    pa.field("key", pa.int64()),
+    pa.field("first_name", pa.string()),
+    pa.field("last_name", pa.string()),
+    pa.field("copies", pa.int64()),
+])
+
+OUT_SCHEMA = pa.schema([
+    pa.field("count", pa.int64()),
+    pa.field("id", pa.int64()),
+    pa.field("first_full_name", pa.string()),
+    pa.field("copy", pa.int64()),
+])
+
+
+def project_stuff(key, values: pa.Table) -> pa.Table:
+    """Reference ProjectStuff (Tests:161-182): per source key — count
+    values, take first full name, max copies; emit `copies` rows keyed
+    by the count."""
+    count = len(values)
+    first = (f"{values.column('first_name')[0].as_py()} "
+             f"{values.column('last_name')[0].as_py()}")
+    copies = max(v.as_py() for v in values.column("copies"))
+    return pa.table({
+        "count": pa.array([count] * copies, type=pa.int64()),
+        "id": pa.array([key[0]] * copies, type=pa.int64()),
+        "first_full_name": pa.array([first] * copies),
+        "copy": pa.array(list(range(1, copies + 1)), type=pa.int64()),
+    })
+
+
+SPEC = StageSpec(
+    name="stuff",
+    produce=project_stuff,
+    source_key=["key"],
+    target_key=["count"],
+    value_columns=["id", "first_full_name", "copy"],
+    source_value_columns=["first_name", "last_name", "copies"],
+    out_schema=OUT_SCHEMA,
+    source_schema=SOURCE_SCHEMA,
+)
+
+
+def upd(key, first=None, last=None, copies=None, type_=UPDATE):
+    return {"key": key, "first_name": first, "last_name": last,
+            "copies": copies, TYPE_COL: type_}
+
+
+class Harness:
+    """In-memory multi-version driver (reference DataStore harness,
+    Tests:17-109)."""
+
+    def __init__(self, spec):
+        self.spec = spec
+        self.content = None
+        self.mappings = None
+
+    def update(self, rows):
+        import ray.data
+
+        table = pa.Table.from_pylist(
+            rows, schema=pa.schema(list(SOURCE_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())]))
+        updates = updates_from_table(table)
+        prev_c = (ray.data.from_arrow(self.content)
+                  if self.content is not None else None)
+        prev_m = (ray.data.from_arrow(self.mappings)
+                  if self.mappings is not None else None)
+        c, m, f = apply_updates(self.spec, updates, prev_c, prev_m,
+                                num_partitions=4)
+        self.content = pa.Table.from_pylist(c.take_all(), schema=c.schema().base_schema)
+        self.mappings = pa.Table.from_pylist(m.take_all(), schema=m.schema().base_schema)
+        self.feed = pa.Table.from_pylist(f.take_all(), schema=f.schema().base_schema)
+        return self.content, self.mappings, self.feed
+
+    def assert_contents(self, expected):
+        got = [(r["count"], r["key"], r["id"], r["first_full_name"], r["copy"])
+               for r in self.content.to_pylist()]
+        assert got == expected, f"content mismatch:\n{got}\nvs\n{expected}"
+
+    def assert_mappings(self, expected):
+        got = [(r["key"], r["count"]) for r in self.mappings.to_pylist()]
+        assert got == expected, f"mappings mismatch:\n{got}\nvs\n{expected}"
+
+    def assert_feed(self, expected):
+        got = [(r[TYPE_COL], r["count"], r["id"], r["first_full_name"],
+                r["copy"]) for r in self.feed.to_pylist()]
+        assert got == expected, f"feed mismatch:\n{got}\nvs\n{expected}"
+
+
+@pytest.fixture()
+def harness(ray_session):
+    return Harness(SPEC)
+
+
+def test_valid_from_empty_scenario(harness):
+    h = harness
+
+    # version 1 — initial load (Tests:193-209)
+    h.update([
+        upd(1, "Randy", "Newman", 1),
+        upd(2, "Gary", "Oldman", 1),
+        upd(2, "Gary", "Newman", 1),
+        upd(3, "Randy", "Oldman", 1),
+    ])
+    h.assert_contents([
+        (1, 1, 1, "Randy Newman", 1),
+        (1, 3, 3, "Randy Oldman", 1),
+        (2, 2, 2, "Gary Oldman", 1),
+    ])
+    h.assert_mappings([(1, 1), (2, 2), (3, 1)])
+    # all target keys new: first row of each tk = Add, rest Update
+    h.assert_feed([
+        (ADD, 1, 1, "Randy Newman", 1),
+        (UPDATE, 1, 3, "Randy Oldman", 1),
+        (ADD, 2, 2, "Gary Oldman", 1),
+    ])
+
+    # version 2 — 1→n fan-out for source key 1 (Tests:212-231)
+    h.update([upd(1, "Randy", "Newman", 3)])
+    h.assert_contents([
+        (1, 1, 1, "Randy Newman", 1),
+        (1, 1, 1, "Randy Newman", 2),
+        (1, 1, 1, "Randy Newman", 3),
+        (1, 3, 3, "Randy Oldman", 1),
+        (2, 2, 2, "Gary Oldman", 1),
+    ])
+    h.assert_mappings([(1, 1), (1, 1), (1, 1), (2, 2), (3, 1)])
+    # tk 1 touched & existed → full new row set as Updates
+    h.assert_feed([
+        (UPDATE, 1, 1, "Randy Newman", 1),
+        (UPDATE, 1, 1, "Randy Newman", 2),
+        (UPDATE, 1, 1, "Randy Newman", 3),
+        (UPDATE, 1, 3, "Randy Oldman", 1),
+    ])
+
+    # version 3 — key migration: source key 3 now produces tk 2
+    # (Tests:233-251)
+    h.update([
+        upd(3, "Silly", "Oldman", 1),
+        upd(3, "Randy", "Oldman", 1),
+    ])
+    h.assert_contents([
+        (1, 1, 1, "Randy Newman", 1),
+        (1, 1, 1, "Randy Newman", 2),
+        (1, 1, 1, "Randy Newman", 3),
+        (2, 2, 2, "Gary Oldman", 1),
+        (2, 3, 3, "Silly Oldman", 1),
+    ])
+    h.assert_mappings([(1, 1), (1, 1), (1, 1), (2, 2), (3, 2)])
+    # tk 1 lost a row but still has rows → Updates; tk 2 gains → Updates
+    h.assert_feed([
+        (UPDATE, 1, 1, "Randy Newman", 1),
+        (UPDATE, 1, 1, "Randy Newman", 2),
+        (UPDATE, 1, 1, "Randy Newman", 3),
+        (UPDATE, 2, 2, "Gary Oldman", 1),
+        (UPDATE, 2, 3, "Silly Oldman", 1),
+    ])
+
+    # version 4 — delete source key 2 (Tests:252-265)
+    h.update([upd(2, type_=DELETE)])
+    h.assert_contents([
+        (1, 1, 1, "Randy Newman", 1),
+        (1, 1, 1, "Randy Newman", 2),
+        (1, 1, 1, "Randy Newman", 3),
+        (2, 3, 3, "Silly Oldman", 1),
+    ])
+    h.assert_mappings([(1, 1), (1, 1), (1, 1), (3, 2)])
+    h.assert_feed([
+        (UPDATE, 2, 3, "Silly Oldman", 1),
+    ])
+
+
+def test_mixed_delete_and_upsert_raises(harness):
+    with pytest.raises(Exception):
+        harness.update([
+            upd(1, "A", "B", 1),
+            upd(1, type_=DELETE),
+        ])
+
+
+def test_delete_of_unknown_key_is_noop(harness):
+    h = harness
+    h.update([upd(1, "A", "B", 1)])
+    c, m, f = h.update([upd(99, type_=DELETE)])
+    h.assert_contents([(1, 1, 1, "A B", 1)])
+    assert len(f) == 0
