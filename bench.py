@@ -1,0 +1,176 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Default mode: ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``, run the
+flagship url-keyed columnar-encode pipeline over a deterministic
+synthetic web-page table (BASELINE.json ``input_hint`` shape) plus the
+full query registry over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), and print ONE JSON line.
+
+``--scaling``: run the flagship encode twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same cached input (the sandbox
+stand-in for N vs 4N nodes per BASELINE.md) and report throughput at
+both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("PPRAY_BENCH_ROWS", str(4 * 65536)))
+SHARD_ROWS = 65536
+CACHE_DIR = "/tmp/ppray_bench_input"
+OUT_DIR = "/tmp/ppray_bench_out"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def ensure_bench_input(rows: int = BENCH_ROWS) -> str:
+    """Generate (distributed, shard-pure, cached) the synthetic web-page
+    table: one parquet file per shard so reads parallelize."""
+    import ray.data
+
+    from parquet_producers_ray.sources.webpages import SCHEMA, generate_shard
+
+    n_shards = (rows + SHARD_ROWS - 1) // SHARD_ROWS
+    path = os.path.join(CACHE_DIR, f"r{rows}")
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def gen(batch):
+        import pyarrow.parquet as pq
+        for s in batch["shard"].to_pylist():
+            t = generate_shard(int(s), SHARD_ROWS)
+            pq.write_table(t, os.path.join(path, f"shard-{s:05d}.parquet"),
+                           row_group_size=16384)
+        return batch
+
+    import pyarrow as pa
+    (ray.data.from_arrow(pa.table({"shard": list(range(n_shards))}))
+     .map_batches(gen, batch_size=1, batch_format="pyarrow").materialize())
+    with open(marker, "w") as f:
+        f.write(str(rows))
+    return path
+
+
+def run_flagship(input_path: str, out_dir: str) -> dict:
+    """One cold flagship encode run; returns timing + metrics."""
+    import ray.data
+
+    from parquet_producers_ray.pipelines.flagship import (encode_pipeline,
+                                                          summarize)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(input_path)
+    t0 = time.perf_counter()
+    man = encode_pipeline(ds, out_dir, resume=False)
+    summary = summarize(man.materialize())
+    wall = time.perf_counter() - t0
+    summary["wall_sec"] = round(wall, 3)
+    summary["throughput_mbps"] = round(
+        summary["input_bytes"] / wall / 1e6, 2)
+    return summary
+
+
+def run_queries(sf_dir: str) -> dict:
+    from parquet_producers_ray.pipelines.queries import queries
+
+    out = {}
+    for name, fn in queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()          # force full execution of the Dataset
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench() -> dict:
+    _init_ray(NUM_CPUS)
+    input_path = ensure_bench_input()
+    flag = run_flagship(input_path, OUT_DIR)
+    qtimes = run_queries(SF_DIR)
+    total = flag["wall_sec"] + sum(qtimes.values())
+    return {
+        "metric": "flagship_encode_plus_queries_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "flagship": flag,
+    }
+
+
+def worker(num_cpus: int) -> dict:
+    """--worker: fresh-process flagship run at a given parallelism."""
+    _init_ray(num_cpus)
+    input_path = ensure_bench_input()
+    flag = run_flagship(input_path, OUT_DIR + f"_c{num_cpus}")
+    return {"num_cpus": num_cpus, **flag}
+
+
+def main_scaling(levels=(8, 32)) -> dict:
+    # Generate the cache up-front so neither timed process pays for it.
+    _init_ray(min(levels))
+    ensure_bench_input()
+    import ray
+    ray.shutdown()
+
+    runs = []
+    for cpus in levels:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = p.stdout.strip().splitlines()[-1]
+        runs.append(json.loads(line))
+    small, big = runs[0], runs[-1]
+    speedup = big["throughput_mbps"] / small["throughput_mbps"]
+    ideal = big["num_cpus"] / small["num_cpus"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(speedup / ideal, 3),
+        "unit": "ratio",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "levels": runs,
+        "speedup": round(speedup, 3),
+        "ideal": ideal,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--worker", type=int, default=None)
+    args = ap.parse_args()
+    if args.worker is not None:
+        result = worker(args.worker)
+    elif args.scaling:
+        result = main_scaling()
+    else:
+        result = main_bench()
+    print(json.dumps(result))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()

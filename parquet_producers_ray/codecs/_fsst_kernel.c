@@ -1,0 +1,119 @@
+/* FSST greedy tokenizer kernels (encode/decode) — the C hot loops for
+ * codecs/fsst.py.  Symbol table: <=255 symbols of 1..8 bytes, code 255
+ * is an escape followed by one literal byte (Boncz, Neumann & Leis,
+ * "FSST: Fast Random Access String Compression", VLDB 2020 — public
+ * literature; the reference repo has no such codec).
+ *
+ * Built on demand by codecs/_native.py:  cc -O3 -shared -fPIC
+ */
+#include <stdint.h>
+#include <string.h>
+
+#define ESCAPE 255
+#define MAX_SYMS 255
+
+/* Greedy longest-match encode of n_strings concatenated strings.
+ * sym_bytes: MAX_SYMS*8 zero-padded symbol bytes; sym_lens: per-symbol
+ * length (0 for unused slots).  out must hold 2 * data length bytes.
+ * out_offs[0] must be 0 on entry; returns total encoded bytes.
+ */
+int64_t fsst_encode(const uint8_t *data, const int64_t *offs,
+                    int64_t n_strings, const uint8_t *sym_bytes,
+                    const uint8_t *sym_lens, int32_t n_syms,
+                    uint8_t *out, int64_t *out_offs) {
+    /* per-first-byte candidate lists, longest symbol first */
+    int16_t head[256];
+    int16_t nxt[MAX_SYMS];
+    int16_t single[256];
+    int32_t i;
+    int len_pass;
+    memset(head, 0xff, sizeof(head));
+    memset(nxt, 0xff, sizeof(nxt));
+    memset(single, 0xff, sizeof(single));
+    /* insert in ascending length so lists end up longest-first */
+    for (len_pass = 2; len_pass <= 8; len_pass++) {
+        for (i = 0; i < n_syms; i++) {
+            if (sym_lens[i] == len_pass) {
+                uint8_t b = sym_bytes[i * 8];
+                nxt[i] = head[b];
+                head[b] = (int16_t)i;
+            }
+        }
+    }
+    for (i = 0; i < n_syms; i++)
+        if (sym_lens[i] == 1)
+            single[sym_bytes[i * 8]] = (int16_t)i;
+
+    uint8_t *o = out;
+    int64_t s;
+    for (s = 0; s < n_strings; s++) {
+        int64_t pos = offs[s], end = offs[s + 1];
+        while (pos < end) {
+            uint8_t b = data[pos];
+            int64_t rem = end - pos;
+            int16_t k = head[b];
+            int16_t best = -1;
+            while (k >= 0) {
+                uint8_t L = sym_lens[k];
+                if (L <= rem && memcmp(data + pos, sym_bytes + k * 8, L) == 0) {
+                    best = k;
+                    break;
+                }
+                k = nxt[k];
+            }
+            if (best >= 0) {
+                *o++ = (uint8_t)best;
+                pos += sym_lens[best];
+            } else if (single[b] >= 0) {
+                *o++ = (uint8_t)single[b];
+                pos++;
+            } else {
+                *o++ = ESCAPE;
+                *o++ = b;
+                pos++;
+            }
+        }
+        out_offs[s + 1] = o - out;
+    }
+    return o - out;
+}
+
+/* Total decoded byte count (sizing pass). */
+int64_t fsst_decoded_size(const uint8_t *data, int64_t n,
+                          const uint8_t *sym_lens) {
+    int64_t total = 0, p = 0;
+    while (p < n) {
+        uint8_t c = data[p++];
+        if (c == ESCAPE) {
+            total += 1;
+            p += 1;
+        } else {
+            total += sym_lens[c];
+        }
+    }
+    return total;
+}
+
+/* Decode concatenated encoded strings; out must hold the size returned
+ * by fsst_decoded_size.  out_offs[0] must be 0 on entry. */
+int64_t fsst_decode(const uint8_t *data, const int64_t *offs,
+                    int64_t n_strings, const uint8_t *sym_bytes,
+                    const uint8_t *sym_lens, uint8_t *out,
+                    int64_t *out_offs) {
+    uint8_t *o = out;
+    int64_t s;
+    for (s = 0; s < n_strings; s++) {
+        int64_t pos = offs[s], end = offs[s + 1];
+        while (pos < end) {
+            uint8_t c = data[pos++];
+            if (c == ESCAPE) {
+                *o++ = data[pos++];
+            } else {
+                memcpy(o, sym_bytes + c * 8, 8); /* over-copy, len<=8 */
+                o += sym_lens[c];
+            }
+        }
+        out_offs[s + 1] = o - out;
+    }
+    return o - out;
+}

@@ -1,0 +1,105 @@
+"""Lazy cc-compiled kernels (ctypes).  Falls back gracefully: callers
+check ``available()`` and keep the pure-NumPy path as the portable
+implementation (and the property-test oracle).
+
+The shared object is built once per node into a version-keyed path
+under /tmp with an atomic rename, so concurrent Ray workers race
+benignly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "_fsst_kernel.c")
+_LIB = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    so_path = os.path.join(tempfile.gettempdir(),
+                           f"ppray_fsst_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = f"{so_path}.{os.getpid()}.tmp"
+    try:
+        subprocess.run(["cc", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
+                       check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+        return so_path
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.fsst_encode.restype = ctypes.c_int64
+    lib.fsst_encode.argtypes = [u8p, i64p, ctypes.c_int64, u8p, u8p,
+                                ctypes.c_int32, u8p, i64p]
+    lib.fsst_decoded_size.restype = ctypes.c_int64
+    lib.fsst_decoded_size.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.fsst_decode.restype = ctypes.c_int64
+    lib.fsst_decode.argtypes = [u8p, i64p, ctypes.c_int64, u8p, u8p,
+                                u8p, i64p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def fsst_encode(data: np.ndarray, offs: np.ndarray, sym_mat: np.ndarray,
+                sym_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    n_strings = len(offs) - 1
+    out = np.empty(2 * len(data), dtype=np.uint8)
+    out_offs = np.zeros(n_strings + 1, dtype=np.int64)
+    total = lib.fsst_encode(
+        np.ascontiguousarray(data), np.ascontiguousarray(offs),
+        n_strings, np.ascontiguousarray(sym_mat.reshape(-1)),
+        np.ascontiguousarray(sym_lens.astype(np.uint8)),
+        len(sym_lens), out, out_offs)
+    return out[:total], out_offs
+
+
+def fsst_decode(data: np.ndarray, offs: np.ndarray, sym_mat: np.ndarray,
+                sym_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    n_strings = len(offs) - 1
+    data = np.ascontiguousarray(data)
+    lens8 = np.ascontiguousarray(sym_lens.astype(np.uint8))
+    total = lib.fsst_decoded_size(data, len(data), lens8)
+    out = np.empty(total + 8, dtype=np.uint8)  # +8: decode over-copies
+    out_offs = np.zeros(n_strings + 1, dtype=np.int64)
+    lib.fsst_decode(data, np.ascontiguousarray(offs), n_strings,
+                    np.ascontiguousarray(sym_mat.reshape(-1)), lens8,
+                    out, out_offs)
+    return out[:total], out_offs

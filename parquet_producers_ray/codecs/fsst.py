@@ -23,6 +23,7 @@ from collections import Counter
 import numpy as np
 import pyarrow as pa
 
+from . import _native
 from .base import (Encoded, apply_validity, field_from_bytes,
                    field_to_bytes, ipc_array, ipc_bytes)
 
@@ -172,45 +173,32 @@ def _encode_buffer(data: np.ndarray, offs: np.ndarray,
                    table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
     """Greedy longest-match tokenization of every string at once.
 
-    1. Per position: longest matching symbol (integer window compare
-       per symbol length, boundary-masked so matches never cross
-       strings).
-    2. Wavefront: all strings advance their cursor in lock-step
-       vectorized rounds (sequential within a string, parallel across
-       strings) emitting codes / escape pairs.
+    1. Per position: longest matching symbol (one ``searchsorted``
+       against the sorted zero-padded symbol starts, then ≤8
+       prefix-parent fix-up rounds), boundary-masked so matches never
+       cross strings.
+    2. Token starts = positions reachable from each string start by
+       repeatedly jumping ``step`` bytes — found by pointer doubling
+       (``jump = jump[jump]``), O(N log max_string_len) with no
+       per-token Python work.
+    3. One scatter emits all symbol codes and escape pairs.
     """
     n_strings = len(offs) - 1
     N = len(data)
-    str_lens = np.diff(offs)
     if N == 0:
         return np.zeros(0, np.uint8), np.zeros(n_strings + 1, np.int64)
-
-    # split strings into ≤V-byte virtual pieces: the wavefront below is
-    # sequential within a piece but parallel across pieces, so short
-    # pieces = few wide vectorized rounds.  Tokenizing pieces
-    # independently is decode-safe (any valid tokenization decodes
-    # identically; escape-run alternation is boundary-agnostic) at a
-    # sub-1% ratio cost from matches not crossing piece boundaries.
-    V = 128
-    n_pieces_per = np.maximum((str_lens + V - 1) // V, 1)
-    total_pieces = int(n_pieces_per.sum())
-    pstr = np.repeat(np.arange(n_strings, dtype=np.int64), n_pieces_per)
-    first_piece = np.cumsum(n_pieces_per) - n_pieces_per
-    pidx = np.arange(total_pieces, dtype=np.int64) - first_piece[pstr]
-    vstart = offs[:-1][pstr] + V * pidx
-    vend = np.minimum(vstart + V, offs[1:][pstr])
-    piece_lens = vend - vstart
+    str_lens = np.diff(offs)
 
     best_len = np.ones(N, dtype=np.int64)
-    best_code = table.single_code[data].astype(np.int16)
+    best_code = table.single_code[data].astype(np.int64)
     if len(table.m_start):
         # big-endian uint64 of the 8-byte window at every position
         pad = np.zeros(N + 8, dtype=np.uint8)
         pad[:N] = data
         win = np.lib.stride_tricks.sliding_window_view(pad, 8)[:N]
         v8 = np.ascontiguousarray(win).view(">u8").ravel().astype(np.uint64)
-        # bytes remaining in the piece at each position
-        rem = np.repeat(vend, piece_lens) - np.arange(N, dtype=np.int64)
+        # bytes remaining in the string at each position
+        rem = np.repeat(offs[1:], str_lens) - np.arange(N, dtype=np.int64)
         # deepest candidate range, then walk prefix-parents until valid
         cand = np.searchsorted(table.m_start, v8,
                                side="right").astype(np.int64) - 1
@@ -231,38 +219,42 @@ def _encode_buffer(data: np.ndarray, offs: np.ndarray,
             live = live[keep]
             cand = cand[keep]
 
-    # wavefront emit over pieces
-    cur = vstart.copy()
-    out_start = np.zeros(total_pieces + 1, dtype=np.int64)
-    out_start[1:] = np.cumsum(2 * piece_lens)
-    out = np.empty(int(out_start[-1]), dtype=np.uint8)
-    out_pos = out_start[:-1].copy()
-    active = np.flatnonzero(cur < vend)
-    while len(active):
-        p = cur[active]
-        c = best_code[p]
-        is_sym = c >= 0
-        w = out_pos[active]
-        out[w[is_sym]] = c[is_sym].astype(np.uint8)
-        esc = ~is_sym
-        we = w[esc]
-        out[we] = ESCAPE
-        out[we + 1] = data[p[esc]]
-        out_pos[active] = w + np.where(is_sym, 1, 2)
-        cur[active] = p + np.where(is_sym, best_len[p], 1)
-        active = active[cur[active] < vend[active]]
+    # token-start discovery by pointer doubling
+    step = np.where(best_code >= 0, best_len, 1)
+    jump = np.empty(N + 1, dtype=np.int64)
+    jump[N] = N
+    jump[:N] = np.minimum(np.arange(N, dtype=np.int64) + step, N)
+    mark = np.zeros(N + 1, dtype=bool)
+    mark[offs[:-1]] = True          # every string start is a token start
+    max_tok = int(str_lens.max()) if n_strings else 1
+    n_marked = int(mark.sum())
+    for _ in range(max(1, int(np.ceil(np.log2(max(max_tok, 1) + 1))))):
+        mark[jump[np.flatnonzero(mark)]] = True
+        m = int(mark.sum())
+        if m == n_marked:
+            break
+        n_marked = m
+        jump = jump[jump]
 
-    piece_out_lens = out_pos - out_start[:-1]
-    total = int(piece_out_lens.sum())
-    piece_out_offs = np.zeros(total_pieces, dtype=np.int64)
-    piece_out_offs[1:] = np.cumsum(piece_out_lens)[:-1]
-    idx = (np.repeat(out_start[:-1], piece_out_lens)
-           + (np.arange(total) - np.repeat(piece_out_offs, piece_out_lens)))
-    out_str_len = np.bincount(pstr, weights=piece_out_lens,
+    # single-scatter emit
+    tok_pos = np.flatnonzero(mark[:N])
+    codes = best_code[tok_pos]
+    is_sym = codes >= 0
+    outlen = np.where(is_sym, 1, 2)
+    w = np.zeros(len(tok_pos), dtype=np.int64)
+    np.cumsum(outlen[:-1], out=w[1:])
+    out = np.empty(int(w[-1] + outlen[-1]) if len(w) else 0, dtype=np.uint8)
+    out[w[is_sym]] = codes[is_sym]
+    we = w[~is_sym]
+    out[we] = ESCAPE
+    out[we + 1] = data[tok_pos[~is_sym]]
+
+    tok_str = np.searchsorted(offs, tok_pos, side="right") - 1
+    out_str_len = np.bincount(tok_str, weights=outlen,
                               minlength=n_strings).astype(np.int64)
     out_offsets = np.zeros(n_strings + 1, dtype=np.int64)
     out_offsets[1:] = np.cumsum(out_str_len)
-    return out[idx], out_offsets
+    return out, out_offsets
 
 
 # ---------------------------------------------------------------------------
@@ -286,20 +278,26 @@ def encode(arr: pa.Array, table: SymbolTable | None = None) -> Encoded:
     data = (np.frombuffer(dbuf, dtype=np.uint8)[base: base + int(offs[-1])]
             if dbuf is not None else np.zeros(0, dtype=np.uint8))
 
-    # string-aligned chunks bound the uint64 window temporaries
-    out_parts, off_parts = [], [np.zeros(1, dtype=np.int64)]
-    s = 0
-    while s < n:
-        e = int(np.searchsorted(offs, offs[s] + _CHUNK_BYTES, side="left"))
-        e = max(e, s + 1)
-        chunk = data[offs[s]: offs[e if e <= n else n]]
-        sub_offs = offs[s: min(e, n) + 1] - offs[s]
-        ob, oo = _encode_buffer(chunk, sub_offs, table)
-        out_parts.append(ob)
-        off_parts.append(oo[1:] + off_parts[-1][-1])
-        s = min(e, n)
-    out_data = np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
-    out_offsets = np.concatenate(off_parts)
+    if _native.available():
+        out_data, out_offsets = _native.fsst_encode(
+            data, offs, table.sym_mat, table.sym_len)
+    else:
+        # string-aligned chunks bound the uint64 window temporaries
+        out_parts, off_parts = [], [np.zeros(1, dtype=np.int64)]
+        s = 0
+        while s < n:
+            e = int(np.searchsorted(offs, offs[s] + _CHUNK_BYTES,
+                                    side="left"))
+            e = max(e, s + 1)
+            chunk = data[offs[s]: offs[e if e <= n else n]]
+            sub_offs = offs[s: min(e, n) + 1] - offs[s]
+            ob, oo = _encode_buffer(chunk, sub_offs, table)
+            out_parts.append(ob)
+            off_parts.append(oo[1:] + off_parts[-1][-1])
+            s = min(e, n)
+        out_data = (np.concatenate(out_parts) if out_parts
+                    else np.zeros(0, np.uint8))
+        out_offsets = np.concatenate(off_parts)
 
     enc_arr = pa.Array.from_buffers(
         pa.large_binary(), n,
@@ -334,6 +332,9 @@ def decode(enc: Encoded) -> pa.Array:
     if len(data) == 0:
         out_offsets = np.zeros(n + 1, dtype=np.int64)
         out_bytes = np.zeros(0, dtype=np.uint8)
+    elif _native.available():
+        out_bytes, out_offsets = _native.fsst_decode(
+            data, offs, table.sym_mat, table.sym_len)
     else:
         out_bytes, out_offsets = _decode_buffer(data, offs, table, n)
 

@@ -136,3 +136,25 @@ def test_int_codecs_hypothesis(vals):
         enc = CODECS[name].encode(arr)
         assert codecs.decode(enc).equals(arr), name
     assert codecs.decode(encode_auto(arr)).equals(arr)
+
+
+def test_fsst_native_and_numpy_paths_agree(monkeypatch):
+    """The cc-compiled kernel and the pure-NumPy fallback must both
+    round-trip bit-identically (tokenizations may differ; decoded bytes
+    may not)."""
+    from parquet_producers_ray.codecs import _native
+    rng = np.random.default_rng(11)
+    vocab = ["<div>", "</div>", "padding", "x", "longtoken"]
+    vals = ["".join(rng.choice(vocab, rng.integers(0, 60)))
+            for _ in range(200)] + ["", None, "\xff\x00"]
+    arr = pa.array(vals, type=pa.string())
+
+    enc_native = fsst.encode(arr)
+    assert codecs.decode(enc_native).equals(arr)
+
+    monkeypatch.setattr(_native, "available", lambda: False)
+    enc_np = fsst.encode(arr)
+    assert codecs.decode(enc_np).equals(arr)
+    # numpy decode of the native encoding and vice versa
+    monkeypatch.undo()
+    assert codecs.decode(enc_np).equals(arr)
