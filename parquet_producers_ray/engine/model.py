@@ -25,6 +25,13 @@ import pyarrow as pa
 
 TYPE_COL = "_type"
 ADD, UPDATE, DELETE = 0, 1, 2
+SEQ_COL = "_seq"          # emission order within one produce() call
+UPD_SEQ_COL = "_upd_seq"  # within-key position of an update row
+SK_PREFIX = "_sk_"        # source-key columns as stored in content /
+                          # key-mapping tables (the reference stores
+                          # TargetKey and SourceKey as separate fields,
+                          # which may share a type/name — prefixing keeps
+                          # identity stages valid in one Arrow schema)
 
 
 @dataclass
@@ -65,17 +72,38 @@ class StageSpec:
 
     def feed_schema(self) -> pa.Schema:
         return pa.schema(list(self.out_schema)
-                         + [pa.field(TYPE_COL, pa.int8())])
+                         + [pa.field(TYPE_COL, pa.int8()),
+                            pa.field(UPD_SEQ_COL, pa.int64())])
 
     def target_sort_desc(self) -> list:
         d = self.target_descending or [False] * len(self.target_key)
         return list(d)
 
+    @property
+    def stored_sk(self) -> list:
+        """Source-key column names as stored in content/mapping tables."""
+        return [SK_PREFIX + c for c in self.source_key]
+
     def content_columns(self) -> list:
-        return self.target_key + self.source_key + self.value_columns
+        return self.target_key + self.stored_sk + self.value_columns
 
     def mapping_columns(self) -> list:
-        return self.source_key + self.target_key
+        return self.stored_sk + self.target_key
+
+    def content_schema(self) -> pa.Schema:
+        return pa.schema(
+            [self.out_schema.field(c) for c in self.target_key]
+            + [self.source_schema.field(c).with_name(SK_PREFIX + c)
+               for c in self.source_key]
+            + [self.out_schema.field(c) for c in self.value_columns]
+            + [pa.field(SEQ_COL, pa.int64())])
+
+    def mapping_schema(self) -> pa.Schema:
+        return pa.schema(
+            [self.source_schema.field(c).with_name(SK_PREFIX + c)
+             for c in self.source_key]
+            + [self.out_schema.field(c) for c in self.target_key]
+            + [pa.field(SEQ_COL, pa.int64())])
 
 
 @dataclass

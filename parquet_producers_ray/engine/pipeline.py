@@ -1,0 +1,236 @@
+"""Producer DAG + topological cascade (reference ``Producer.cs``) and
+the incremental n-ary source merge (``ReadSources``,
+ParquetProduction.cs:188-259).
+
+A ``Producer`` wires a StageSpec to a versioned store and optional
+upstream producers (``Producer.cs:29-99``; chaining via ``produces``
+mirrors ``Produces``, :68-75).  ``update`` runs the stage then every
+transitive downstream stage once, in topological order
+(``Producer.cs:143-186``), each uploading version N+1 of its
+content/key_mappings/updates triple.  Stages are barriers, matching
+the reference's version transaction (README.md:182).
+
+``read_sources`` reproduces the three-layer merge semantics: the union
+of affected keys across feeders' update feeds; per feeder, its updates
+for an affected key if it has any, else its content for that key
+re-labelled Update (so the consumer always sees the full merged value
+set per affected key, feeder order preserved); a key resolves to a
+single Delete only when no feeder contributes values.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .model import (DELETE, SEQ_COL, TYPE_COL, UPD_SEQ_COL, UPDATE,
+                    StageSpec)
+from .produce import _broadcast_filter, _collect_tuples, apply_updates
+
+FEEDER_COL = "_feeder"
+ORD_COL = "_ord"
+
+
+def _empty_ds(schema: pa.Schema):
+    import ray.data
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def _feed_part(feed, key_cols, val_cols, feeder_idx: int):
+    # _upd_seq is the feed's within-key order; carry it as _ord
+    def fn(t: pa.Table) -> pa.Table:
+        ordv = t.column(UPD_SEQ_COL)
+        t = t.select(key_cols + val_cols + [TYPE_COL])
+        t = t.append_column(FEEDER_COL, pa.array(
+            np.full(len(t), feeder_idx, np.int32)))
+        return t.append_column(ORD_COL, ordv.cast(pa.int64()))
+    return feed.map_batches(fn, batch_format="pyarrow")
+
+
+def _content_part(content, up_spec: StageSpec, key_cols, val_cols,
+                  keyset: set, feeder_idx: int):
+    """Feeder content for affected keys it has no updates for,
+    re-labelled Update, ranked within key by the content's
+    (source_key, _seq) order."""
+    filtered = content.map_batches(
+        _broadcast_filter([(key_cols, keyset, True)]),
+        batch_format="pyarrow")
+    sort_cols = up_spec.stored_sk + [SEQ_COL]
+
+    def rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in sort_cols])
+        n = len(g)
+        out = g.select(key_cols + val_cols)
+        out = out.append_column(TYPE_COL, pa.array(
+            np.full(n, UPDATE, np.int8)))
+        out = out.append_column(FEEDER_COL, pa.array(
+            np.full(n, feeder_idx, np.int32)))
+        return out.append_column(ORD_COL, pa.array(np.arange(n),
+                                                   type=pa.int64()))
+
+    return filtered.groupby(key_cols).map_groups(rank,
+                                                 batch_format="pyarrow")
+
+
+def _resolve_group_fn(key_cols, val_cols, schema: pa.Schema):
+    def fn(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(FEEDER_COL, "ascending"), (ORD_COL, "ascending")])
+        types = g.column(TYPE_COL).to_pylist()
+        keep = [t != DELETE for t in types]
+        if any(keep):
+            g = g.filter(pa.array(keep))
+        else:
+            g = g.slice(0, 1)  # all feeders deleted → one Delete row
+        n = len(g)
+        out = g.select(key_cols + val_cols + [TYPE_COL])
+        out = out.append_column(UPD_SEQ_COL, pa.array(np.arange(n),
+                                                      type=pa.int64()))
+        return out.cast(schema)
+    return fn
+
+
+def read_sources(feeders: list, down_spec: StageSpec):
+    """feeders: list of (feed_ds|None, content_ds|None, upstream_spec).
+    Returns the merged update Dataset for the downstream stage (columns
+    = downstream source schema + _type + _upd_seq)."""
+    key_cols = down_spec.source_key
+    val_cols = down_spec.source_value_columns
+    out_schema = down_spec.updates_schema().append(
+        pa.field(UPD_SEQ_COL, pa.int64()))
+
+    feed_keys = []
+    for feed, _, _ in feeders:
+        feed_keys.append(_collect_tuples(feed, key_cols)
+                         if feed is not None else set())
+    affected: set = set().union(*feed_keys) if feed_keys else set()
+    if not affected:
+        return _empty_ds(out_schema)
+
+    parts = []
+    for i, (feed, content, up_spec) in enumerate(feeders):
+        if feed is not None and feed_keys[i]:
+            parts.append(_feed_part(feed, key_cols, val_cols, i))
+        if content is not None:
+            missing = affected - feed_keys[i]
+            if missing:
+                parts.append(_content_part(content, up_spec, key_cols,
+                                           val_cols, missing, i))
+    if not parts:
+        return _empty_ds(out_schema)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    return (merged.groupby(key_cols)
+            .map_groups(_resolve_group_fn(key_cols, val_cols, out_schema),
+                        batch_format="pyarrow"))
+
+
+class Producer:
+    """DAG node (reference ``Producer<SK,SV,TK,TV>``, Producer.cs:29-99)."""
+
+    def __init__(self, store, spec: StageSpec, sources: list | None = None):
+        self.store = store
+        self.spec = spec
+        self.sources: list[Producer] = list(sources or [])
+        self.targets: list[Producer] = []
+        for s in self.sources:
+            if self in s.targets:
+                raise ValueError(
+                    f"{s.name} already produces {self.name} "
+                    "(Producer.cs:77-83 duplicate-edge check)")
+            s.targets.append(self)
+
+    @property
+    def name(self) -> str:
+        return self.spec.name
+
+    def produces(self, spec: StageSpec) -> "Producer":
+        """Chain a downstream stage (reference ``Produces``,
+        Producer.cs:68-75)."""
+        return Producer(self.store, spec, [self])
+
+    # -- cascade ----------------------------------------------------------
+
+    def _collect_targets(self, acc: set) -> None:
+        for t in self.targets:
+            if t not in acc:
+                acc.add(t)
+                t._collect_targets(acc)
+
+    def _sequence(self) -> list:
+        """Topological order, sources before targets
+        (Producer.cs:121-141)."""
+        nodes = {self}
+        self._collect_targets(nodes)
+        order: list = []
+
+        def visit(n):
+            if n in order:
+                return
+            for s in n.sources:
+                if s in nodes:
+                    visit(s)
+            order.append(n)
+
+        visit(self)
+        for n in sorted(nodes - {self}, key=lambda p: p.name):
+            visit(n)
+        return order
+
+    def update(self, source_updates, based_on_version: int) -> dict:
+        """Run this stage on `source_updates` then cascade to every
+        transitive downstream stage (Producer.cs:143-186).  Returns
+        per-stage wall-times; every stage uploads version N+1."""
+        timings = {}
+        t0 = time.perf_counter()
+        self._update_internal(source_updates, based_on_version)
+        timings[self.name] = round(time.perf_counter() - t0, 4)
+        for node in self._sequence():
+            if node is self:
+                continue
+            t0 = time.perf_counter()
+            node._update_from_sources(based_on_version)
+            timings[node.name] = round(time.perf_counter() - t0, 4)
+        return timings
+
+    def _update_internal(self, source_updates, version: int) -> None:
+        state = self.store.read_state(self.name)
+        if self.spec.preserver is not None:
+            self.spec.preserver.next_id = int(state.get("next_id", 1))
+        prev_c = self.store.open_read(self.name, "content", version)
+        prev_m = self.store.open_read(self.name, "key_mappings", version)
+        content, mappings, feed = apply_updates(
+            self.spec, source_updates, prev_c, prev_m)
+        self.store.upload(self.name, "content", version + 1, content)
+        self.store.upload(self.name, "key_mappings", version + 1, mappings)
+        self.store.upload(self.name, "updates", version + 1, feed)
+        if self.spec.preserver is not None:
+            state["next_id"] = self.spec.preserver.next_id
+        state["version"] = version + 1
+        self.store.write_state(self.name, state)
+
+    def _update_from_sources(self, version: int) -> None:
+        """Pull the update feed(s) of the (already-updated) sources
+        (Producer.cs:178-185): one source → consume its feed directly;
+        several → the ReadSources merge."""
+        if len(self.sources) == 1:
+            feed = self.store.open_read(self.sources[0].name, "updates",
+                                        version + 1)
+            updates = feed if feed is not None else _empty_ds(
+                self.spec.updates_schema().append(
+                    pa.field(UPD_SEQ_COL, pa.int64())))
+        else:
+            feeders = []
+            for s in self.sources:
+                feed = self.store.open_read(s.name, "updates", version + 1)
+                # a feeder outside this cascade wave keeps its current
+                # content and contributes no updates
+                content = (self.store.open_read(s.name, "content",
+                                                version + 1)
+                           or self.store.open_read(s.name, "content",
+                                                   version))
+                feeders.append((feed, content, s.spec))
+            updates = read_sources(feeders, self.spec)
+        self._update_internal(updates, version)

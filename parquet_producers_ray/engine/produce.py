@@ -40,13 +40,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .model import ADD, DELETE, TYPE_COL, UPDATE, StageSpec
+from .model import (ADD, DELETE, SEQ_COL, SK_PREFIX, TYPE_COL, UPD_SEQ_COL,
+                    UPDATE, StageSpec)
 
-SEQ_COL = "_seq"          # emission order within one produce() call —
-                          # makes equal-(tk,sk) row order deterministic
-UPD_SEQ_COL = "_upd_seq"  # position of an update row within its batch —
-                          # restores the reference's within-key value order
-                          # after Ray's unordered hash grouping
 ISNEW_COL = "_isnew"
 NUM_JOIN_PARTITIONS = 32
 
@@ -133,11 +129,13 @@ def _produce_group_fn(spec: StageSpec):
             out = produced.select(tk + vals).cast(spec.output_schema())
         n = len(out)
         for c in sk:
-            out = out.append_column(c, pa.array([g.column(c)[0].as_py()] * n,
-                                                type=g.schema.field(c).type))
+            out = out.append_column(
+                SK_PREFIX + c, pa.array([g.column(c)[0].as_py()] * n,
+                                        type=g.schema.field(c).type))
         out = out.append_column(SEQ_COL, pa.array(np.arange(n),
                                                   type=pa.int64()))
-        return out.select(tk + sk + vals + [SEQ_COL])
+        return out.select(tk + [SK_PREFIX + c for c in sk] + vals
+                          + [SEQ_COL])
 
     return fn
 
@@ -154,7 +152,7 @@ def produce_adds(spec: StageSpec, source_updates):
 
 
 def _label_feed_group(spec: StageSpec):
-    tk, sk, vals = spec.target_key, spec.source_key, spec.value_columns
+    tk, sk, vals = spec.target_key, spec.stored_sk, spec.value_columns
 
     def fn(g: pa.Table) -> pa.Table:
         g = g.sort_by([(c, "ascending") for c in sk + [SEQ_COL]])
@@ -164,9 +162,59 @@ def _label_feed_group(spec: StageSpec):
         if is_new and n:
             types[0] = ADD
         out = g.select(tk + vals + sk + [SEQ_COL])
-        return out.append_column(TYPE_COL, pa.array(types))
+        out = out.append_column(TYPE_COL, pa.array(types))
+        # within-key position: downstream stages consuming this feed use
+        # it to restore the reference's value order (Producer.cs:181)
+        return out.append_column(UPD_SEQ_COL,
+                                 pa.array(np.arange(n), type=pa.int64()))
 
     return fn
+
+
+def _sorted_by_target_order(tks: set, descending: list) -> list:
+    """Sort target-key tuples respecting per-column descending flags
+    (stable per-column passes, last column first)."""
+    out = list(tks)
+    for col in range(len(descending) - 1, -1, -1):
+        out.sort(key=lambda t: t[col], reverse=descending[col])
+    return out
+
+
+def _assign_surrogate_ids(spec: StageSpec, adds, prev_content):
+    """F9/U12 (`PreserveKeyValues`, ParquetProducerOptions.cs:16-28;
+    goldens Tests:558-672): every add row's id column is copied from the
+    previous version's content with the same target key, else allocated
+    `next_id++` in target-key order (all same-tk rows share one id); a
+    key deleted and later re-added gets a fresh id."""
+    tk = spec.target_key
+    idc = spec.preserver.id_column
+    add_tks = _collect_tuples(adds, tk)
+    if not add_tks:
+        return adds
+    prev_ids: dict = {}
+    if prev_content is not None:
+        filtered = prev_content.map_batches(
+            _broadcast_filter([(tk, add_tks, True)]),
+            batch_format="pyarrow").select_columns(tk + [idc])
+        for batch in filtered.iter_batches(batch_format="pyarrow"):
+            for *t, i in zip(*(batch.column(c).to_pylist()
+                               for c in tk + [idc])):
+                prev_ids.setdefault(tuple(t), i)
+    new_tks = _sorted_by_target_order(add_tks - prev_ids.keys(),
+                                      spec.target_sort_desc())
+    for t in new_tks:
+        prev_ids[t] = spec.preserver.next_id
+        spec.preserver.next_id += 1
+    id_type = spec.out_schema.field(idc).type
+
+    def set_ids(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        tups = zip(*(batch.column(c).to_pylist() for c in tk))
+        ids = pa.array([prev_ids[t] for t in tups], type=id_type)
+        return batch.set_column(batch.column_names.index(idc), idc, ids)
+
+    return adds.map_batches(set_ids, batch_format="pyarrow").materialize()
 
 
 def apply_updates(spec: StageSpec, source_updates, prev_content=None,
@@ -177,14 +225,23 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     sorted (tk, sk) with exact Add/Update/Delete labels."""
     import ray.data
 
-    tk, sk, vals = spec.target_key, spec.source_key, spec.value_columns
+    tk, vals = spec.target_key, spec.value_columns
+    sk = spec.stored_sk                 # as stored in content/mappings
+    raw_sk = spec.source_key            # as named in the update stream
 
     # Delta production (F1+F3): delta-sized, materialized once so the
     # grouped produce never re-executes.
     adds = produce_adds(spec, source_updates).materialize()
+    if spec.preserver is not None:
+        adds = _assign_surrogate_ids(spec, adds, prev_content)
     add_pairs = _collect_tuples(adds, sk + tk)
 
     if prev_content is None or prev_mappings is None:
+        if not add_pairs:
+            # nothing produced and no prior state: empty triple
+            return (ray.data.from_arrow(spec.content_schema().empty_table()),
+                    ray.data.from_arrow(spec.mapping_schema().empty_table()),
+                    ray.data.from_arrow(spec.feed_schema().empty_table()))
         # Bootstrap: everything is the delta, every target key is new.
         new_content = adds
         mappings = adds.select_columns(sk + tk + [SEQ_COL])
@@ -194,7 +251,7 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     else:
         # Delta expansion (F3): prior pairs of every updated source key
         # are invalidated; new pairs come from the produce output.
-        updated_sks = _collect_tuples(source_updates, sk)
+        updated_sks = _collect_tuples(source_updates, raw_sk)
         prior_pairs = _collect_tuples(
             prev_mappings.map_batches(
                 _broadcast_filter([(sk, updated_sks, True)]),
@@ -272,12 +329,15 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                                type=tk_schema.field(c).type)
         for c in vals:
             cols[c] = pa.nulls(n, spec.out_schema.field(c).type)
-        for c in sk:
-            cols[c] = pa.nulls(n, spec.source_key_schema.field(c).type
-                               if spec.source_key_schema else pa.null())
+        sk_schema = spec.source_key_schema
+        for c, raw in zip(sk, raw_sk):
+            cols[c] = pa.nulls(n, sk_schema.field(raw).type
+                               if sk_schema is not None else pa.null())
         cols[SEQ_COL] = pa.nulls(n, pa.int64())
         cols[TYPE_COL] = pa.array(np.full(n, DELETE, np.int8))
-        deletes = pa.table(cols).select(tk + vals + sk + [SEQ_COL, TYPE_COL])
+        cols[UPD_SEQ_COL] = pa.array(np.zeros(n, np.int64))
+        deletes = pa.table(cols).select(tk + vals + sk
+                                        + [SEQ_COL, TYPE_COL, UPD_SEQ_COL])
         feed = feed.union(ray.data.from_arrow(deletes))
 
     feed = feed.sort(tk + sk + [SEQ_COL],

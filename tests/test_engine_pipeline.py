@@ -1,0 +1,247 @@
+"""Golden tests for the DAG cascade + ReadSources merge + surrogate-id
+preservation, mirroring the reference's `WordCounting` (Tests:292-543)
+and `PreservingValues` (Tests:558-672) end-to-end scenarios."""
+
+import pyarrow as pa
+import pytest
+
+from parquet_producers_ray.engine.io import MemoryStore
+from parquet_producers_ray.engine.model import (ADD, DELETE, TYPE_COL,
+                                                UPDATE, StageSpec,
+                                                SurrogateIdPreserver)
+from parquet_producers_ray.engine.pipeline import Producer
+from parquet_producers_ray.engine.produce import updates_from_table
+
+INT = pa.int64()
+STR = pa.string()
+
+
+def identity_produce(key, values: pa.Table) -> pa.Table:
+    n = len(values)
+    return pa.table({"id": pa.array([key[0]] * n, type=INT),
+                     "phrase": values.column("phrase")})
+
+
+def split_produce(key, values: pa.Table) -> pa.Table:
+    words, wids = [], []
+    for v in values.column("phrase").to_pylist():
+        for w in v.split(" "):
+            words.append(w)
+            wids.append(key[0])
+    return pa.table({"word": pa.array(words, type=STR),
+                     "wid": pa.array(wids, type=INT)})
+
+
+def count_produce(key, values: pa.Table) -> pa.Table:
+    return pa.table({"count": pa.array([len(values)], type=INT),
+                     "word_v": pa.array([key[0]], type=STR)})
+
+
+TEXT_SCHEMA = pa.schema([pa.field("id", INT), pa.field("phrase", STR)])
+
+
+def text_spec(name: str) -> StageSpec:
+    return StageSpec(
+        name=name, produce=identity_produce,
+        source_key=["id"], target_key=["id"],
+        value_columns=["phrase"], source_value_columns=["phrase"],
+        out_schema=TEXT_SCHEMA, source_schema=TEXT_SCHEMA)
+
+
+IDSBYWORD_SPEC = StageSpec(
+    name="idsByWord", produce=split_produce,
+    source_key=["id"], target_key=["word"],
+    value_columns=["wid"], source_value_columns=["phrase"],
+    out_schema=pa.schema([pa.field("word", STR), pa.field("wid", INT)]),
+    source_schema=TEXT_SCHEMA)
+
+WORDCOUNTS_SPEC = StageSpec(
+    name="wordCounts", produce=count_produce,
+    source_key=["word"], target_key=["count"],
+    value_columns=["word_v"], source_value_columns=["wid"],
+    out_schema=pa.schema([pa.field("count", INT), pa.field("word_v", STR)]),
+    source_schema=pa.schema([pa.field("word", STR), pa.field("wid", INT)]),
+    target_descending=[True])
+
+
+def upd_table(rows, schema=TEXT_SCHEMA):
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema(list(schema) + [pa.field(TYPE_COL, pa.int8())]))
+
+
+def table_of(store, stage, kind, version, cols):
+    ds = store.open_read(stage, kind, version)
+    rows = ds.take_all()
+    return [tuple(r[c] for c in cols) for r in rows]
+
+
+@pytest.fixture()
+def stores(ray_session):
+    return MemoryStore()
+
+
+def test_word_counting_dag(stores):
+    store = stores
+    phrases = Producer(store, text_spec("phrasesById"))
+    books = Producer(store, text_spec("booksById"))
+    ids_by_word = Producer(store, IDSBYWORD_SPEC, [phrases, books])
+    word_counts = ids_by_word.produces(WORDCOUNTS_SPEC)
+    assert word_counts.sources == [ids_by_word]
+
+    # wave A (v0 → v1): both feeders load, then the 2-feeder merge
+    # (reference Tests:320-366: phrases.Update, books.Update,
+    # idsByWord.UpdateFrom(phrases, books))
+    phrases._update_internal(updates_from_table(upd_table([
+        {"id": 1, "phrase": "the quick brown fox", TYPE_COL: UPDATE},
+        {"id": 2, "phrase": "jumps over the lazy dog", TYPE_COL: UPDATE},
+        {"id": 3, "phrase": "sometimes a dog is brown", TYPE_COL: UPDATE},
+        {"id": 4, "phrase": "brown is my favourite colour", TYPE_COL: UPDATE},
+    ])), 0)
+    assert table_of(store, "phrasesById", "content", 1,
+                    ["id", "phrase"]) == [
+        (1, "the quick brown fox"),
+        (2, "jumps over the lazy dog"),
+        (3, "sometimes a dog is brown"),
+        (4, "brown is my favourite colour")]
+
+    books._update_internal(updates_from_table(upd_table([
+        {"id": 1, "phrase": "the brain police", TYPE_COL: UPDATE},
+        {"id": 2, "phrase": "sometimes the fox is lazy", TYPE_COL: UPDATE},
+        {"id": 3, "phrase": "the mystery at dog hall", TYPE_COL: UPDATE},
+    ])), 0)
+    ids_by_word._update_from_sources(0)
+
+    got = table_of(store, "idsByWord", "content", 1, ["word", "wid"])
+    # reference golden (Tests:369-400): idsByWord contents after merge
+    expected = [
+        ("a", 3), ("at", 3), ("brain", 1), ("brown", 1), ("brown", 3),
+        ("brown", 4), ("colour", 4), ("dog", 2), ("dog", 3), ("dog", 3),
+        ("favourite", 4), ("fox", 1), ("fox", 2), ("hall", 3),
+        ("is", 2), ("is", 3), ("is", 4), ("jumps", 2), ("lazy", 2),
+        ("lazy", 2), ("my", 4), ("mystery", 3), ("over", 2),
+        ("police", 1), ("quick", 1), ("sometimes", 2), ("sometimes", 3),
+        ("the", 1), ("the", 1), ("the", 2), ("the", 2), ("the", 3)]
+    assert got == expected
+
+    word_counts._update_from_sources(0)
+    got = table_of(store, "wordCounts", "content", 1, ["count", "word_v"])
+    expected_counts = [
+        (5, "the"), (3, "brown"), (3, "dog"), (3, "is"), (2, "fox"),
+        (2, "lazy"), (2, "sometimes"), (1, "a"), (1, "at"), (1, "brain"),
+        (1, "colour"), (1, "favourite"), (1, "hall"), (1, "jumps"),
+        (1, "my"), (1, "mystery"), (1, "over"), (1, "police"),
+        (1, "quick")]
+    assert got == expected_counts
+
+    # wave B (v1 → v2): delete phrase 2 — the CASCADE runs idsByWord
+    # (books silent: fallback to its v1 content) then wordCounts
+    # (Tests:440-543)
+    timings = phrases.update(updates_from_table(upd_table([
+        {"id": 2, "phrase": None, TYPE_COL: DELETE}])), 1)
+    assert set(timings) == {"phrasesById", "idsByWord", "wordCounts"}
+
+    got = table_of(store, "idsByWord", "content", 2, ["word", "wid"])
+    expected_after = [
+        ("a", 3), ("at", 3), ("brain", 1), ("brown", 1), ("brown", 3),
+        ("brown", 4), ("colour", 4), ("dog", 3), ("dog", 3),
+        ("favourite", 4), ("fox", 1), ("fox", 2), ("hall", 3),
+        ("is", 2), ("is", 3), ("is", 4), ("lazy", 2), ("my", 4),
+        ("mystery", 3), ("police", 1), ("quick", 1), ("sometimes", 2),
+        ("sometimes", 3), ("the", 1), ("the", 1), ("the", 2), ("the", 3)]
+    assert got == expected_after
+
+    # the update feed of idsByWord (Tests:481-500): deletions for
+    # jumps/over, "unnecessary upserts" for book 2's re-sent words
+    feed = table_of(store, "idsByWord", "updates", 2,
+                    ["word", "wid", TYPE_COL])
+    expected_feed = [
+        ("dog", 3, UPDATE), ("dog", 3, UPDATE),
+        ("fox", 1, UPDATE), ("fox", 2, UPDATE),
+        ("is", 2, UPDATE), ("is", 3, UPDATE), ("is", 4, UPDATE),
+        ("jumps", None, DELETE),
+        ("lazy", 2, UPDATE),
+        ("over", None, DELETE),
+        ("sometimes", 2, UPDATE), ("sometimes", 3, UPDATE),
+        ("the", 1, UPDATE), ("the", 1, UPDATE), ("the", 2, UPDATE),
+        ("the", 3, UPDATE)]
+    assert feed == expected_feed
+
+    got = table_of(store, "wordCounts", "content", 2, ["count", "word_v"])
+    expected_counts2 = [
+        (4, "the"), (3, "brown"), (3, "is"), (2, "dog"), (2, "fox"),
+        (2, "sometimes"), (1, "a"), (1, "at"), (1, "brain"),
+        (1, "colour"), (1, "favourite"), (1, "hall"), (1, "lazy"),
+        (1, "my"), (1, "mystery"), (1, "police"), (1, "quick")]
+    assert got == expected_counts2
+
+
+WORDS_SPEC_SCHEMA = pa.schema([pa.field("id", INT), pa.field("w", STR)])
+
+
+def word_gen_produce(key, values: pa.Table) -> pa.Table:
+    words = values.column("w").to_pylist()
+    return pa.table({
+        "word": pa.array(words, type=STR),
+        "wid": pa.array([0] * len(words), type=INT),  # overwritten by F9
+    })
+
+
+def test_preserving_values(stores):
+    """Reference `PreservingValues` (Tests:558-672): surrogate ids
+    copied from the previous version per target key, fresh ids in
+    target-key order, id loss on delete + fresh id on re-add."""
+    store = stores
+    spec = StageSpec(
+        name="words", produce=word_gen_produce,
+        source_key=["id"], target_key=["word"],
+        value_columns=["wid"], source_value_columns=["w"],
+        out_schema=pa.schema([pa.field("word", STR), pa.field("wid", INT)]),
+        source_schema=WORDS_SPEC_SCHEMA,
+        preserver=SurrogateIdPreserver(id_column="wid"))
+    words = Producer(store, spec)
+
+    def upd(rows, v):
+        words.update(updates_from_table(pa.Table.from_pylist(
+            rows, schema=pa.schema(list(WORDS_SPEC_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())]))), v)
+
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "budgie", TYPE_COL: UPDATE},
+         {"id": 2, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 2, "w": "cat", TYPE_COL: UPDATE},
+         {"id": 3, "w": "eagle", TYPE_COL: UPDATE},
+         {"id": 3, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 3, "w": "cat", TYPE_COL: UPDATE}], 0)
+    assert table_of(store, "words", "content", 1,
+                    ["word", "_sk_id", "wid"]) == [
+        ("budgie", 1, 1), ("cat", 2, 2), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 2, 3), ("dog", 3, 3), ("eagle", 3, 4)]
+    feed = table_of(store, "words", "updates", 1,
+                    ["word", "wid", TYPE_COL])
+    assert feed == [
+        ("budgie", 1, ADD), ("cat", 2, ADD), ("cat", 2, UPDATE),
+        ("dog", 3, ADD), ("dog", 3, UPDATE), ("dog", 3, UPDATE),
+        ("eagle", 4, ADD)]
+
+    upd([{"id": 2, "w": "frog", TYPE_COL: UPDATE},
+         {"id": 2, "w": "eagle", TYPE_COL: UPDATE},
+         {"id": 2, "w": "ant", TYPE_COL: UPDATE}], 1)
+    assert table_of(store, "words", "content", 2,
+                    ["word", "_sk_id", "wid"]) == [
+        ("ant", 2, 5), ("budgie", 1, 1), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
+
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "frog", TYPE_COL: UPDATE}], 2)
+    assert table_of(store, "words", "content", 3,
+                    ["word", "_sk_id", "wid"]) == [
+        ("ant", 2, 5), ("cat", 3, 2), ("dog", 1, 3), ("dog", 3, 3),
+        ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 1, 6), ("frog", 2, 6)]
+
+    # budgie re-added in a later version → FRESH id 7, not 1
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "budgie", TYPE_COL: UPDATE}], 3)
+    assert table_of(store, "words", "content", 4,
+                    ["word", "_sk_id", "wid"]) == [
+        ("ant", 2, 5), ("budgie", 1, 7), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]

@@ -90,12 +90,12 @@ class Harness:
         return self.content, self.mappings, self.feed
 
     def assert_contents(self, expected):
-        got = [(r["count"], r["key"], r["id"], r["first_full_name"], r["copy"])
-               for r in self.content.to_pylist()]
+        got = [(r["count"], r["_sk_key"], r["id"], r["first_full_name"],
+                r["copy"]) for r in self.content.to_pylist()]
         assert got == expected, f"content mismatch:\n{got}\nvs\n{expected}"
 
     def assert_mappings(self, expected):
-        got = [(r["key"], r["count"]) for r in self.mappings.to_pylist()]
+        got = [(r["_sk_key"], r["count"]) for r in self.mappings.to_pylist()]
         assert got == expected, f"mappings mismatch:\n{got}\nvs\n{expected}"
 
     def assert_feed(self, expected):
