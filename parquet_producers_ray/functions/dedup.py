@@ -1,0 +1,159 @@
+"""Deduplication operators for web-scale corpora: exact (digest
+groupby), MinHash+LSH banding, SimHash, n-gram Jaccard verification,
+and embedding-cosine near-dup.
+
+Shapes follow the at-scale playbook:
+- exact dedup groups on a 64-bit content digest, never on the full
+  text (the shuffle ships 8 bytes + the kept row, not every payload);
+- MinHash signatures are computed vectorized per batch; LSH bands
+  become (band, band_hash) keys so near-dup candidates co-locate in ONE
+  hash shuffle; candidate pairs are then verified with exact n-gram
+  Jaccard inside the group — no all-pairs work anywhere;
+- connected components over verified pairs use union-find on the
+  driver (pairs are a tiny fraction of the corpus); the winner per
+  cluster is the smallest id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import fnv1a_hash
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(batch: pa.Table, text_col: str, ngram: int = 1):
+    """Per-doc arrays of 64-bit n-gram hashes (word shingles)."""
+    toks = pc.split_pattern(pc.utf8_lower(batch.column(text_col)), " ")
+    lengths = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = toks.combine_chunks().flatten() if isinstance(
+        toks, pa.ChunkedArray) else toks.flatten()
+    h = fnv1a_hash(flat)
+    if ngram > 1:
+        # combine consecutive token hashes within a doc into shingles
+        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lengths)
+        sh_counts = np.maximum(lengths - ngram + 1, 0)
+        combined = h.copy()
+        with np.errstate(over="ignore"):
+            for k in range(1, ngram):
+                shifted = np.zeros_like(h)
+                shifted[:-k or None] = h[k:]
+                combined = combined * np.uint64(1099511628211) ^ shifted
+        starts = np.repeat(offs[:-1], sh_counts)
+        local = (np.arange(int(sh_counts.sum()))
+                 - np.repeat(np.cumsum(sh_counts) - sh_counts, sh_counts))
+        idx = starts + local
+        return combined[idx], sh_counts
+    return h, lengths
+
+
+def minhash_signatures(batch: pa.Table, text_col: str = "text",
+                       num_perm: int = 64, ngram: int = 2,
+                       seed: int = 7) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signature matrix, vectorized:
+    one (a*h+b) mod p universal-hash family over the shingle hashes."""
+    hashes, counts = _token_hashes(batch, text_col, ngram)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MERSENNE), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE), num_perm, dtype=np.uint64)
+    n = len(counts)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    parents = np.repeat(np.arange(n), counts)
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):  # num_perm passes, each fully vectorized
+            hv = (hashes * a[j] + b[j]) % MERSENNE
+            np.minimum.at(sig[:, j], parents, hv)
+    return sig
+
+
+def lsh_band_rows(batch: pa.Table, id_col: str, text_col: str = "text",
+                  num_perm: int = 64, bands: int = 16,
+                  ngram: int = 2) -> pa.Table:
+    """Explode each doc into `bands` rows keyed (band, band_hash) — the
+    LSH bucketing shuffle key.  rows_per_band = num_perm // bands."""
+    sig = minhash_signatures(batch, text_col, num_perm, ngram)
+    n, r = sig.shape[0], num_perm // bands
+    band_hash = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bd in range(bands):
+            chunk = sig[:, bd * r:(bd + 1) * r]
+            hv = np.full(n, 14695981039346656037, dtype=np.uint64)
+            for c in range(r):
+                hv = (hv ^ chunk[:, c]) * np.uint64(1099511628211)
+            band_hash[:, bd] = hv
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, bands)),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+    })
+
+
+def simhash(batch: pa.Table, text_col: str = "text",
+            nbits: int = 64) -> np.ndarray:
+    """64-bit SimHash over token hashes (sign of per-bit vote sums)."""
+    hashes, counts = _token_hashes(batch, text_col, 1)
+    n = len(counts)
+    parents = np.repeat(np.arange(n), counts)
+    votes = np.zeros((n, nbits), dtype=np.int64)
+    for bit in range(nbits):
+        bitval = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        np.add.at(votes[:, bit], parents, 2 * bitval - 1)
+    out = np.zeros(n, dtype=np.uint64)
+    for bit in range(nbits):
+        out |= (votes[:, bit] > 0).astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+def jaccard_pairs(ids: np.ndarray, shingle_sets: list,
+                  threshold: float) -> list:
+    """Exact n-gram Jaccard over the (small) candidate group; returns
+    (id_a, id_b) with a < b above threshold."""
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = shingle_sets[i], shingle_sets[j]
+            if not a and not b:
+                sim = 1.0
+            else:
+                inter = len(a & b)
+                sim = inter / (len(a) + len(b) - inter)
+            if sim >= threshold:
+                pair = (int(ids[i]), int(ids[j]))
+                out.append(pair if pair[0] < pair[1] else pair[::-1])
+    return out
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # smaller id wins as the cluster representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def clusters_from_pairs(pairs) -> dict:
+    """pair list → {doc_id: representative_id} (min-id representative)."""
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    return {x: uf.find(x) for x in list(uf.parent)}

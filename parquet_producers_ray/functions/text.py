@@ -1,0 +1,147 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, and document
+fingerprinting.  All vectorized pyarrow.compute / NumPy over Arrow
+batches — no per-row Python in the hot path.
+
+These extend the reference's user-space scalar-function pattern (U14,
+SURVEY.md §2.2 — arbitrary expressions inside ``Produce``) to the
+operations a web-scale corpus pipeline needs; the reference itself has
+none of them (SURVEY.md §2 "not present" list).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic.  Deliberately small and deterministic.
+LANG_MARKERS = {
+    "en": ["the", "a", "is", "and", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "nicht"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "les", "des"],
+}
+
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def split_tokens(text: pa.Array):
+    """Whitespace tokenization → list<string> (vectorized)."""
+    return pc.split_pattern(text, " ")
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    toks = split_tokens(batch.column(text_col))
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    # BPE-ish subword estimate: ceil(chars/4) per token is the common
+    # rule-of-thumb; vectorized as ceil((len(text)-spaces)/4)
+    n_chars = pc.utf8_length(batch.column(text_col)).cast(pa.int64())
+    n_spaces = pc.subtract(n_tokens, 1)
+    payload = pc.subtract(n_chars, n_spaces)
+    n_subwords = pc.cast(pc.ceil(pc.divide(
+        pc.cast(payload, pa.float64()), 4.0)), pa.int64())
+    return pa.table({
+        "n_tokens": n_tokens,
+        "n_subwords": n_subwords,
+    })
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / mean-word-length / stopword-ratio quality signals."""
+    text = batch.column(text_col)
+    toks = split_tokens(text)
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    mean_word_len = pc.divide(
+        pc.subtract(n_chars, pc.cast(pc.subtract(n_tokens, 1),
+                                     pa.float64())),
+        pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()))
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(LANG_MARKERS["en"]))
+    stop_by_doc = _sum_by_list_parent(toks, is_stop)
+    stop_ratio = pc.divide(
+        pc.cast(stop_by_doc, pa.float64()),
+        pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()))
+    return pa.table({
+        "n_tokens": n_tokens,
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_ratio,
+    })
+
+
+def _sum_by_list_parent(lists, flat_bool) -> pa.Array:
+    """Sum a flat boolean array back into per-list totals."""
+    lengths = pc.list_value_length(lists).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = flat_bool.to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = np.repeat(np.arange(len(lengths)), lengths)
+    sums = np.bincount(parents, weights=flat, minlength=len(lengths))
+    return pa.array(sums.astype(np.int64))
+
+
+def langid_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-marker language-ID: argmax language by marker-token
+    ratio; 'und' (undetermined) when the best ratio is < 0.05."""
+    text = batch.column(text_col)
+    toks = split_tokens(pc.utf8_lower(text))
+    n_tokens = pc.max_element_wise(
+        pc.list_value_length(toks).cast(pa.int64()), 1)
+    flat = pc.list_flatten(toks)
+    best_ratio = np.zeros(len(batch))
+    best_lang = np.full(len(batch), "und", dtype=object)
+    for lang in sorted(LANG_MARKERS):
+        hits = pc.is_in(flat, value_set=pa.array(LANG_MARKERS[lang]))
+        per_doc = _sum_by_list_parent(toks, hits).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ratio = per_doc / n_tokens.to_numpy(zero_copy_only=False)
+        better = ratio > best_ratio
+        best_ratio = np.where(better, ratio, best_ratio)
+        best_lang = np.where(better, lang, best_lang)
+    best_lang = np.where(best_ratio >= 0.05, best_lang, "und")
+    return pa.table({
+        "lang_pred": pa.array(list(best_lang), type=pa.string()),
+        "lang_score": pa.array(best_ratio, type=pa.float64()),
+    })
+
+
+def fnv1a_hash(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a string/binary column — the
+    deterministic document fingerprint (and the dedup grouping digest).
+    Pure function of the bytes, identical across processes/platforms."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    binvals = arr.cast(pa.large_binary())
+    if isinstance(binvals, pa.ChunkedArray):
+        binvals = binvals.combine_chunks()
+    n = len(binvals)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offs = np.frombuffer(binvals.buffers()[1], dtype=np.int64)[
+        binvals.offset: binvals.offset + n + 1]
+    base = int(offs[0])
+    dbuf = binvals.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)[base: base + int(offs[-1])
+                                                - base]
+            if dbuf is not None else np.zeros(0, dtype=np.uint8))
+    offs = offs - base
+    out = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    lens = np.diff(offs)
+    max_len = int(lens.max()) if n else 0
+    # column-parallel FNV: process byte position k of every live string
+    with np.errstate(over="ignore"):
+        for k in range(max_len):
+            live = lens > k
+            idx = offs[:-1][live] + k
+            out[live] = (out[live] ^ data[idx].astype(np.uint64)) \
+                * FNV_PRIME
+    return out
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return pa.table({
+        "fingerprint": pa.array(fnv1a_hash(batch.column(text_col))
+                                .astype(np.int64)),  # two's complement
+    })

@@ -315,6 +315,390 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY.md §2 "beyond the reference": token counting,
+# quality scoring, language-ID, fingerprinting)
+
+def q_text_tokens(sf_dir: str):
+    from ..functions.text import token_counts
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = token_counts(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": t.column("n_tokens"),
+                         "n_subwords": t.column("n_subwords")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(ceil((length(text) - (len(string_split(text, ' ')) - 1))
+                 / 4.0) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from ..functions.text import quality_scores
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = quality_scores(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": t.column("n_tokens"),
+                         "mean_word_len": t.column("mean_word_len"),
+                         "stopword_ratio": t.column("stopword_ratio")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','is','and','of','to','in','that','it')))
+             AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       (n_chars - (n_tokens - 1)) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+           AS mean_word_len,
+       n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio
+FROM t
+"""
+
+
+def q_text_langid(sf_dir: str):
+    from ..functions.text import langid_scores
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = langid_scores(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang_pred": t.column("lang_pred"),
+                         "lang_score": t.column("lang_score")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_TEXT_LANGID = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+        CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+        len(list_filter(toks, x -> x IN
+            ('der','die','das','und','ist','von','ein','nicht'))) AS c_de,
+        len(list_filter(toks, x -> x IN
+            ('the','a','is','and','of','to','in','that','it'))) AS c_en,
+        len(list_filter(toks, x -> x IN
+            ('el','la','de','que','y','en','un','es','los'))) AS c_es,
+        len(list_filter(toks, x -> x IN
+            ('le','la','de','et','un','est','que','les','des'))) AS c_fr
+      FROM t)
+SELECT doc_id,
+       CASE WHEN best < 0.05 THEN 'und'
+            WHEN c_de / n = best THEN 'de'
+            WHEN c_en / n = best THEN 'en'
+            WHEN c_es / n = best THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       best AS lang_score
+FROM (SELECT *, greatest(c_de / n, c_en / n, c_es / n, c_fr / n) AS best
+      FROM s)
+"""
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Deterministic 64-bit FNV-1a document fingerprint (rows-only
+    check: not expressible in ANSI SQL)."""
+    from ..functions.text import fingerprints
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = fingerprints(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fingerprint": t.column("fingerprint")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup at scale: group on a 64-bit content digest (the
+    shuffle ships 8 bytes, not the payload), keep the min-id row."""
+    from ..functions.text import fnv1a_hash
+
+    def digest(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return b.append_column("_digest", pa.array(
+            fnv1a_hash(b.column("text")).astype(np.int64)))
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.sort_by("doc_id")
+        return g.slice(0, 1).drop_columns(["_digest"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(digest, batch_format="pyarrow")
+            .groupby("_digest")
+            .map_groups(keep_first, batch_format="pyarrow"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
+    """MinHash+LSH near-dup: shingle → minhash → band rows → bucket
+    groupby emits candidate pairs → exact Jaccard verify → union-find
+    clusters → (doc_id, rep_id).  Rows-only check (no SQL oracle)."""
+    import ray.data
+
+    from ..functions.dedup import (clusters_from_pairs, jaccard_pairs,
+                                   lsh_band_rows)
+    from ..functions.text import fnv1a_hash  # noqa: F401 (doc link)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    bands = docs.map_batches(
+        lambda b: lsh_band_rows(b, "doc_id"), batch_format="pyarrow")
+
+    def candidate_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                         "id_b": pa.array(b, type=pa.int64())})
+
+    pairs = (bands.groupby(["band", "band_hash"])
+             .map_groups(candidate_pairs, batch_format="pyarrow"))
+    cand = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
+
+    if cand:
+        # verify with exact 2-gram Jaccard: fetch the candidate docs'
+        # shingle sets (candidates are a tiny fraction of the corpus)
+        import numpy as np
+
+        from ..functions.dedup import _token_hashes
+        need = sorted({i for p in cand for i in p})
+        need_set = set(need)
+        shingles: dict = {}
+        for batch in docs.iter_batches(batch_format="pyarrow"):
+            mask = pa.array([i in need_set
+                             for i in batch.column("doc_id").to_pylist()])
+            sub = batch.filter(mask)
+            if len(sub) == 0:
+                continue
+            h, counts = _token_hashes(sub, "text", 2)
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            offs[1:] = np.cumsum(counts)
+            for k, i in enumerate(sub.column("doc_id").to_pylist()):
+                shingles[i] = set(h[offs[k]:offs[k + 1]].tolist())
+        verified = []
+        for a, b in sorted(cand):
+            verified.extend(jaccard_pairs(
+                np.array([a, b]), [shingles[a], shingles[b]], threshold))
+        reps = clusters_from_pairs(verified)
+    else:
+        reps = {}
+
+    def assign_rep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "rep_id": pa.array([reps.get(i, i) for i in ids],
+                               type=pa.int64())})
+    return docs.map_batches(assign_rep, batch_format="pyarrow")
+
+
+def q_dedup_simhash(sf_dir: str):
+    """64-bit SimHash signatures (rows-only: exact-collision buckets
+    are the near-dup candidates at scale)."""
+    from ..functions.dedup import simhash
+
+    def fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "simhash": pa.array(simhash(b).astype(np.int64))})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def q_embed_neardup_pairs(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+    Brute-force blockwise: each batch multiplies against the broadcast
+    normalized matrix (ray.put once)."""
+    import numpy as np
+    import ray
+
+    from ..functions.similarity import embedding_matrix, normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")])
+    ids_all = all_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    m_all = normalize(embedding_matrix(all_tbl))
+    ref = ray.put((ids_all, m_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, m = ray.get(ref)
+        bm = normalize(embedding_matrix(batch))
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = bm @ m.T
+        bi, aj = np.nonzero((sims >= threshold)
+                            & (bids[:, None] < ids_a[None, :]))
+        return pa.table({
+            "id_a": pa.array(bids[bi], type=pa.int64()),
+            "id_b": pa.array(ids_a[aj], type=pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k against broadcast queries
+
+def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    import ray
+
+    from ..functions.similarity import (BruteForceTopK, embedding_matrix,
+                                        merge_topk)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")])
+    mask = pa.compute.less(qtbl.column("vec_id"), n_queries)
+    qtbl = qtbl.filter(mask)
+    qref = ray.put((qtbl.column("vec_id").to_numpy(zero_copy_only=False),
+                    embedding_matrix(qtbl)))
+
+    cands = ds.map_batches(BruteForceTopK, batch_format="pyarrow",
+                           concurrency=2,
+                           fn_constructor_args=(qref, k))
+    cand_tbl = pa.concat_tables(
+        [b for b in cands.iter_batches(batch_format="pyarrow")])
+    import ray.data
+    return ray.data.from_arrow(merge_topk(cand_tbl, k))
+
+
+SQL_ANN_TOPK = """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 5) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary image column → actor-pool feature extract
+
+def q_media_features(sf_dir: str):
+    from ..stages.multimodal import ImageFeatureStage, synthesize_image_column
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synthesize_image_column, batch_format="pyarrow"))
+    feats = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                           batch_size=64, concurrency=2)
+    return feats.select_columns(["doc_id", "width", "height", "n_bytes"])
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id,
+       doc_id % 640 + 1 AS width,
+       doc_id % 480 + 1 AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# The engine core driven end-to-end over testdata: a 2-stage producer
+# DAG (documents → idsByWord-style split → word counts), oracle-checked
+# against plain SQL aggregation.
+
+def q_engine_wordcount(sf_dir: str):
+    import ray.data
+
+    from ..engine.io import MemoryStore
+    from ..engine.model import TYPE_COL, StageSpec, UPDATE
+    from ..engine.pipeline import Producer
+    from ..engine.produce import UPD_SEQ_COL
+
+    def split_produce(key, values: pa.Table) -> pa.Table:
+        words, ids = [], []
+        for v in values.column("text").to_pylist():
+            for w in v.split(" "):
+                words.append(w)
+                ids.append(key[0])
+        return pa.table({"word": pa.array(words, type=pa.string()),
+                         "wid": pa.array(ids, type=pa.int64())})
+
+    def count_produce(key, values: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_occurrences": pa.array([len(values)], type=pa.int64()),
+            "word_v": pa.array([key[0]], type=pa.string())})
+
+    doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("text", pa.string())])
+    split_spec = StageSpec(
+        name="wordsByDoc", produce=split_produce,
+        source_key=["doc_id"], target_key=["word"],
+        value_columns=["wid"], source_value_columns=["text"],
+        out_schema=pa.schema([pa.field("word", pa.string()),
+                              pa.field("wid", pa.int64())]),
+        source_schema=doc_schema)
+    count_spec = StageSpec(
+        name="wordCounts", produce=count_produce,
+        source_key=["word"], target_key=["n_occurrences"],
+        value_columns=["word_v"], source_value_columns=["wid"],
+        out_schema=pa.schema([pa.field("n_occurrences", pa.int64()),
+                              pa.field("word_v", pa.string())]),
+        source_schema=pa.schema([pa.field("word", pa.string()),
+                                 pa.field("wid", pa.int64())]),
+        target_descending=[True])
+
+    store = MemoryStore()
+    split = Producer(store, split_spec)
+    split.produces(count_spec)
+
+    import numpy as np
+    updates = (_read(sf_dir, "documents", ["doc_id", "text"])
+               .map_batches(
+        lambda b: b.append_column(
+            TYPE_COL, pa.array(np.full(len(b), UPDATE, np.int8)))
+        .append_column(UPD_SEQ_COL,
+                       pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow"))
+    split.update(updates, 0)
+    content = store.open_read("wordCounts", "content", 1)
+    return content.select_columns(["n_occurrences", "word_v"])
+
+
+SQL_ENGINE_WORDCOUNT = """
+SELECT count(*) AS n_occurrences, word AS word_v
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -328,6 +712,17 @@ REGISTRY = {
     "u11_distinct": (q_u11_distinct, SQL_U11),
     "u14_scalars": (q_u14_scalars, SQL_U14),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, None),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
 }
 
 

@@ -1,0 +1,168 @@
+"""Unit tests for the training-data operator family: text analysis,
+dedup (with injected near-duplicates), similarity search, multimodal
+plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_producers_ray.functions import dedup, similarity, text
+from parquet_producers_ray.stages import multimodal
+
+
+def test_fnv1a_matches_reference_vectors():
+    # FNV-1a 64 published test vectors
+    cases = {b"": 0xcbf29ce484222325,
+             b"a": 0xaf63dc4c8601ec8c,
+             b"foobar": 0x85944171f73967e8}
+    arr = pa.array(list(cases), type=pa.binary())
+    out = text.fnv1a_hash(arr)
+    assert [int(x) for x in out] == list(cases.values())
+
+
+def test_token_and_quality_counts():
+    t = pa.table({"text": pa.array(["the quick fox", "a", ""])})
+    tc = text.token_counts(t)
+    assert tc.column("n_tokens").to_pylist() == [3, 1, 1]
+    q = text.quality_scores(t)
+    assert q.column("stopword_ratio").to_pylist()[0] == pytest.approx(1 / 3)
+
+
+def test_langid_picks_marked_language():
+    t = pa.table({"text": pa.array([
+        "the cat is on the mat and it is fine",
+        "el perro es de la casa y es un gato",
+        "xzqv bnm pqr stu"])})
+    out = text.langid_scores(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "es", "und"]
+
+
+def test_minhash_similar_docs_share_bands():
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here " * 6
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array([base, near, far])})
+    rows = dedup.lsh_band_rows(t, "doc_id")
+    by_key = {}
+    for r in rows.to_pylist():
+        by_key.setdefault((r["band"], r["band_hash"]), set()).add(r["doc_id"])
+    shared_12 = any({1, 2} <= v for v in by_key.values())
+    shared_13 = any({1, 3} <= v for v in by_key.values())
+    assert shared_12 and not shared_13
+
+
+def test_jaccard_verify_and_clusters():
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["a b c d e f", "a b c d e g"])})
+    h, counts = dedup._token_hashes(t, "text", 2)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    sets = [set(h[offs[i]:offs[i + 1]].tolist()) for i in range(2)]
+    pairs = dedup.jaccard_pairs(np.array([1, 2]), sets, 0.5)
+    assert pairs == [(1, 2)]
+    assert dedup.jaccard_pairs(np.array([1, 2]), sets, 0.95) == []
+    reps = dedup.clusters_from_pairs([(1, 2), (2, 5), (7, 9)])
+    assert reps[5] == 1 and reps[2] == 1 and reps[9] == 7
+
+
+def test_simhash_near_for_similar_far_for_different():
+    base = "alpha beta gamma delta epsilon zeta " * 10
+    near = base.replace("zeta", "zetta")
+    far = "one two three four five six seven eight nine ten " * 10
+    t = pa.table({"text": pa.array([base, near, far])})
+    h = dedup.simhash(t)
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(50), type=pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        type=pa.list_(pa.float32()))})
+    q = m[:2].astype(np.float64)
+    qref = ray.put((np.array([0, 1]), q))
+    ds = ray.data.from_arrow(t)
+    cands = ds.map_batches(similarity.BruteForceTopK,
+                           batch_format="pyarrow", concurrency=1,
+                           fn_constructor_args=(qref, 5))
+    cand_tbl = pa.concat_tables(
+        list(cands.iter_batches(batch_format="pyarrow")))
+    top = similarity.merge_topk(cand_tbl, 5)
+
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = mn[:2] @ mn.T
+    for qi in (0, 1):
+        order = np.lexsort((np.arange(50), -sims[qi]))[:5]
+        got = [r["neighbor_id"] for r in top.to_pylist()
+               if r["query_id"] == qi]
+        assert got == list(order)
+
+
+def test_lsh_bucket_same_vector_same_bucket():
+    m = np.eye(4, dtype=np.float32)
+    t = pa.table({"vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "embedding": pa.array(
+                      [list(map(float, r)) for r in np.vstack([m, m])[:4]],
+                      type=pa.list_(pa.float32()))})
+    out = similarity.lsh_bucket_rows(t)
+    buckets = out.column("bucket").to_pylist()
+    assert len(buckets) == 4
+
+
+def test_multimodal_roundtrip_and_stage():
+    blob = multimodal.FakeImageCodec.encode(12, 34, b"payload")
+    d = multimodal.FakeImageCodec.decode(blob)
+    assert (d["width"], d["height"], d["n_bytes"]) == (12, 34, 7)
+
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "text": pa.array(["hello world"])})
+    imgs = multimodal.synthesize_image_column(t)
+    stage = multimodal.ImageFeatureStage()
+    feats = stage(imgs)
+    assert feats.column("width").to_pylist() == [7 % 640 + 1]
+    assert feats.column("n_bytes").to_pylist() == [len(b"hello world")]
+
+    with pytest.raises(NotImplementedError):
+        multimodal.PillowImageDecoder().decode(blob)
+
+
+def test_frame_sample_explodes():
+    payload = bytes(range(256)) * 2
+    blob = multimodal.FakeImageCodec.encode(1, 1, payload)
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "video": pa.array([blob], type=pa.large_binary())})
+    out = multimodal.frame_sample(t, every=2)
+    assert out.column("frame").to_pylist() == [0, 2, 4, 6]
+    assert all(len(b) == 64 for b in out.column("frame_bytes").to_pylist())
+
+
+def test_dedup_queries_collapse_injected_duplicates(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from parquet_producers_ray.pipelines.queries import (q_dedup_exact,
+                                                         q_dedup_minhash)
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    near = base.replace("lazy", "sleepy")
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([base, base, near,
+                          "totally different content " * 8]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    exact = {r["doc_id"] for r in q_dedup_exact(str(tmp_path)).take_all()}
+    assert exact == {1, 3, 4}   # doc 2 is an exact dup of doc 1
+
+    reps = {r["doc_id"]: r["rep_id"]
+            for r in q_dedup_minhash(str(tmp_path)).take_all()}
+    assert reps[2] == 1         # exact dup clusters with 1
+    assert reps[3] == 1         # near dup clusters with 1
+    assert reps[4] == 4         # unrelated keeps itself
