@@ -70,7 +70,8 @@ def ensure_bench_input(rows: int = BENCH_ROWS) -> str:
     return path
 
 
-def run_flagship(input_path: str, out_dir: str) -> dict:
+def run_flagship(input_path: str, out_dir: str,
+                 num_buckets: int | None = None) -> dict:
     """One cold flagship encode run; returns timing + metrics."""
     import ray.data
 
@@ -80,7 +81,8 @@ def run_flagship(input_path: str, out_dir: str) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     ds = ray.data.read_parquet(input_path)
     t0 = time.perf_counter()
-    man = encode_pipeline(ds, out_dir, resume=False)
+    man = encode_pipeline(ds, out_dir, num_buckets=num_buckets,
+                          resume=False)
     summary = summarize(man.materialize())
     wall = time.perf_counter() - t0
     summary["wall_sec"] = round(wall, 3)
@@ -119,12 +121,40 @@ def main_bench() -> dict:
     }
 
 
+SCALING_BUCKETS = 32  # partition count is a function of DATA SIZE, not
+                      # cluster size — hold it fixed across levels so the
+                      # comparison isolates parallelism
+
+
 def worker(num_cpus: int) -> dict:
     """--worker: fresh-process flagship run at a given parallelism."""
     _init_ray(num_cpus)
     input_path = ensure_bench_input()
-    flag = run_flagship(input_path, OUT_DIR + f"_c{num_cpus}")
+    flag = run_flagship(input_path, OUT_DIR + f"_c{num_cpus}",
+                        num_buckets=SCALING_BUCKETS)
     return {"num_cpus": num_cpus, **flag}
+
+
+def _machine_probe(nprocs: int) -> float:
+    """Pure-compute parallel throughput of THIS machine (tasks/s):
+    the sandbox VM saturates its memory bandwidth well below 32
+    hardware threads, capping any data pipeline's CPU scaling.  The
+    probe measures that ceiling so the report can separate engine
+    scaling from machine scaling."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    with mp.get_context("spawn").Pool(nprocs) as p:
+        p.map(_probe_task, range(nprocs))
+    return nprocs / (_t.perf_counter() - t0)
+
+
+def _probe_task(_):
+    import numpy as _np
+    a = _np.random.default_rng(1).integers(0, 255, 3_000_000)
+    for _ in range(8):
+        _np.sort(a)
 
 
 def main_scaling(levels=(8, 32)) -> dict:
@@ -146,6 +176,9 @@ def main_scaling(levels=(8, 32)) -> dict:
     small, big = runs[0], runs[-1]
     speedup = big["throughput_mbps"] / small["throughput_mbps"]
     ideal = big["num_cpus"] / small["num_cpus"]
+    machine = [_machine_probe(c) for c in (small["num_cpus"],
+                                           big["num_cpus"])]
+    machine_speedup = machine[1] / machine[0]
     return {
         "metric": "scaling_efficiency",
         "value": round(speedup / ideal, 3),
@@ -156,6 +189,11 @@ def main_scaling(levels=(8, 32)) -> dict:
         "levels": runs,
         "speedup": round(speedup, 3),
         "ideal": ideal,
+        # what a perfectly-scaling program achieves on THIS machine
+        # between the same two levels (memory-bandwidth ceiling)
+        "machine_speedup": round(machine_speedup, 3),
+        "machine_efficiency": round(machine_speedup / ideal, 3),
+        "normalized_efficiency": round(speedup / machine_speedup, 3),
     }
 
 

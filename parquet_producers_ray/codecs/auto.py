@@ -47,8 +47,11 @@ def sample_array(arr: pa.Array, frac: float = 0.01, min_rows: int = 256,
     return arr.take(pa.array(idx))
 
 
-def select_codec(arr: pa.Array, allowed: list | None = None) -> str:
-    """Pick the codec with the smallest encoded sample."""
+def select_codec(arr: pa.Array, allowed: list | None = None,
+                 state: dict | None = None) -> str:
+    """Pick the codec with the smallest encoded sample.  When `state`
+    is given, trained trial artifacts (the FSST symbol table) are
+    stashed there so the full-column encode never re-trains."""
     s = sample_array(arr)
     best_name, best_size = plain.NAME, None
     for name in (allowed or candidates(arr.type)):
@@ -56,7 +59,13 @@ def select_codec(arr: pa.Array, allowed: list | None = None) -> str:
         if not codec.applicable(arr.type):
             continue
         try:
-            size = codec.encode(s).nbytes
+            if name == fsst.NAME:
+                tbl = fsst.train_from_array(s)
+                size = fsst.encode(s, tbl).nbytes
+                if state is not None:
+                    state["fsst_table"] = tbl
+            else:
+                size = codec.encode(s).nbytes
         except (ValueError, pa.ArrowInvalid):
             continue
         if best_size is None or size < best_size:

@@ -61,14 +61,17 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list:
     for L in (2, 3, 4, 6, 8):
         if len(a) < L:
             continue
-        w = np.lib.stride_tricks.sliding_window_view(a, L)
-        v = np.ascontiguousarray(w).view(np.dtype((np.void, L))).ravel()
+        # windows as big-endian uint64 (integer unique beats void sorts)
+        m = len(a) - L + 1
+        v = np.zeros(m, dtype=np.uint64)
+        for i in range(L):
+            v = (v << np.uint64(8)) | a[i: m + i]
         uniq, c = np.unique(v, return_counts=True)
         keep = c >= 4
         uniq, c = uniq[keep], c[keep]
         top = np.argsort(c)[::-1][:1024]
         for u, k in zip(uniq[top], c[top]):
-            cnt[bytes(u)] += int(k)
+            cnt[int(u).to_bytes(8, "big")[8 - L:]] += int(k)
 
     multis = []
     for s, c in sorted(cnt.items(), key=lambda kv: kv[1] * (len(kv[0]) - 1),

@@ -68,8 +68,12 @@ def add_bucket(batch: pa.Table, num_buckets: int,
 class BucketEncoder:
     """Per-partition encode + persist, with manifest-based resume.
 
-    Used as the ``map_groups`` function of ``groupby("_bucket")``; each
-    group is one partition.  Emits one manifest row per partition.
+    Actor-pool ``map_batches`` stage fed by the hash repartition on
+    ``_bucket`` (whole blocks as batches): every bucket's rows are
+    guaranteed co-located in one block, so each batch splits into
+    complete buckets.  One actor encodes many partitions over its
+    lifetime — per-actor state (e.g. pinned codec rankings) persists
+    across batches.  Emits one manifest row per partition.
     """
 
     def __init__(self, out_dir: str, sort_key: str = "url",
@@ -81,9 +85,21 @@ class BucketEncoder:
         self.resume = resume
         self.compression = compression
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return _manifest_rows([])
+        batch = batch.sort_by("_bucket")
+        buckets = batch.column("_bucket").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(batch)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            rows.extend(self._encode_group(batch.slice(s, e - s))
+                        .to_pylist())
+        return pa.Table.from_pylist(rows, schema=MANIFEST_ROW_SCHEMA)
+
+    def _encode_group(self, group: pa.Table) -> pa.Table:
         part = int(group.column("_bucket")[0].as_py())
         group = group.drop_columns(["_bucket"])
         data_path, man_path = mf.partition_paths(self.out_dir, part)
@@ -165,22 +181,44 @@ def pick_num_buckets(input_bytes: int,
 
 def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
                     key: str = "url", allowed: list | None = None,
-                    resume: bool = True):
-    """Run the flagship encode; returns the manifests Dataset (small)."""
+                    resume: bool = True, concurrency=None):
+    """Run the flagship encode; returns the manifests Dataset (small).
+
+    Shape: stateless bucket-id map → ONE hash repartition on the
+    bucket id (the url-keyed exchange; bucket = crc32(url) % P is a
+    pure function of the data, so resume reproduces membership) →
+    bounded actor-pool encode stage (stateful per actor) that persists
+    one sorted, encoded, manifest-covered Parquet per bucket.
+    """
     os.makedirs(out_dir, exist_ok=True)
     if num_buckets is None:
         num_buckets = pick_num_buckets(ds.size_bytes() or 0)
-    encoder = BucketEncoder(out_dir, sort_key=key, allowed=allowed,
-                            resume=resume)
-
-    def encode_group(group: pa.Table, _enc=encoder) -> pa.Table:
-        return _enc(group)
-
+    if concurrency is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        concurrency = (1, max(2, cpus))
+    from ray.data.context import ShuffleStrategy
+    # key-based repartition requires the hash-shuffle backend; the
+    # context was captured when `ds` was created, so set it there.
+    # Cap aggregator actors at ~half the CPUs so the shuffle cannot
+    # starve the encode actor pool on small clusters.
+    if hasattr(ds, "context"):
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
     return (ds
             .map_batches(add_bucket, batch_format="pyarrow",
-                         fn_kwargs={"num_buckets": num_buckets, "key": key})
-            .groupby("_bucket")
-            .map_groups(encode_group, batch_format="pyarrow"))
+                         fn_kwargs={"num_buckets": num_buckets,
+                                    "key": key})
+            .repartition(num_blocks=num_buckets, keys=["_bucket"])
+            .map_batches(BucketEncoder, batch_format="pyarrow",
+                         batch_size=None, concurrency=concurrency,
+                         fn_constructor_kwargs={
+                             "out_dir": out_dir, "sort_key": key,
+                             "allowed": allowed, "resume": resume}))
 
 
 def decode_pipeline(out_dir: str):
