@@ -55,6 +55,16 @@ class StageSpec:
     source_schema: pa.Schema = None     # fields for source_key + source values
     target_descending: Optional[list] = None   # per target_key column
     preserver: Optional["SurrogateIdPreserver"] = None
+    # Scale path for per-VALUE transforms (U1/U2 map / flat-map shapes,
+    # the overwhelmingly common case at web scale): a vectorized batch
+    # function instead of one Python call per key.  Contract:
+    # ``produce_rows(upsert_batch) -> pa.Table`` with columns
+    # target_key + [_sk_<c> for c in source_key] + value_columns +
+    # "_row", where _row is the (non-decreasing) index of the
+    # originating input row within the given batch.  Only valid when
+    # the transform depends on each value row independently, never on
+    # the whole per-key group.
+    produce_rows: Optional[Callable[[pa.Table], pa.Table]] = None
 
     def output_schema(self) -> pa.Schema:
         return self.out_schema

@@ -144,9 +144,58 @@ def _output_schema(spec: StageSpec) -> pa.Schema:
     return spec.output_schema()
 
 
+ROW_COL = "_row"
+_SEQ_FAN = 1 << 20   # max emissions per input row in the row-wise path
+
+
+def _produce_rows_fn(spec: StageSpec):
+    """Vectorized production: per-batch call to spec.produce_rows over
+    upsert rows only; _seq = upd_seq * FAN + within-row emission index
+    (deterministic and batch-split-safe because each input row's
+    outputs are contiguous)."""
+    tk, vals, sk = spec.target_key, spec.value_columns, spec.source_key
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.not_equal(batch.column(TYPE_COL), DELETE)
+        batch = batch.filter(keep)
+        empty_schema = pa.schema(
+            [spec.out_schema.field(c) for c in tk]
+            + [spec.source_schema.field(c).with_name(SK_PREFIX + c)
+               for c in sk]
+            + [spec.out_schema.field(c) for c in vals]
+            + [pa.field(SEQ_COL, pa.int64())])
+        if len(batch) == 0:
+            return empty_schema.empty_table()
+        out = spec.produce_rows(batch)
+        rowidx = out.column(ROW_COL).to_numpy(zero_copy_only=False)
+        upd = batch.column(UPD_SEQ_COL).to_numpy(
+            zero_copy_only=False)[rowidx]
+        run_start = np.zeros(len(rowidx), dtype=np.int64)
+        changes = np.flatnonzero(np.diff(rowidx)) + 1
+        run_start[changes] = changes
+        np.maximum.accumulate(run_start, out=run_start)
+        within = np.arange(len(rowidx), dtype=np.int64) - run_start
+        seq = upd * _SEQ_FAN + within
+        cols = {c: out.column(c) for c in tk}
+        for c in sk:
+            cols[SK_PREFIX + c] = out.column(SK_PREFIX + c)
+        for c in vals:
+            cols[c] = out.column(c)
+        cols[SEQ_COL] = pa.array(seq)
+        return pa.table(cols).cast(empty_schema)
+
+    return fn
+
+
 def produce_adds(spec: StageSpec, source_updates):
     """F1+F3 production half: group upserts by source key, run the user
-    produce, emit add-instruction rows (tk + sk + values + _seq)."""
+    produce, emit add-instruction rows (tk + sk + values + _seq).
+    Stages declaring a vectorized ``produce_rows`` skip the per-key
+    grouping entirely — no shuffle, no per-key Python call."""
+    if spec.produce_rows is not None:
+        return source_updates.map_batches(_produce_rows_fn(spec),
+                                          batch_format="pyarrow")
     return (source_updates.groupby(spec.source_key)
             .map_groups(_produce_group_fn(spec), batch_format="pyarrow"))
 
@@ -234,15 +283,15 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     adds = produce_adds(spec, source_updates).materialize()
     if spec.preserver is not None:
         adds = _assign_surrogate_ids(spec, adds, prev_content)
-    add_pairs = _collect_tuples(adds, sk + tk)
 
     if prev_content is None or prev_mappings is None:
-        if not add_pairs:
-            # nothing produced and no prior state: empty triple
+        # Bootstrap: everything is the delta, every target key is new.
+        # No driver-side key sets here — at 10^12-row initial loads the
+        # delta IS the dataset and must stay distributed.
+        if adds.count() == 0:
             return (ray.data.from_arrow(spec.content_schema().empty_table()),
                     ray.data.from_arrow(spec.mapping_schema().empty_table()),
                     ray.data.from_arrow(spec.feed_schema().empty_table()))
-        # Bootstrap: everything is the delta, every target key is new.
         new_content = adds
         mappings = adds.select_columns(sk + tk + [SEQ_COL])
         after = adds
@@ -251,7 +300,27 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     else:
         # Delta expansion (F3): prior pairs of every updated source key
         # are invalidated; new pairs come from the produce output.
-        updated_sks = _collect_tuples(source_updates, raw_sk)
+        add_pairs = _collect_tuples(adds, sk + tk)
+        if spec.produce_rows is not None:
+            # the per-key path enforces this in-group; the vectorized
+            # path checks it on the (delta-sized) key sets
+            import pyarrow.compute as pc  # noqa: F401
+            del_sks = _collect_tuples(
+                source_updates.filter(expr=f"{TYPE_COL} == {DELETE}"),
+                raw_sk)
+            ups_sks = _collect_tuples(
+                source_updates.filter(expr=f"{TYPE_COL} != {DELETE}"),
+                raw_sk)
+            mixed = del_sks & ups_sks
+            if mixed:
+                raise ValueError(
+                    f"stage {spec.name}: keys carry both Delete and "
+                    f"upserts in one batch (reference "
+                    f"ParquetProduction.cs:326-337 rule): "
+                    f"{sorted(mixed)[:5]}")
+            updated_sks = del_sks | ups_sks
+        else:
+            updated_sks = _collect_tuples(source_updates, raw_sk)
         prior_pairs = _collect_tuples(
             prev_mappings.map_batches(
                 _broadcast_filter([(sk, updated_sks, True)]),

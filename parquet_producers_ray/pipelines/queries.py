@@ -630,6 +630,69 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Windowed aggregate (tumbling event-time windows — an operator the
+# reference lacks; implemented as derive-window-column + groupby)
+
+def q_windowed_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def window(b: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(b.column("ts"), unit="hour")
+        return pa.table({"window_start": w,
+                         "event_type": b.column("event_type"),
+                         "value": b.column("value")})
+    return (_read(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(window, batch_format="pyarrow")
+            .groupby(["window_start", "event_type"])
+            .aggregate(Count("value", alias_name="n_events"),
+                       Sum("value", alias_name="total_value")))
+
+
+SQL_WINDOWED_AGG = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(value) AS n_events, sum(value) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON-ish extraction from a string column (regex kernel — the
+# reference has no JSON functions; SURVEY.md §2 absence list)
+
+def q_json_extract(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": b.column("event_id"), "k": k})
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation: salted split-and-merge (north-rule skew story;
+# the salt is invisible in the result, so plain SQL is the oracle)
+
+def q_salted_agg(sf_dir: str):
+    from ..stages.skew import salted_sum_count
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return salted_sum_count(ds, "source", "n_chars", salt=8,
+                            sum_name="total_chars", count_name="n_docs")
+
+
+SQL_SALTED_AGG = """
+SELECT source, sum(n_chars) AS total_chars, count(n_chars) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # The engine core driven end-to-end over testdata: a 2-stage producer
 # DAG (documents → idsByWord-style split → word counts), oracle-checked
 # against plain SQL aggregation.
@@ -723,6 +786,9 @@ REGISTRY = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
+    "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
 }
 
 

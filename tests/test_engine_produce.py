@@ -201,3 +201,96 @@ def test_delete_of_unknown_key_is_noop(harness):
     c, m, f = h.update([upd(99, type_=DELETE)])
     h.assert_contents([(1, 1, 1, "A B", 1)])
     assert len(f) == 0
+
+
+# ---------------------------------------------------------------------------
+# Vectorized row-wise production (the web-scale path: no per-key
+# Python calls, no grouping shuffle)
+
+ROWWISE_SOURCE = pa.schema([
+    pa.field("id", pa.int64()),
+    pa.field("phrase", pa.string()),
+])
+
+
+def split_rows(batch: pa.Table) -> pa.Table:
+    """U2 flat-map, vectorized: one output row per word."""
+    import numpy as np
+    import pyarrow.compute as pc
+    words = pc.split_pattern(batch.column("phrase"), " ")
+    n = pc.list_value_length(words).fill_null(0).to_numpy(
+        zero_copy_only=False)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), n)
+    return pa.table({
+        "word": pc.list_flatten(words),
+        "_sk_id": batch.column("id").take(pa.array(row)),
+        "wid": batch.column("id").take(pa.array(row)),
+        "_row": pa.array(row),
+    })
+
+
+ROWWISE_SPEC = StageSpec(
+    name="rowwise_words",
+    produce=None,
+    produce_rows=split_rows,
+    source_key=["id"], target_key=["word"],
+    value_columns=["wid"], source_value_columns=["phrase"],
+    out_schema=pa.schema([pa.field("word", pa.string()),
+                          pa.field("wid", pa.int64())]),
+    source_schema=ROWWISE_SOURCE)
+
+
+def rupd(id_, phrase=None, type_=UPDATE):
+    return {"id": id_, "phrase": phrase, TYPE_COL: type_}
+
+
+def test_rowwise_produce_multi_version(ray_session):
+    import ray.data
+
+    def run(rows, prev_c, prev_m):
+        table = pa.Table.from_pylist(
+            rows, schema=pa.schema(list(ROWWISE_SOURCE)
+                                   + [pa.field(TYPE_COL, pa.int8())]))
+        c, m, f = apply_updates(ROWWISE_SPEC, updates_from_table(table),
+                                prev_c, prev_m)
+        return c.materialize(), m.materialize(), f.materialize()
+
+    c, m, f = run([rupd(1, "b a"), rupd(2, "a c")], None, None)
+    content = [(r["word"], r["_sk_id"], r["wid"]) for r in c.take_all()]
+    assert content == [("a", 1, 1), ("a", 2, 2), ("b", 1, 1), ("c", 2, 2)]
+    feed = [(r[TYPE_COL], r["word"], r["wid"]) for r in f.take_all()]
+    assert feed == [(ADD, "a", 1), (UPDATE, "a", 2), (ADD, "b", 1),
+                    (ADD, "c", 2)]
+
+    # delta: re-key id 1, delete nothing
+    c2, m2, f2 = run([rupd(1, "c c")], c, m)
+    content = [(r["word"], r["_sk_id"], r["wid"]) for r in c2.take_all()]
+    assert content == [("a", 2, 2), ("c", 1, 1), ("c", 1, 1), ("c", 2, 2)]
+    feed = [(r[TYPE_COL], r["word"]) for r in f2.take_all()]
+    # a lost sk1's row but keeps sk2's → full new rowset as updates;
+    # b vanished → Delete; c gains rows → full new rowset as updates
+    assert feed == [(UPDATE, "a"), (DELETE, "b"), (UPDATE, "c"),
+                    (UPDATE, "c"), (UPDATE, "c")]
+
+    # delete id 2 entirely
+    c3, m3, f3 = run([rupd(2, type_=DELETE)], c2, m2)
+    content = [(r["word"], r["_sk_id"]) for r in c3.take_all()]
+    assert content == [("c", 1), ("c", 1)]
+    feed = [(r[TYPE_COL], r["word"]) for r in f3.take_all()]
+    assert feed == [(DELETE, "a"), (UPDATE, "c"), (UPDATE, "c")]
+
+
+def test_rowwise_mixed_delete_upsert_raises(ray_session):
+    import ray.data
+    table = pa.Table.from_pylist(
+        [rupd(1, "a"), rupd(1, type_=DELETE)],
+        schema=pa.schema(list(ROWWISE_SOURCE)
+                         + [pa.field(TYPE_COL, pa.int8())]))
+    prev = pa.Table.from_pylist(
+        [rupd(9, "z")], schema=pa.schema(list(ROWWISE_SOURCE)
+                                         + [pa.field(TYPE_COL, pa.int8())]))
+    c, m, f = apply_updates(ROWWISE_SPEC, updates_from_table(prev),
+                            None, None)
+    with pytest.raises(Exception):
+        apply_updates(ROWWISE_SPEC, updates_from_table(table),
+                      c.materialize(), m.materialize())
