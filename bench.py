@@ -104,10 +104,56 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def run_incremental(input_path: str) -> dict:
+    """The engine's signature lifecycle: bootstrap the url-keyed
+    versioned mirror (one full sort), then apply a ~1% delta — which
+    must rewrite only the partitions it touches."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_producers_ray.engine.model import UPD_SEQ_COL
+    from parquet_producers_ray.pipelines.incremental import (
+        IncrementalMirror, updates_with_type, webpage_mirror_spec)
+    from parquet_producers_ray.sources.webpages import generate_shard
+
+    root = "/tmp/ppray_bench_mirror"
+    shutil.rmtree(root, ignore_errors=True)
+    mirror = IncrementalMirror(root, webpage_mirror_spec())
+
+    ds = ray.data.read_parquet(input_path)
+    ups = ds.map_batches(
+        lambda b: updates_with_type(b).append_column(
+            UPD_SEQ_COL, pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow")
+    t0 = time.perf_counter()
+    mirror.bootstrap(ups, 1)
+    boot = time.perf_counter() - t0
+
+    # delta: first ~1% of shard 0, text modified
+    delta = generate_shard(0, SHARD_ROWS).slice(0, BENCH_ROWS // 100)
+    new_text = pa.array(["v2 " + t
+                         for t in delta.column("text").to_pylist()])
+    delta = delta.set_column(delta.column_names.index("text"), "text",
+                             new_text)
+    t0 = time.perf_counter()
+    res = mirror.apply(updates_with_type(delta), 1)
+    inc = time.perf_counter() - t0
+    return {
+        "bootstrap_sec": round(boot, 3),
+        "delta_sec": round(inc, 3),
+        "delta_rows": len(delta),
+        "partitions_rewritten": res["content"]["rewritten"],
+        "partitions_linked": res["content"]["linked"],
+        "feed_rows": len(res["feed"]),
+    }
+
+
 def main_bench() -> dict:
     _init_ray(NUM_CPUS)
     input_path = ensure_bench_input()
     flag = run_flagship(input_path, OUT_DIR)
+    incr = run_incremental(input_path)
     qtimes = run_queries(SF_DIR)
     total = flag["wall_sec"] + sum(qtimes.values())
     return {
@@ -118,6 +164,7 @@ def main_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "flagship": flag,
+        "incremental": incr,
     }
 
 

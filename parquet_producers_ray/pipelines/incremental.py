@@ -1,0 +1,175 @@
+"""Incrementally-maintained url-keyed mirror of a web-page table —
+the reference's signature lifecycle (``ParquetProduction.Update``,
+:52-91) on the range-partitioned versioned store:
+
+- bootstrap: one distributed sort + write (the only time the full
+  dataset is sorted);
+- every later version: expand the delta through the provenance index
+  (range-pruned mapping reads — no table scan), rewrite only the
+  content/mapping partitions the delta touches, hardlink the rest,
+  emit the exact Add/Update/Delete feed.
+
+Cost per version = O(delta + touched partitions), the reference's
+"sort only the delta, scan prior state forward" contract — improved:
+prior state isn't even scanned, only range-intersected partitions are.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..engine.model import (ADD, DELETE, SEQ_COL, TYPE_COL, UPD_SEQ_COL,
+                            UPDATE, StageSpec)
+from ..engine.produce import produce_adds
+from ..engine.ranged import RangedTable
+
+
+def _collect(ds_or_tbl, cols) -> set:
+    if isinstance(ds_or_tbl, pa.Table):
+        return set(zip(*(ds_or_tbl.column(c).to_pylist() for c in cols)))
+    out = set()
+    for b in ds_or_tbl.select_columns(cols).iter_batches(
+            batch_format="pyarrow"):
+        out.update(zip(*(b.column(c).to_pylist() for c in cols)))
+    return out
+
+
+def webpage_mirror_spec() -> StageSpec:
+    """url-keyed identity mirror of the web-page table (vectorized
+    row-wise produce: no per-key Python calls)."""
+    from ..sources.webpages import SCHEMA
+
+    value_cols = ["warc_ts", "html", "text", "lang"]
+
+    def mirror_rows(batch: pa.Table) -> pa.Table:
+        cols = {"url": batch.column("url"),
+                "_sk_url": batch.column("url")}
+        for c in value_cols:
+            cols[c] = batch.column(c)
+        cols["_row"] = pa.array(np.arange(len(batch), dtype=np.int64))
+        return pa.table(cols)
+
+    return StageSpec(
+        name="webpage_mirror", produce=None, produce_rows=mirror_rows,
+        source_key=["url"], target_key=["url"],
+        value_columns=value_cols, source_value_columns=value_cols,
+        out_schema=SCHEMA, source_schema=SCHEMA)
+
+
+def updates_with_type(table: pa.Table, type_: int = UPDATE) -> pa.Table:
+    return table.append_column(
+        TYPE_COL, pa.array(np.full(len(table), type_, np.int8)))
+
+
+class IncrementalMirror:
+    def __init__(self, root: str, spec: StageSpec,
+                 target_rows: int = 100_000):
+        self.spec = spec
+        tk, skp = spec.target_key, spec.stored_sk
+        self.content = RangedTable(os.path.join(root, "content"),
+                                   tk + skp + [SEQ_COL], target_rows)
+        self.mappings = RangedTable(os.path.join(root, "key_mappings"),
+                                    skp + tk + [SEQ_COL], target_rows)
+
+    # -- bootstrap ----------------------------------------------------------
+
+    def bootstrap(self, updates_ds, version: int = 1) -> None:
+        spec = self.spec
+        tk, skp = spec.target_key, spec.stored_sk
+        adds = produce_adds(spec, updates_ds)
+        sorted_adds = adds.sort(tk + skp + [SEQ_COL])
+        self.content.write_full(sorted_adds, version)
+        mappings = adds.select_columns(skp + tk + [SEQ_COL]) \
+                       .sort(skp + tk + [SEQ_COL])
+        self.mappings.write_full(mappings, version)
+
+    # -- one incremental version ---------------------------------------------
+
+    def apply(self, updates_tbl: pa.Table, version: int) -> dict:
+        """Apply one delta batch based on `version`, writing version+1.
+        Returns {"feed": pa.Table, "content": stats, "mappings": stats}.
+        """
+        import ray.data
+
+        spec = self.spec
+        tk, skp, vals = spec.target_key, spec.stored_sk, spec.value_columns
+        raw_sk = spec.source_key
+
+        updates_tbl = updates_tbl.append_column(
+            UPD_SEQ_COL, pa.array(np.arange(len(updates_tbl)),
+                                  type=pa.int64()))
+        updates_ds = ray.data.from_arrow(updates_tbl)
+        adds_ds = produce_adds(spec, updates_ds).materialize()
+        adds = pa.concat_tables(
+            list(adds_ds.iter_batches(batch_format="pyarrow"))) \
+            if adds_ds.count() else spec.content_schema().empty_table()
+
+        updated_sks = _collect(updates_tbl, raw_sk)
+        prior = self.mappings.read_keys(version, updated_sks)
+        prior_pairs = _collect(prior, skp + tk) if prior is not None \
+            else set()
+        add_pairs = _collect(adds, skp + tk)
+        touched_pairs = prior_pairs | add_pairs
+        feed_schema = spec.feed_schema()
+        if not touched_pairs:
+            # no-op version: hardlink everything
+            c = self.content.apply_delta(
+                version, version + 1, adds.select(
+                    tk + skp + vals + [SEQ_COL]), set(), tk + skp)
+            m = self.mappings.apply_delta(
+                version, version + 1,
+                adds.select(skp + tk + [SEQ_COL]), set(), skp + tk)
+            return {"feed": feed_schema.empty_table(), "content": c,
+                    "mappings": m}
+
+        touched_tks = {t[len(skp):] for t in touched_pairs}
+        content_drops = {t[len(skp):] + t[:len(skp)]
+                         for t in touched_pairs}       # (tk, sk) order
+
+        before = self.content.read_keys(version, touched_tks)
+        before_tks = _collect(before, tk) if before is not None else set()
+
+        cstats = self.content.apply_delta(
+            version, version + 1, adds.select(tk + skp + vals + [SEQ_COL]),
+            content_drops, tk + skp)
+        mstats = self.mappings.apply_delta(
+            version, version + 1, adds.select(skp + tk + [SEQ_COL]),
+            touched_pairs, skp + tk)
+
+        # feed: full new rowset per touched tk (reference F7/F8 labels)
+        after = self.content.read_keys(version + 1, touched_tks)
+        feed_rows = []
+        if after is not None and len(after):
+            after = after.sort_by([(c, "ascending")
+                                   for c in tk + skp + [SEQ_COL]])
+            prev_tk = None
+            upd_seq = 0
+            for j in range(len(after)):
+                tkv = tuple(after.column(c)[j].as_py() for c in tk)
+                if tkv != prev_tk:
+                    prev_tk = tkv
+                    upd_seq = 0
+                    first = True
+                else:
+                    first = False
+                row = {c: after.column(c)[j].as_py() for c in tk + vals}
+                row[TYPE_COL] = ADD if (first and tkv not in before_tks) \
+                    else UPDATE
+                row[UPD_SEQ_COL] = upd_seq
+                upd_seq += 1
+                feed_rows.append(row)
+        live_tks = _collect(after, tk) if after is not None else set()
+        for tkv in sorted(touched_tks - live_tks):
+            row = {c: v for c, v in zip(tk, tkv)}
+            for c in vals:
+                row[c] = None
+            row[TYPE_COL] = DELETE
+            row[UPD_SEQ_COL] = 0
+            feed_rows.append(row)
+        feed = pa.Table.from_pylist(feed_rows, schema=feed_schema)
+        feed = feed.sort_by([(c, "ascending") for c in tk]
+                            + [(UPD_SEQ_COL, "ascending")])
+        return {"feed": feed, "content": cstats, "mappings": mstats}
