@@ -219,7 +219,9 @@ def q_u10_join(sf_dir: str):
     li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
           .groupby("l_orderkey")
           .aggregate(Sum("l_extendedprice", alias_name="order_value")))
-    joined = orders.join(li, join_type="inner", num_partitions=16,
+    # partitions scale with data (~256 MiB each), not a fixed constant
+    nparts = max(2, int((orders.size_bytes() or 0) / (256 << 20)))
+    joined = orders.join(li, join_type="inner", num_partitions=nparts,
                          on=("o_orderkey",), right_on=("l_orderkey",))
     from ray.data.aggregate import Count, Sum as S2
     return (joined.groupby("o_orderstatus")
@@ -705,14 +707,17 @@ def q_engine_wordcount(sf_dir: str):
     from ..engine.pipeline import Producer
     from ..engine.produce import UPD_SEQ_COL
 
-    def split_produce(key, values: pa.Table) -> pa.Table:
-        words, ids = [], []
-        for v in values.column("text").to_pylist():
-            for w in v.split(" "):
-                words.append(w)
-                ids.append(key[0])
-        return pa.table({"word": pa.array(words, type=pa.string()),
-                         "wid": pa.array(ids, type=pa.int64())})
+    def split_rows(batch: pa.Table) -> pa.Table:
+        """Vectorized 1→n flat-map (StageSpec.produce_rows contract)."""
+        import numpy as np
+        words = pc.split_pattern(batch.column("text"), " ")
+        n = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n)
+        ids = batch.column("doc_id").take(pa.array(row))
+        return pa.table({"word": pc.list_flatten(words),
+                         "_sk_doc_id": ids, "wid": ids,
+                         "_row": pa.array(row)})
 
     def count_produce(key, values: pa.Table) -> pa.Table:
         return pa.table({
@@ -722,7 +727,7 @@ def q_engine_wordcount(sf_dir: str):
     doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
                             pa.field("text", pa.string())])
     split_spec = StageSpec(
-        name="wordsByDoc", produce=split_produce,
+        name="wordsByDoc", produce=None, produce_rows=split_rows,
         source_key=["doc_id"], target_key=["word"],
         value_columns=["wid"], source_value_columns=["text"],
         out_schema=pa.schema([pa.field("word", pa.string()),
