@@ -73,13 +73,12 @@ def ensure_bench_input(rows: int = BENCH_ROWS) -> str:
 def run_flagship(input_path: str, out_dir: str,
                  num_buckets: int | None = None) -> dict:
     """One cold flagship encode run; returns timing + metrics."""
-    import ray.data
-
     from parquet_producers_ray.pipelines.flagship import (encode_pipeline,
+                                                          read_input,
                                                           summarize)
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    ds = ray.data.read_parquet(input_path)
+    ds = read_input(input_path)
     t0 = time.perf_counter()
     man = encode_pipeline(ds, out_dir, num_buckets=num_buckets,
                           resume=False)

@@ -164,6 +164,24 @@ def _manifest_rows(payloads: list) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MANIFEST_ROW_SCHEMA)
 
 
+def read_input(path: str, target_block_bytes: int = 128 * 1024 * 1024):
+    """read_parquet with block sizing for an all-to-all consumer:
+    Ray's default read splitting targets hundreds of small blocks,
+    which multiplies shuffle overhead (#blocks × #partitions object
+    transfers).  Aim for ~128 MiB in-memory blocks instead (file bytes
+    × ~3 decompression factor), never fewer than one per file."""
+    import glob as _glob
+
+    import ray.data
+
+    files = (_glob.glob(os.path.join(path, "*.parquet"))
+             if os.path.isdir(path) else [path])
+    file_bytes = sum(os.path.getsize(f) for f in files)
+    blocks = max(len(files),
+                 int(np.ceil(file_bytes * 3 / target_block_bytes)))
+    return ray.data.read_parquet(path, override_num_blocks=blocks)
+
+
 def pick_num_buckets(input_bytes: int,
                      target: int = DEFAULT_TARGET_PARTITION_BYTES,
                      min_buckets: int | None = None) -> int:
