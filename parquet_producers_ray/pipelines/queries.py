@@ -767,6 +767,80 @@ GROUP BY word
 """
 
 
+# ---------------------------------------------------------------------------
+# The versioned incremental store driven end-to-end: bootstrap a
+# doc_id-keyed mirror of documents, apply one delta wave (modify
+# doc_id%100==1, delete doc_id%97==0 unless modified), read version 2 —
+# SQL expresses the final state directly.
+
+def q_engine_incremental(sf_dir: str, tmp_base: str = "/tmp/ppray_incr"):
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from ..engine.model import DELETE, TYPE_COL, UPD_SEQ_COL, UPDATE
+    from ..pipelines.incremental import IncrementalMirror
+    from ..engine.model import StageSpec
+
+    doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("text", pa.string())])
+
+    def mirror_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "_sk_doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "_row": pa.array(np.arange(len(batch), dtype=np.int64))})
+
+    spec = StageSpec(
+        name="doc_mirror", produce=None, produce_rows=mirror_rows,
+        source_key=["doc_id"], target_key=["doc_id"],
+        value_columns=["text"], source_value_columns=["text"],
+        out_schema=doc_schema, source_schema=doc_schema)
+
+    root = os.path.join(tmp_base,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    mirror = IncrementalMirror(root, spec, target_rows=2048)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ups = docs.map_batches(
+        lambda b: b.append_column(
+            TYPE_COL, pa.array(np.full(len(b), UPDATE, np.int8)))
+        .append_column(UPD_SEQ_COL,
+                       pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow")
+    mirror.bootstrap(ups, 1)
+
+    full = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow")))
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    mod_mask = ids % 100 == 1
+    del_mask = (ids % 97 == 0) & ~mod_mask
+    mod = full.filter(pa.array(mod_mask))
+    mod = mod.set_column(
+        mod.column_names.index("text"), "text",
+        pa.array(["v2 " + t for t in mod.column("text").to_pylist()]))
+    mod = mod.append_column(TYPE_COL, pa.array(
+        np.full(len(mod), UPDATE, np.int8)))
+    dele = full.filter(pa.array(del_mask)).set_column(
+        1, "text", pa.nulls(int(del_mask.sum()), pa.string()))
+    dele = dele.append_column(TYPE_COL, pa.array(
+        np.full(len(dele), DELETE, np.int8)))
+    mirror.apply(pa.concat_tables([mod, dele]), 1)
+
+    content = mirror.content.read(2)
+    return content.select_columns(["doc_id", "text"])
+
+
+SQL_ENGINE_INCREMENTAL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 100 = 1 THEN 'v2 ' || text ELSE text END AS text
+FROM documents
+WHERE NOT (doc_id % 97 = 0 AND doc_id % 100 <> 1)
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -794,6 +868,7 @@ REGISTRY = {
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
 }
 
 
