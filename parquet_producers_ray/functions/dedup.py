@@ -65,11 +65,15 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(hashes) == 0:
         return sig
-    parents = np.repeat(np.arange(n), counts)
+    # docs' shingles are contiguous → segmented min via reduceat
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    nonempty = counts > 0
+    red_offs = offs[nonempty]
     with np.errstate(over="ignore"):
         for j in range(num_perm):  # num_perm passes, each fully vectorized
             hv = (hashes * a[j] + b[j]) % MERSENNE
-            np.minimum.at(sig[:, j], parents, hv)
+            sig[nonempty, j] = np.minimum.reduceat(hv, red_offs)
     return sig
 
 
@@ -102,13 +106,12 @@ def simhash(batch: pa.Table, text_col: str = "text",
     hashes, counts = _token_hashes(batch, text_col, 1)
     n = len(counts)
     parents = np.repeat(np.arange(n), counts)
-    votes = np.zeros((n, nbits), dtype=np.int64)
-    for bit in range(nbits):
-        bitval = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-        np.add.at(votes[:, bit], parents, 2 * bitval - 1)
     out = np.zeros(n, dtype=np.uint64)
     for bit in range(nbits):
-        out |= (votes[:, bit] > 0).astype(np.uint64) << np.uint64(bit)
+        bitval = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        ones = np.bincount(parents, weights=bitval, minlength=n)
+        # vote = ones - zeros > 0  ⇔  2*ones > count
+        out |= (2 * ones > counts).astype(np.uint64) << np.uint64(bit)
     return out
 
 

@@ -768,6 +768,61 @@ GROUP BY word
 
 
 # ---------------------------------------------------------------------------
+# Sessionization (gap-based) — the classic stateful per-key operator
+# the reference cannot express (no event time); implemented as
+# groupby(user).map_groups with an in-group vectorized gap scan.
+# Partitioning assumption: one user's events fit one group (holds when
+# per-user volume ≪ block size; a hot user would need time-bucketed
+# pre-splitting).
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(sf_dir: str):
+    import numpy as np
+
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.ones(len(g), dtype=np.int64)
+        brk[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
+        bounds = np.flatnonzero(brk)            # session start indices
+        ends = np.concatenate((bounds[1:], [len(g)]))
+        return pa.table({
+            "user_id": pa.array(
+                [g.column("user_id")[0].as_py()] * len(bounds),
+                type=pa.int64()),
+            "session_start": pa.array(ts[bounds]).cast(
+                pa.timestamp("us")),
+            "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
+            "n_events": pa.array(ends - bounds, type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pyarrow"))
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # The versioned incremental store driven end-to-end: bootstrap a
 # doc_id-keyed mirror of documents, apply one delta wave (modify
 # doc_id%100==1, delete doc_id%97==0 unless modified), read version 2 —
@@ -869,6 +924,7 @@ REGISTRY = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
 }
 
 
