@@ -234,3 +234,74 @@ class Producer:
                 feeders.append((feed, content, s.spec))
             updates = read_sources(feeders, self.spec)
         self._update_internal(updates, version)
+
+
+class RangedProducer(Producer):
+    """Producer whose stage state lives in range-partitioned versioned
+    tables (engine/ranged.py): bootstrap is one distributed sort per
+    table; every later version rewrites only the partitions the delta
+    touches and hardlinks the rest.  The DAG/cascade semantics are the
+    base class's; only the storage + apply path differ.
+
+    Current limits: surrogate-id preservation not supported here (use
+    the Dataset-store Producer), and incremental deltas are assumed
+    delta-sized (they are collected to drive range pruning).
+    """
+
+    def __init__(self, root: str, spec: StageSpec,
+                 sources: list | None = None,
+                 target_rows: int = 100_000):
+        if spec.preserver is not None:
+            raise NotImplementedError(
+                "surrogate-id preservation on the ranged store")
+        super().__init__(None, spec, sources)
+        import os as _os
+
+        from ..pipelines.incremental import IncrementalMirror
+        self.root = root
+        self.target_rows = target_rows
+        self.mirror = IncrementalMirror(
+            _os.path.join(root, spec.name), spec, target_rows)
+
+    def produces(self, spec: StageSpec) -> "RangedProducer":
+        return RangedProducer(self.root, spec, [self], self.target_rows)
+
+    def _update_internal(self, source_updates, version: int) -> None:
+        if self.mirror.content.manifest(version) is None:
+            ds = source_updates
+            if isinstance(ds, pa.Table):
+                from .produce import updates_from_table
+                ds = updates_from_table(ds)
+            elif UPD_SEQ_COL not in ds.schema().names:
+                def add_seq(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        UPD_SEQ_COL, pa.array(np.zeros(len(t), np.int64)))
+                ds = ds.map_batches(add_seq, batch_format="pyarrow")
+            self.mirror.bootstrap(ds, version + 1)
+            return
+        if isinstance(source_updates, pa.Table):
+            tbl = source_updates
+        else:
+            batches = list(source_updates.iter_batches(
+                batch_format="pyarrow"))
+            tbl = (pa.concat_tables(batches) if batches
+                   else self.spec.updates_schema().empty_table())
+        if UPD_SEQ_COL in tbl.column_names:
+            tbl = tbl.drop_columns([UPD_SEQ_COL])
+        self.mirror.apply(tbl, version)
+
+    def _update_from_sources(self, version: int) -> None:
+        if len(self.sources) == 1:
+            feed = self.sources[0].mirror.read_feed(version + 1)
+            updates = feed if feed is not None else _empty_ds(
+                self.spec.updates_schema().append(
+                    pa.field(UPD_SEQ_COL, pa.int64())))
+        else:
+            feeders = []
+            for s in self.sources:
+                feed = s.mirror.read_feed(version + 1)
+                content = (s.mirror.content.read(version + 1)
+                           or s.mirror.content.read(version))
+                feeders.append((feed, content, s.spec))
+            updates = read_sources(feeders, self.spec)
+        self._update_internal(updates, version)

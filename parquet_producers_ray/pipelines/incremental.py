@@ -68,23 +68,54 @@ class IncrementalMirror:
     def __init__(self, root: str, spec: StageSpec,
                  target_rows: int = 100_000):
         self.spec = spec
+        self.root = root
         tk, skp = spec.target_key, spec.stored_sk
         self.content = RangedTable(os.path.join(root, "content"),
                                    tk + skp + [SEQ_COL], target_rows)
         self.mappings = RangedTable(os.path.join(root, "key_mappings"),
                                     skp + tk + [SEQ_COL], target_rows)
 
+    # -- update feed persistence ---------------------------------------------
+
+    def _feed_dir(self, version: int) -> str:
+        return os.path.join(self.root, "updates", f"v{version}")
+
+    def _write_feed_ds(self, feed_ds, version: int) -> None:
+        d = self._feed_dir(version)
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        feed_ds.write_parquet(d)
+
+    def _write_feed_tbl(self, feed: pa.Table, version: int) -> None:
+        import pyarrow.parquet as pq
+        d = self._feed_dir(version)
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(feed, os.path.join(d, "part-0.parquet"))
+
+    def read_feed(self, version: int):
+        import ray.data
+        d = self._feed_dir(version)
+        if not os.path.isdir(d):
+            return None
+        return ray.data.read_parquet(d)
+
     # -- bootstrap ----------------------------------------------------------
 
     def bootstrap(self, updates_ds, version: int = 1) -> None:
-        spec = self.spec
-        tk, skp = spec.target_key, spec.stored_sk
-        adds = produce_adds(spec, updates_ds)
-        sorted_adds = adds.sort(tk + skp + [SEQ_COL])
-        self.content.write_full(sorted_adds, version)
-        mappings = adds.select_columns(skp + tk + [SEQ_COL]) \
-                       .sort(skp + tk + [SEQ_COL])
+        """Initial load through the fully-tested apply_updates bootstrap
+        path; content and mappings land sorted and are persisted as
+        range manifests, the feed (everything Add/Update-labeled) as a
+        plain versioned parquet dir."""
+        from ..engine.produce import apply_updates
+
+        content, mappings, feed = apply_updates(self.spec, updates_ds,
+                                                None, None)
+        self.content.write_full(content, version)
         self.mappings.write_full(mappings, version)
+        self._write_feed_ds(feed, version)
 
     # -- one incremental version ---------------------------------------------
 
@@ -122,6 +153,7 @@ class IncrementalMirror:
             m = self.mappings.apply_delta(
                 version, version + 1,
                 adds.select(skp + tk + [SEQ_COL]), set(), skp + tk)
+            self._write_feed_tbl(feed_schema.empty_table(), version + 1)
             return {"feed": feed_schema.empty_table(), "content": c,
                     "mappings": m}
 
@@ -172,4 +204,5 @@ class IncrementalMirror:
         feed = pa.Table.from_pylist(feed_rows, schema=feed_schema)
         feed = feed.sort_by([(c, "ascending") for c in tk]
                             + [(UPD_SEQ_COL, "ascending")])
+        self._write_feed_tbl(feed, version + 1)
         return {"feed": feed, "content": cstats, "mappings": mstats}

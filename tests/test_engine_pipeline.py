@@ -245,3 +245,56 @@ def test_preserving_values(stores):
                     ["word", "_sk_id", "wid"]) == [
         ("ant", 2, 5), ("budgie", 1, 7), ("cat", 3, 2), ("dog", 1, 3),
         ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
+
+
+def test_ranged_producer_matches_dataset_producer(stores, tmp_path):
+    """The same 2-stage cascade on the range-partitioned store and on
+    the Dataset store must produce identical content at every version
+    (the ranged path additionally rewrites only touched partitions)."""
+    from parquet_producers_ray.engine.pipeline import RangedProducer
+
+    def specs():
+        return (StageSpec(
+            name="idsByWord2", produce=split_produce,
+            source_key=["id"], target_key=["word"],
+            value_columns=["wid"], source_value_columns=["phrase"],
+            out_schema=pa.schema([pa.field("word", STR),
+                                  pa.field("wid", INT)]),
+            source_schema=TEXT_SCHEMA),
+            StageSpec(
+            name="wordCounts2", produce=count_produce,
+            source_key=["word"], target_key=["count"],
+            value_columns=["word_v"], source_value_columns=["wid"],
+            out_schema=pa.schema([pa.field("count", INT),
+                                  pa.field("word_v", STR)]),
+            source_schema=pa.schema([pa.field("word", STR),
+                                     pa.field("wid", INT)]),
+            target_descending=[True]))
+
+    s1, s2 = specs()
+    mem_split = Producer(stores, s1)
+    mem_counts = mem_split.produces(s2)
+    r1, r2 = specs()
+    rg_split = RangedProducer(str(tmp_path / "rg"), r1, target_rows=16)
+    rg_counts = rg_split.produces(r2)
+
+    waves = [
+        [{"id": 1, "phrase": "a b b", TYPE_COL: UPDATE},
+         {"id": 2, "phrase": "b c", TYPE_COL: UPDATE},
+         {"id": 3, "phrase": "c c d", TYPE_COL: UPDATE}],
+        [{"id": 2, "phrase": "e b", TYPE_COL: UPDATE}],
+        [{"id": 1, "phrase": None, TYPE_COL: DELETE}],
+    ]
+    for v, rows in enumerate(waves):
+        tbl = upd_table(rows)
+        mem_split.update(updates_from_table(tbl), v)
+        rg_split.update(tbl, v)
+
+        for stage, rgp in (("idsByWord2", rg_split),
+                           ("wordCounts2", rg_counts)):
+            mem = stores.open_read(stage, "content", v + 1).take_all()
+            rgc = rgp.mirror.content.read(v + 1)
+            rg = rgc.take_all() if rgc is not None else []
+            key = lambda r: tuple(sorted(r.items()))
+            assert sorted(map(key, rg)) == sorted(map(key, mem)), \
+                f"{stage} v{v+1}"
