@@ -87,6 +87,14 @@ def run_flagship(input_path: str, out_dir: str,
     summary["wall_sec"] = round(wall, 3)
     summary["throughput_mbps"] = round(
         summary["input_bytes"] / wall / 1e6, 2)
+    # decode path: stream every encoded partition back to rows
+    from parquet_producers_ray.pipelines.flagship import decode_pipeline
+    t0 = time.perf_counter()
+    n = decode_pipeline(out_dir).count()
+    dwall = time.perf_counter() - t0
+    summary["decode_sec"] = round(dwall, 3)
+    summary["decode_mbps"] = round(summary["input_bytes"] / dwall / 1e6, 2)
+    assert n == summary["rows"], (n, summary["rows"])
     return summary
 
 

@@ -896,6 +896,28 @@ WHERE NOT (doc_id % 97 = 0 AND doc_id % 100 <> 1)
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling: multiplicative-hash row sample (stable across
+# runs/partitionings — the property a training-data pipeline needs;
+# `ds.random_sample` is the non-reproducible alternative)
+
+def q_sample_hash(sf_dir: str, pct: int = 10):
+    def fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        return b.filter(pa.array(h % np.uint64(100) < pct))
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -925,6 +947,7 @@ REGISTRY = {
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
 }
 
 
