@@ -200,24 +200,108 @@ def produce_adds(spec: StageSpec, source_updates):
             .map_groups(_produce_group_fn(spec), batch_format="pyarrow"))
 
 
-def _label_feed_group(spec: StageSpec):
+def _tk_run_bounds(batch: pa.Table, tk: list) -> np.ndarray:
+    """Indices where a new target-key run starts within a sorted batch
+    (vectorized per column, no Python per row)."""
+    n = len(batch)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in tk:
+        col = batch.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        new[1:] |= vals[1:] != vals[:-1]
+    return new
+
+
+def label_feed_sorted(spec: StageSpec, flagged_sorted):
+    """Vectorized feed labeling over the (tk, sk, _seq)-sorted, flagged
+    (ISNEW per row) and MATERIALIZED dataset.
+
+    The per-key ``groupby().map_groups`` formulation costs one Python
+    call per target key — unusable at 10^12 keys.  Here each block
+    labels its runs vectorized; a cheap first pass collects per-block
+    first/last keys so runs straddling block boundaries get their Add
+    flag and within-key positions stitched by a broadcast fix-up map.
+    """
+    import ray
+
     tk, sk, vals = spec.target_key, spec.stored_sk, spec.value_columns
 
-    def fn(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(c, "ascending") for c in sk + [SEQ_COL]])
-        is_new = bool(g.column(ISNEW_COL)[0].as_py())
-        n = len(g)
-        types = np.full(n, UPDATE, dtype=np.int8)
-        if is_new and n:
-            types[0] = ADD
-        out = g.select(tk + vals + sk + [SEQ_COL])
-        out = out.append_column(TYPE_COL, pa.array(types))
-        # within-key position: downstream stages consuming this feed use
-        # it to restore the reference's value order (Producer.cs:181)
-        return out.append_column(UPD_SEQ_COL,
-                                 pa.array(np.arange(n), type=pa.int64()))
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.Table.from_pylist([])
+        new = _tk_run_bounds(b, tk)
+        last_start = int(np.flatnonzero(new)[-1])
+        row = {}
+        for c in tk:
+            row["first_" + c] = b.column(c)[0].as_py()
+            row["last_" + c] = b.column(c)[-1].as_py()
+        for c in sk + [SEQ_COL]:
+            row["key_" + c] = b.column(c)[0].as_py()
+        row["last_run_len"] = len(b) - last_start
+        return pa.Table.from_pylist([row])
 
-    return fn
+    summaries = flagged_sorted.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow").take_all()
+    # order blocks exactly as the dataset sort did (per-column stable
+    # passes honoring descending target-key flags)
+    desc = spec.target_sort_desc()
+    for c in reversed(sk + [SEQ_COL]):
+        summaries.sort(key=lambda r, c=c: r["key_" + c])
+    for i in range(len(tk) - 1, -1, -1):
+        summaries.sort(key=lambda r, c=tk[i]: r["first_" + c],
+                       reverse=desc[i])
+    # walk blocks in key order tracking (carry_tk, carry_cnt) = the tk
+    # of the last run seen and its accumulated row count; a block whose
+    # first tk equals carry_tk starts mid-group: its first run is not
+    # group-first and its positions begin at carry_cnt
+    fixups: dict = {}
+    carry_tk, carry_cnt = None, 0
+    for r in summaries:
+        first_tk = tuple(r["first_" + c] for c in tk)
+        last_tk = tuple(r["last_" + c] for c in tk)
+        block_id = first_tk + tuple(r["key_" + c] for c in sk + [SEQ_COL])
+        continues = first_tk == carry_tk
+        if continues:
+            fixups[block_id] = carry_cnt
+        if continues and first_tk == last_tk:
+            carry_cnt += r["last_run_len"]   # single-tk block extends it
+        else:
+            carry_cnt = r["last_run_len"]
+        carry_tk = last_tk
+    fix_ref = ray.put(fixups)
+
+    def label(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            out = b.select(tk + vals)
+            out = out.append_column(TYPE_COL, pa.array([], type=pa.int8()))
+            return out.append_column(UPD_SEQ_COL,
+                                     pa.array([], type=pa.int64()))
+        import ray as _ray
+        fx = _ray.get(fix_ref)
+        n = len(b)
+        new = _tk_run_bounds(b, tk)
+        block_id = tuple(b.column(c)[0].as_py() for c in tk) \
+            + tuple(b.column(c)[0].as_py() for c in sk + [SEQ_COL])
+        carry = fx.get(block_id)
+        run_id = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)
+        pos = np.arange(n, dtype=np.int64) - run_start[run_id]
+        group_first = new.copy()
+        if carry is not None:
+            group_first[0] = False
+            pos[run_id == 0] += carry
+        isnew = b.column(ISNEW_COL).to_numpy(
+            zero_copy_only=False).astype(bool)
+        types = np.where(group_first & isnew, ADD, UPDATE).astype(np.int8)
+        out = b.select(tk + vals)
+        out = out.append_column(TYPE_COL, pa.array(types))
+        return out.append_column(UPD_SEQ_COL, pa.array(pos))
+
+    return flagged_sorted.map_batches(label, batch_size=None,
+                                      batch_format="pyarrow")
 
 
 def _sorted_by_target_order(tks: set, descending: list) -> list:
@@ -384,8 +468,11 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                                    pa.array(m.astype(np.int8)))
 
     flagged = after.map_batches(flag, batch_format="pyarrow")
-    feed = (flagged.groupby(tk)
-            .map_groups(_label_feed_group(spec), batch_format="pyarrow"))
+    sorted_flagged = flagged.sort(
+        tk + sk + [SEQ_COL],
+        descending=spec.target_sort_desc()
+        + [False] * (len(sk) + 1)).materialize()
+    feed = label_feed_sorted(spec, sorted_flagged)
 
     if dead_tks:
         # Suppressed-delete semantics (F8): a touched target key with no
@@ -398,19 +485,13 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                                type=tk_schema.field(c).type)
         for c in vals:
             cols[c] = pa.nulls(n, spec.out_schema.field(c).type)
-        sk_schema = spec.source_key_schema
-        for c, raw in zip(sk, raw_sk):
-            cols[c] = pa.nulls(n, sk_schema.field(raw).type
-                               if sk_schema is not None else pa.null())
-        cols[SEQ_COL] = pa.nulls(n, pa.int64())
         cols[TYPE_COL] = pa.array(np.full(n, DELETE, np.int8))
         cols[UPD_SEQ_COL] = pa.array(np.zeros(n, np.int64))
-        deletes = pa.table(cols).select(tk + vals + sk
-                                        + [SEQ_COL, TYPE_COL, UPD_SEQ_COL])
-        feed = feed.union(ray.data.from_arrow(deletes))
-
-    feed = feed.sort(tk + sk + [SEQ_COL],
-                     descending=spec.target_sort_desc()
-                     + [False] * (len(sk) + 1))
-    feed = feed.drop_columns(sk + [SEQ_COL])
+        deletes = pa.table(cols).select(tk + vals
+                                        + [TYPE_COL, UPD_SEQ_COL])
+        # the labeled stream is already sorted; merging the (delta-sized)
+        # deletes needs one small re-sort
+        feed = feed.union(ray.data.from_arrow(deletes)).sort(
+            tk + [UPD_SEQ_COL],
+            descending=spec.target_sort_desc() + [False])
     return new_content, mappings, feed

@@ -103,9 +103,16 @@ def engine_apply(prev, batch: dict):
     prev_c = ray.data.from_arrow(prev[0]) if prev else None
     prev_m = ray.data.from_arrow(prev[1]) if prev else None
     c, m, f = apply_updates(SPEC, updates_from_table(tbl), prev_c, prev_m)
-    ct = pa.Table.from_pylist(c.take_all(), schema=c.schema().base_schema)
-    mt = pa.Table.from_pylist(m.take_all(), schema=m.schema().base_schema)
-    ft = pa.Table.from_pylist(f.take_all(), schema=f.schema().base_schema)
+
+    def tbl_of(ds, fallback):
+        sch = ds.schema()
+        return pa.Table.from_pylist(
+            ds.take_all(),
+            schema=sch.base_schema if sch is not None else fallback)
+
+    ct = tbl_of(c, SPEC.content_schema())
+    mt = tbl_of(m, SPEC.mapping_schema())
+    ft = tbl_of(f, SPEC.feed_schema())
     return ct, mt, ft
 
 
