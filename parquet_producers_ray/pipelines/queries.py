@@ -490,12 +490,11 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
 
         from ..functions.dedup import _token_hashes
         need = sorted({i for p in cand for i in p})
-        need_set = set(need)
         shingles: dict = {}
+        need_arr = pa.array(need, type=pa.int64())
         for batch in docs.iter_batches(batch_format="pyarrow"):
-            mask = pa.array([i in need_set
-                             for i in batch.column("doc_id").to_pylist()])
-            sub = batch.filter(mask)
+            sub = batch.filter(pc.is_in(batch.column("doc_id"),
+                                        value_set=need_arr))
             if len(sub) == 0:
                 continue
             h, counts = _token_hashes(sub, "text", 2)
@@ -581,10 +580,10 @@ def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
                                         merge_topk)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # collect ONLY the query vectors (filter pushes to the read tasks)
     qtbl = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_format="pyarrow")])
-    mask = pa.compute.less(qtbl.column("vec_id"), n_queries)
-    qtbl = qtbl.filter(mask)
+        list(ds.filter(expr=f"vec_id < {n_queries}")
+             .iter_batches(batch_format="pyarrow")))
     qref = ray.put((qtbl.column("vec_id").to_numpy(zero_copy_only=False),
                     embedding_matrix(qtbl)))
 
