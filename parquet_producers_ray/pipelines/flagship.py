@@ -35,7 +35,11 @@ import pyarrow.parquet as pq
 from ..engine import manifest as mf
 from ..stages.encode import decode_segment, encode_table
 
-DEFAULT_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+# Measured locally (BASELINE.md): encode throughput peaks with ~16-32 MiB
+# partitions — the per-task sort + FSST temporaries blow caches well
+# before the 128 MiB "classic" target; on real multi-node hardware this
+# is a tunable, and partition counts stay data-derived either way.
+DEFAULT_TARGET_PARTITION_BYTES = 32 * 1024 * 1024
 
 
 def add_bucket(batch: pa.Table, num_buckets: int,

@@ -141,3 +141,23 @@ def test_read_keys_prunes_partitions(ray_session, tmp_path):
     t = mirror.content.read_keys(1, want)
     got = {(u,) for u in t.column("url").to_pylist()}
     assert got == want
+
+
+def test_oversized_partition_splits(ray_session, tmp_path):
+    base, mirror = _bootstrap(tmp_path, rows=1000, target_rows=200)
+    m1 = mirror.content.manifest(1)
+    # add 900 new urls all clustered past the end of the url space
+    add = generate_table(900, seed=77)
+    add_urls = pa.array([f"https://zzz.example/p/{i:05d}"
+                         for i in range(900)])
+    add = add.set_column(add.column_names.index("url"), "url",
+                         add_urls).cast(base.schema)
+    mirror.apply(updates_with_type(add), 1)
+    m2 = mirror.content.manifest(2)
+    # the single rightmost partition absorbed 900 rows > 2*target and split
+    assert len(m2["partitions"]) > len(m1["partitions"])
+    parts = m2["partitions"]
+    for a, b in zip(parts, parts[1:]):
+        assert tuple(a["max"]) <= tuple(b["min"])
+    got = _content_rows(mirror, 2)
+    assert len(got) == 1900
