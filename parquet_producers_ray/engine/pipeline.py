@@ -243,17 +243,14 @@ class RangedProducer(Producer):
     touches and hardlinks the rest.  The DAG/cascade semantics are the
     base class's; only the storage + apply path differ.
 
-    Current limits: surrogate-id preservation not supported here (use
-    the Dataset-store Producer), and incremental deltas are assumed
-    delta-sized (they are collected to drive range pruning).
+    Incremental deltas are assumed delta-sized (they are collected to
+    drive range pruning); surrogate-id lookups are range-pruned point
+    reads of the previous version.
     """
 
     def __init__(self, root: str, spec: StageSpec,
                  sources: list | None = None,
                  target_rows: int = 100_000):
-        if spec.preserver is not None:
-            raise NotImplementedError(
-                "surrogate-id preservation on the ranged store")
         super().__init__(None, spec, sources)
         import os as _os
 

@@ -111,11 +111,66 @@ class IncrementalMirror:
         plain versioned parquet dir."""
         from ..engine.produce import apply_updates
 
+        if self.spec.preserver is not None:
+            state = self._read_state()
+            self.spec.preserver.next_id = int(state.get("next_id", 1))
         content, mappings, feed = apply_updates(self.spec, updates_ds,
                                                 None, None)
         self.content.write_full(content, version)
         self.mappings.write_full(mappings, version)
         self._write_feed_ds(feed, version)
+        if self.spec.preserver is not None:
+            state["next_id"] = self.spec.preserver.next_id
+            self._write_state(state)
+
+    def _preserve_ids(self, adds: pa.Table, version: int) -> pa.Table:
+        """F9/U12 on the ranged store: example ids come from the
+        previous version's content via RANGE-PRUNED point lookups (no
+        table scan); fresh ids allocate in target-key order from the
+        counter persisted beside the table."""
+        from ..engine.produce import _sorted_by_target_order
+
+        spec = self.spec
+        tk = spec.target_key
+        idc = spec.preserver.id_column
+        state = self._read_state()
+        spec.preserver.next_id = int(state.get("next_id", 1))
+
+        add_tks = _collect(adds, tk)
+        prev = self.content.read_keys(version, add_tks)
+        prev_ids: dict = {}
+        if prev is not None:
+            for *t, i in zip(*([prev.column(c).to_pylist() for c in tk]
+                               + [prev.column(idc).to_pylist()])):
+                prev_ids.setdefault(tuple(t), i)
+        for t in _sorted_by_target_order(add_tks - prev_ids.keys(),
+                                         spec.target_sort_desc()):
+            prev_ids[t] = spec.preserver.next_id
+            spec.preserver.next_id += 1
+        tups = zip(*(adds.column(c).to_pylist() for c in tk))
+        ids = pa.array([prev_ids[t] for t in tups],
+                       type=spec.out_schema.field(idc).type)
+        state["next_id"] = spec.preserver.next_id
+        self._write_state(state)
+        return adds.set_column(adds.column_names.index(idc), idc, ids)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.root, "_state.json")
+
+    def _read_state(self) -> dict:
+        import json
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_state(self, state: dict) -> None:
+        import json
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path())
 
     # -- one incremental version ---------------------------------------------
 
@@ -137,6 +192,8 @@ class IncrementalMirror:
         adds = pa.concat_tables(
             list(adds_ds.iter_batches(batch_format="pyarrow"))) \
             if adds_ds.count() else spec.content_schema().empty_table()
+        if spec.preserver is not None and len(adds):
+            adds = self._preserve_ids(adds, version)
 
         updated_sks = _collect(updates_tbl, raw_sk)
         prior = self.mappings.read_keys(version, updated_sks)

@@ -298,3 +298,55 @@ def test_ranged_producer_matches_dataset_producer(stores, tmp_path):
             key = lambda r: tuple(sorted(r.items()))
             assert sorted(map(key, rg)) == sorted(map(key, mem)), \
                 f"{stage} v{v+1}"
+
+
+def test_preserving_values_on_ranged_store(ray_session, tmp_path):
+    """The PreservingValues golden (Tests:558-672) through
+    RangedProducer: ids preserved via range-pruned point lookups, the
+    counter persisted in the stage state file."""
+    from parquet_producers_ray.engine.pipeline import RangedProducer
+
+    spec = StageSpec(
+        name="wordsRanged", produce=word_gen_produce,
+        source_key=["id"], target_key=["word"],
+        value_columns=["wid"], source_value_columns=["w"],
+        out_schema=pa.schema([pa.field("word", STR), pa.field("wid", INT)]),
+        source_schema=WORDS_SPEC_SCHEMA,
+        preserver=SurrogateIdPreserver(id_column="wid"))
+    words = RangedProducer(str(tmp_path / "pv"), spec, target_rows=4)
+
+    def upd(rows, v):
+        words.update(pa.Table.from_pylist(
+            rows, schema=pa.schema(list(WORDS_SPEC_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())])), v)
+
+    def content(v):
+        t = words.mirror.content.read(v).take_all()
+        return sorted((r["word"], r["_sk_id"], r["wid"]) for r in t)
+
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "budgie", TYPE_COL: UPDATE},
+         {"id": 2, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 2, "w": "cat", TYPE_COL: UPDATE},
+         {"id": 3, "w": "eagle", TYPE_COL: UPDATE},
+         {"id": 3, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 3, "w": "cat", TYPE_COL: UPDATE}], 0)
+    assert content(1) == [
+        ("budgie", 1, 1), ("cat", 2, 2), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 2, 3), ("dog", 3, 3), ("eagle", 3, 4)]
+
+    upd([{"id": 2, "w": "frog", TYPE_COL: UPDATE},
+         {"id": 2, "w": "eagle", TYPE_COL: UPDATE},
+         {"id": 2, "w": "ant", TYPE_COL: UPDATE}], 1)
+    assert content(2) == [
+        ("ant", 2, 5), ("budgie", 1, 1), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
+
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "frog", TYPE_COL: UPDATE}], 2)
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "budgie", TYPE_COL: UPDATE}], 3)
+    # budgie re-added in a later version -> FRESH id 7
+    assert content(4) == [
+        ("ant", 2, 5), ("budgie", 1, 7), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
