@@ -21,22 +21,25 @@ int64_t fsst_encode(const uint8_t *data, const int64_t *offs,
                     int64_t n_strings, const uint8_t *sym_bytes,
                     const uint8_t *sym_lens, int32_t n_syms,
                     uint8_t *out, int64_t *out_offs) {
-    /* per-first-byte candidate lists, longest symbol first */
-    int16_t head[256];
+    /* per-first-TWO-byte candidate chains, longest symbol first (web
+     * markup makes single-byte dispatch degenerate: every '<'-headed
+     * symbol lands in one chain) */
+    int16_t head2[65536];   /* 128 KiB stack: fine, keeps reentrancy */
     int16_t nxt[MAX_SYMS];
     int16_t single[256];
     int32_t i;
     int len_pass;
-    memset(head, 0xff, sizeof(head));
+    memset(head2, 0xff, sizeof(head2));
     memset(nxt, 0xff, sizeof(nxt));
     memset(single, 0xff, sizeof(single));
-    /* insert in ascending length so lists end up longest-first */
+    /* insert in ascending length so chains end up longest-first */
     for (len_pass = 2; len_pass <= 8; len_pass++) {
         for (i = 0; i < n_syms; i++) {
             if (sym_lens[i] == len_pass) {
-                uint8_t b = sym_bytes[i * 8];
-                nxt[i] = head[b];
-                head[b] = (int16_t)i;
+                uint32_t b2 = ((uint32_t)sym_bytes[i * 8] << 8)
+                    | sym_bytes[i * 8 + 1];
+                nxt[i] = head2[b2];
+                head2[b2] = (int16_t)i;
             }
         }
     }
@@ -51,15 +54,19 @@ int64_t fsst_encode(const uint8_t *data, const int64_t *offs,
         while (pos < end) {
             uint8_t b = data[pos];
             int64_t rem = end - pos;
-            int16_t k = head[b];
             int16_t best = -1;
-            while (k >= 0) {
-                uint8_t L = sym_lens[k];
-                if (L <= rem && memcmp(data + pos, sym_bytes + k * 8, L) == 0) {
-                    best = k;
-                    break;
+            if (rem >= 2) {
+                uint32_t b2 = ((uint32_t)b << 8) | data[pos + 1];
+                int16_t k = head2[b2];
+                while (k >= 0) {
+                    uint8_t L = sym_lens[k];
+                    if (L <= rem
+                        && memcmp(data + pos, sym_bytes + k * 8, L) == 0) {
+                        best = k;
+                        break;
+                    }
+                    k = nxt[k];
                 }
-                k = nxt[k];
             }
             if (best >= 0) {
                 *o++ = (uint8_t)best;
