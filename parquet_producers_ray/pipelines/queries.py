@@ -317,6 +317,24 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_stream_encode(sf_dir: str):
+    """In-flight columnar encode → decode as a stateful actor-pool
+    ``map_batches`` chain: ``EncoderPool`` trains FSST/dict symbol
+    tables once per actor and reuses them across batches (north-rule
+    "stateful actor pools own FSST/dict symbol tables across
+    map_batches calls"); every encoded segment decodes back
+    bit-identical, verified by the oracle hash over all columns."""
+    from ..stages.encode import EncoderPool, decode_segments_batch
+
+    ds = _read(sf_dir, "documents")
+    seg = ds.map_batches(EncoderPool, batch_format="pyarrow",
+                         batch_size=8192, concurrency=2)
+    return seg.map_batches(decode_segments_batch, batch_format="pyarrow")
+
+
+SQL_STREAM_ENCODE = SQL_ENCODE_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (SURVEY.md §2 "beyond the reference": token counting,
 # quality scoring, language-ID, fingerprinting)
@@ -930,6 +948,7 @@ REGISTRY = {
     "u11_distinct": (q_u11_distinct, SQL_U11),
     "u14_scalars": (q_u14_scalars, SQL_U14),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
+    "stream_encode": (q_stream_encode, SQL_STREAM_ENCODE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

@@ -71,6 +71,28 @@ def decode_segment(seg: pa.Table) -> pa.Table:
     return pa.table(cols, schema=schema)
 
 
+def decode_segments_batch(batch: pa.Table) -> pa.Table:
+    """Decode a batch holding one or MORE concatenated segments.
+
+    Ray Data may coalesce the outputs of several encode calls into one
+    block between ``map_batches`` stages; each segment lists every
+    source column exactly once and segments are contiguous, so a repeat
+    of an already-seen column name marks a segment boundary.
+    """
+    names = batch.column("column").to_pylist()
+    bounds, seen = [0], set()
+    for i, n in enumerate(names):
+        if n in seen:
+            bounds.append(i)
+            seen = {n}
+        else:
+            seen.add(n)
+    bounds.append(len(names))
+    parts = [decode_segment(batch.slice(s, e - s))
+             for s, e in zip(bounds[:-1], bounds[1:])]
+    return pa.concat_tables(parts)
+
+
 class EncoderPool:
     """Actor-pool encode stage for ``map_batches``.
 

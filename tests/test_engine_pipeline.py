@@ -350,3 +350,32 @@ def test_preserving_values_on_ranged_store(ray_session, tmp_path):
     assert content(4) == [
         ("ant", 2, 5), ("budgie", 1, 7), ("cat", 3, 2), ("dog", 1, 3),
         ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
+
+
+def test_empty_feed_cascade_through_parquet_store(ray_session, tmp_path):
+    """A no-op update wave writes an EMPTY update feed; through
+    ParquetStore that reads back as a zero-file, schema-less dataset
+    (write_parquet emits no files for 0 rows) — the cascade must still
+    carry version N+1 through every downstream stage unchanged."""
+    from parquet_producers_ray.engine.io import ParquetStore
+
+    store = ParquetStore(str(tmp_path / "store"))
+    s1 = Producer(store, text_spec("s1"))
+    s2 = s1.produces(text_spec("s2"))
+
+    s1.update(updates_from_table(upd_table([
+        {"id": 1, "phrase": "a", TYPE_COL: ADD},
+        {"id": 2, "phrase": "b", TYPE_COL: ADD}])), 0)
+    assert table_of(store, "s2", "content", 1, ["id", "phrase"]) == [
+        (1, "a"), (2, "b")]
+
+    # wave 2: update carrying identical values -> s1 emits an empty feed
+    s1.update(updates_from_table(upd_table(
+        [{"id": 1, "phrase": "a", TYPE_COL: ADD}])), 1)
+    assert table_of(store, "s2", "content", 2, ["id", "phrase"]) == [
+        (1, "a"), (2, "b")]
+
+    # wave 3: an entirely empty external batch
+    s1.update(updates_from_table(upd_table([])), 2)
+    assert table_of(store, "s2", "content", 3, ["id", "phrase"]) == [
+        (1, "a"), (2, "b")]

@@ -108,3 +108,19 @@ def test_resume_skips_completed_partitions(encoded_dir):
     s3 = F.summarize(man3)
     assert s3["skipped_partitions"] == 7
     assert len(mf.list_manifests(out + "/enc")) == 8
+
+
+def test_decode_segments_batch_coalesced(ray_session):
+    """Ray may coalesce several encode outputs into one block; the
+    decode stage must split on segment boundaries (repeated column
+    name) and reassemble all rows."""
+    from parquet_producers_ray.stages.encode import (decode_segments_batch,
+                                                     encode_table)
+
+    t1 = pa.table({"k": ["a", "b"], "v": [1, 2]})
+    t2 = pa.table({"k": ["c", None], "v": [3, None]})
+    seg1, _ = encode_table(t1)
+    seg2, _ = encode_table(t2)
+    merged = pa.concat_tables([seg1, seg2])
+    out = decode_segments_batch(merged)
+    assert out.equals(pa.concat_tables([t1, t2]))
