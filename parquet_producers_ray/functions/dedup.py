@@ -52,6 +52,64 @@ def _token_hashes(batch: pa.Table, text_col: str, ngram: int = 1):
     return h, lengths
 
 
+def distinct_gram_rows(batch: pa.Table, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 2) -> pa.Table:
+    """Inverted-index rows for exact n-gram Jaccard: one row per
+    DISTINCT (doc, gram) with the doc's distinct-gram count attached,
+    so the downstream pair aggregation gets |A| and |B| for free.
+    Output: (gram:int64, doc_id, n_grams:int64)."""
+    h, counts = _token_hashes(batch, text_col, ngram)
+    ids = batch.column(id_col).combine_chunks()
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
+                        counts.astype(np.int64))
+    order = np.lexsort((h, doc_idx))
+    hs, di = h[order], doc_idx[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
+    hs, di = np.ascontiguousarray(hs[keep]), di[keep]
+    n_grams = np.bincount(di, minlength=len(ids))
+    return pa.table({"gram": pa.array(hs.view(np.int64)),
+                     "doc_id": ids.take(pa.array(di)),
+                     "n_grams": pa.array(n_grams[di])})
+
+
+def gram_pair_rows(block: pa.Table, max_df: int | None = None) -> pa.Table:
+    """Co-occurrence pairs within one hash-partitioned block of
+    inverted-index rows (every gram's postings are co-located by the
+    repartition on ``gram``): for each gram shared by k docs, emit the
+    k·(k-1)/2 ordered pairs.  ``max_df`` drops stop-grams with more
+    than that many postings — the scale knob that bounds the quadratic
+    blowup at 10^12 docs (disabled when None for exact small-scale
+    oracle parity)."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64())})
+    if block.num_rows == 0:
+        return empty
+    block = block.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+    g = block.column("gram").to_numpy(zero_copy_only=False)
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    ns = block.column("n_grams").to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.diff(g)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(g)]))
+    ia, ib = [], []
+    for s, e in zip(starts, ends):
+        k = int(e - s)
+        if k < 2 or (max_df is not None and k > max_df):
+            continue
+        i, j = np.triu_indices(k, 1)
+        ia.append(s + i)
+        ib.append(s + j)
+    if not ia:
+        return empty
+    i = np.concatenate(ia)
+    j = np.concatenate(ib)
+    return pa.table({"id_a": pa.array(ids[i]), "id_b": pa.array(ids[j]),
+                     "n_a": pa.array(ns[i]), "n_b": pa.array(ns[j])})
+
+
 def minhash_signatures(batch: pa.Table, text_col: str = "text",
                        num_perm: int = 64, ngram: int = 2,
                        seed: int = 7) -> np.ndarray:

@@ -101,6 +101,101 @@ def merge_topk(candidates: pa.Table, k: int) -> pa.Table:
     })
 
 
+def kmeans_centroids(sample: np.ndarray, k: int = 16,
+                     iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means over a normalized sample (init = the
+    first k sample rows, cosine assignment): the IVF coarse quantizer.
+    Returns (k, dim) normalized centroids."""
+    x = normalize(np.asarray(sample, dtype=np.float64))
+    k = min(k, x.shape[0])
+    c = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            sel = x[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = normalize(c)
+    return c
+
+
+def ivf_assign(batch: pa.Table, centroids: np.ndarray,
+               col: str = "embedding") -> pa.Table:
+    """Route each vector to its nearest coarse centroid (adds an int64
+    ``bucket`` column); the following hash exchange on ``bucket``
+    co-locates each inverted list."""
+    m = normalize(embedding_matrix(batch, col))
+    if m.shape[0] == 0:
+        return batch.append_column("bucket", pa.array([], type=pa.int64()))
+    assign = np.argmax(m @ centroids.T, axis=1).astype(np.int64)
+    return batch.append_column("bucket", pa.array(assign))
+
+
+class IVFTopK:
+    """Actor-pool scoring stage over bucket-partitioned blocks: each
+    bucket group in a block is scored ONLY against the queries whose
+    ``nprobe`` nearest centroids include that bucket — the IVF pruning
+    that makes ANN sub-linear at scale (vs BruteForceTopK's full scan).
+    Emits the same (query_id, neighbor_id, sim) candidate rows, merged
+    by :func:`merge_topk`."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) \
+            else queries_ref
+        self.query_ids, qm = q
+        self.qm = normalize(np.asarray(qm, dtype=np.float64))
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref,
+                                                     np.ndarray) \
+            else centroids_ref
+        self.centroids = np.asarray(c, dtype=np.float64)
+        nprobe = min(nprobe, self.centroids.shape[0])
+        order = np.argsort(-(self.qm @ self.centroids.T), axis=1)
+        # probe_mask[q, b] — does query q probe bucket b
+        self.probe_mask = np.zeros(
+            (self.qm.shape[0], self.centroids.shape[0]), dtype=bool)
+        rows = np.repeat(np.arange(self.qm.shape[0]), nprobe)
+        self.probe_mask[rows, order[:, :nprobe].reshape(-1)] = True
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.sort_by("bucket")
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = normalize(embedding_matrix(batch, self.col))
+        bounds = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(buckets)]))
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            qsel = np.flatnonzero(self.probe_mask[:, int(buckets[s])])
+            if len(qsel) == 0:
+                continue
+            sims = self.qm[qsel] @ m[s:e].T          # (probing, group)
+            k = min(self.k, sims.shape[1])
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            qidx = np.repeat(qsel, k)
+            nidx = part.reshape(-1)
+            out_q.append(np.asarray(self.query_ids)[qidx])
+            out_n.append(ids[s + nidx])
+            out_s.append(sims[np.repeat(np.arange(len(qsel)), k), nidx])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
 def lsh_bucket_rows(batch: pa.Table, nplanes: int = 16,
                     id_col: str = "vec_id", col: str = "embedding",
                     seed: int = 13) -> pa.Table:

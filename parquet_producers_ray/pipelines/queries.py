@@ -551,6 +551,60 @@ def q_dedup_simhash(sf_dir: str):
         fn, batch_format="pyarrow")
 
 
+def q_dedup_jaccard(sf_dir: str):
+    """Exact n-gram (word-bigram) Jaccard near-dup pairs at τ = 0.5 via
+    the distributed inverted index: distinct (gram, doc) rows → ONE
+    hash exchange on ``gram`` co-locates each posting list → pairwise
+    co-occurrence rows → groupby (id_a, id_b) counts the intersection →
+    integer-exact filter 2·|A∩B| ≥ |A∪B|.  No all-pairs scan anywhere;
+    at web scale a ``max_df`` stop-gram cap bounds the quadratic term
+    (disabled here for exact oracle parity)."""
+    from ray.data.aggregate import Count, Max
+
+    from ..functions.dedup import distinct_gram_rows, gram_pair_rows
+
+    grams = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: distinct_gram_rows(b, "doc_id"), batch_format="pyarrow")
+    # key-based repartition needs the hash-shuffle backend (same setup
+    # as pipelines/flagship.py); cap aggregators so the exchange can't
+    # starve the map tasks on small CPU counts.
+    if hasattr(grams, "context"):
+        import ray
+        from ray.data.context import ShuffleStrategy
+        grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        grams.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    pairs = grams.repartition(8, keys=["gram"]).map_batches(
+        gram_pair_rows, batch_format="pyarrow", batch_size=None)
+    merged = (pairs.groupby(["id_a", "id_b"])
+              .aggregate(Count("n_a", alias_name="inter"),
+                         Max("n_a", alias_name="n_a"),
+                         Max("n_b", alias_name="n_b")))
+
+    def jfilter(b: pa.Table) -> pa.Table:
+        inter = b.column("inter").to_numpy(zero_copy_only=False)
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        m = 2 * inter >= na + nb - inter
+        return b.filter(pa.array(m)).select(["id_a", "id_b"])
+    return merged.map_batches(jfilter, batch_format="pyarrow")
+
+
+SQL_DEDUP_JACCARD = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || chr(31) || w[i+1])) AS g
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE 2 * len(list_intersect(a.g, b.g)) >= len(list_distinct(a.g || b.g))
+"""
+
+
 def q_embed_neardup_pairs(sf_dir: str, threshold: float = 0.45):
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
     Brute-force blockwise: each batch multiplies against the broadcast
@@ -624,6 +678,53 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM embeddings q, embeddings e
   WHERE q.vec_id < 5) WHERE rank <= 10
 """
+
+
+def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
+              n_centroids: int = 16, nprobe: int = 8):
+    """IVF approximate top-k (the ANN scale path): deterministic
+    k-means coarse quantizer over a sample → every vector routes to its
+    nearest centroid → ONE hash exchange on ``bucket`` builds the
+    inverted lists → each list is scored only against the queries whose
+    ``nprobe`` nearest centroids include it.  Sub-linear in corpus size
+    (brute force is the `ann_topk` baseline); rows-only check — results
+    are approximate by design (recall vs brute force is asserted in
+    tests/test_functions.py)."""
+    import ray
+
+    from ..functions.similarity import (IVFTopK, embedding_matrix,
+                                        ivf_assign, kmeans_centroids,
+                                        merge_topk)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        list(ds.filter(expr=f"vec_id < {n_queries}")
+             .iter_batches(batch_format="pyarrow")))
+    qref = ray.put((qtbl.column("vec_id").to_numpy(zero_copy_only=False),
+                    embedding_matrix(qtbl)))
+    # train the coarse quantizer on a deterministic sample (at scale:
+    # a random_shuffle().limit() sample, trained once and ray.put)
+    sample = pa.concat_tables(list(
+        ds.limit(1024).iter_batches(batch_format="pyarrow")))
+    centroids = kmeans_centroids(embedding_matrix(sample), n_centroids)
+    cref = ray.put(centroids)
+
+    if hasattr(ds, "context"):
+        from ray.data.context import ShuffleStrategy
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    binned = ds.map_batches(ivf_assign, batch_format="pyarrow",
+                            fn_kwargs={"centroids": centroids})
+    cands = (binned.repartition(8, keys=["bucket"])
+             .map_batches(IVFTopK, batch_format="pyarrow",
+                          batch_size=None, concurrency=2,
+                          fn_constructor_args=(qref, cref, k, nprobe)))
+    cand_tbl = pa.concat_tables(
+        [b for b in cands.iter_batches(batch_format="pyarrow")])
+    import ray.data
+    return ray.data.from_arrow(merge_topk(cand_tbl, k))
 
 
 # ---------------------------------------------------------------------------
@@ -956,8 +1057,10 @@ REGISTRY = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf": (q_ann_ivf, None),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),

@@ -166,3 +166,64 @@ def test_dedup_queries_collapse_injected_duplicates(ray_session, tmp_path):
     assert reps[2] == 1         # exact dup clusters with 1
     assert reps[3] == 1         # near dup clusters with 1
     assert reps[4] == 4         # unrelated keeps itself
+
+
+def test_inverted_index_jaccard_matches_direct():
+    """distinct_gram_rows + gram_pair_rows reproduce the direct
+    set-based bigram Jaccard on a corpus with known near-dups."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the quick brown fox jumps",
+                 "the quick brown fox leaps",   # near-dup of 1
+                 "a completely different text body",
+                 "the quick brown fox jumps"],  # exact dup of 1
+    })
+    grams = dedup.distinct_gram_rows(docs, "doc_id")
+    # per-doc distinct bigram counts: 4 bigrams each for docs 1/2/4
+    n_by_doc = {}
+    for r in grams.to_pylist():
+        n_by_doc[r["doc_id"]] = r["n_grams"]
+    assert n_by_doc[1] == 4 and n_by_doc[3] == 4
+
+    pairs = dedup.gram_pair_rows(grams)
+    inter = {}
+    for r in pairs.to_pylist():
+        k = (r["id_a"], r["id_b"])
+        inter[k] = inter.get(k, 0) + 1
+        assert r["n_a"] == n_by_doc[r["id_a"]]
+        assert r["n_b"] == n_by_doc[r["id_b"]]
+    assert inter[(1, 4)] == 4          # exact dup: all 4 bigrams shared
+    assert inter[(1, 2)] == 3          # one differing tail bigram
+    assert (1, 3) not in inter         # disjoint docs never pair
+    # threshold check 2*inter >= union
+    assert 2 * inter[(1, 4)] >= 4 + 4 - inter[(1, 4)]
+    assert 2 * inter[(1, 2)] >= 4 + 4 - inter[(1, 2)]
+
+
+def test_gram_pair_rows_max_df_caps_stop_grams():
+    grams = pa.table({
+        "gram": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        "doc_id": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "n_grams": pa.array([5, 5, 5, 5, 5], pa.int64())})
+    capped = dedup.gram_pair_rows(grams, max_df=2)
+    assert {(r["id_a"], r["id_b"]) for r in capped.to_pylist()} == {(1, 2)}
+    full = dedup.gram_pair_rows(grams)
+    assert full.num_rows == 3 + 1
+
+
+def test_ivf_recall_and_full_probe_exactness(ray_session):
+    """IVF with nprobe = n_centroids scans everything → must equal the
+    brute-force top-k; at nprobe = half the centroids, recall@10 stays
+    high on clustered synthetic data."""
+    from parquet_producers_ray.pipelines.queries import q_ann_ivf, q_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in q_ann_topk(sf).take_all()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in q_ann_ivf(sf, n_centroids=8, nprobe=8).take_all()}
+    assert full == exact
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in q_ann_ivf(sf, n_centroids=8, nprobe=4).take_all()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
