@@ -73,14 +73,17 @@ def distinct_gram_rows(batch: pa.Table, id_col: str = "doc_id",
                      "n_grams": pa.array(n_grams[di])})
 
 
-def gram_pair_rows(block: pa.Table, max_df: int | None = None) -> pa.Table:
+def gram_pair_rows(block: pa.Table, max_df: int | None = None,
+                   half_tau_prune: bool = False) -> pa.Table:
     """Co-occurrence pairs within one hash-partitioned block of
     inverted-index rows (every gram's postings are co-located by the
     repartition on ``gram``): for each gram shared by k docs, emit the
     k·(k-1)/2 ordered pairs.  ``max_df`` drops stop-grams with more
     than that many postings — the scale knob that bounds the quadratic
     blowup at 10^12 docs (disabled when None for exact small-scale
-    oracle parity)."""
+    oracle parity).  ``half_tau_prune`` drops pairs that can never
+    reach Jaccard ≥ ½ (needs 3·min(|A|,|B|) ≥ |A|+|B| since
+    |A∩B| ≤ min) — exactness-preserving shuffle-volume cut."""
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "n_a": pa.array([], pa.int64()),
@@ -106,8 +109,39 @@ def gram_pair_rows(block: pa.Table, max_df: int | None = None) -> pa.Table:
         return empty
     i = np.concatenate(ia)
     j = np.concatenate(ib)
-    return pa.table({"id_a": pa.array(ids[i]), "id_b": pa.array(ids[j]),
-                     "n_a": pa.array(ns[i]), "n_b": pa.array(ns[j])})
+    na, nb = ns[i], ns[j]
+    ida, idb = ids[i], ids[j]
+    if half_tau_prune:
+        keep = 3 * np.minimum(na, nb) >= na + nb
+        ida, idb, na, nb = ida[keep], idb[keep], na[keep], nb[keep]
+    return pa.table({"id_a": pa.array(ida), "id_b": pa.array(idb),
+                     "n_a": pa.array(na), "n_b": pa.array(nb)})
+
+
+def combine_pair_counts(pairs: pa.Table,
+                        inter_col: str | None = None) -> pa.Table:
+    """Vectorized (Arrow ``group_by``) pair-count combine: collapses
+    duplicate (id_a, id_b) rows into one row carrying the intersection
+    count so far.  Used twice: locally inside the gram-partition map
+    task (partial combine BEFORE the pair exchange — the at-scale
+    pre-aggregation pattern) and once after the hash exchange on the
+    pair key (final combine).  ``inter_col`` names an existing partial
+    count to sum; None means raw pair rows (each row counts 1)."""
+    if pairs.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "inter": pa.array([], pa.int64()),
+                         "n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64())})
+    if inter_col is None:
+        g = pairs.group_by(["id_a", "id_b"]).aggregate(
+            [("n_a", "count"), ("n_a", "max"), ("n_b", "max")])
+        g = g.rename_columns(["id_a", "id_b", "inter", "n_a", "n_b"])
+    else:
+        g = pairs.group_by(["id_a", "id_b"]).aggregate(
+            [(inter_col, "sum"), ("n_a", "max"), ("n_b", "max")])
+        g = g.rename_columns(["id_a", "id_b", "inter", "n_a", "n_b"])
+    return g.set_column(2, "inter", g.column("inter").cast(pa.int64()))
 
 
 def minhash_signatures(batch: pa.Table, text_col: str = "text",

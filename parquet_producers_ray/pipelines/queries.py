@@ -559,9 +559,8 @@ def q_dedup_jaccard(sf_dir: str):
     integer-exact filter 2·|A∩B| ≥ |A∪B|.  No all-pairs scan anywhere;
     at web scale a ``max_df`` stop-gram cap bounds the quadratic term
     (disabled here for exact oracle parity)."""
-    from ray.data.aggregate import Count, Max
-
-    from ..functions.dedup import distinct_gram_rows, gram_pair_rows
+    from ..functions.dedup import (combine_pair_counts, distinct_gram_rows,
+                                   gram_pair_rows)
 
     grams = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: distinct_gram_rows(b, "doc_id"), batch_format="pyarrow")
@@ -575,20 +574,29 @@ def q_dedup_jaccard(sf_dir: str):
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         grams.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
-    pairs = grams.repartition(8, keys=["gram"]).map_batches(
-        gram_pair_rows, batch_format="pyarrow", batch_size=None)
-    merged = (pairs.groupby(["id_a", "id_b"])
-              .aggregate(Count("n_a", alias_name="inter"),
-                         Max("n_a", alias_name="n_a"),
-                         Max("n_b", alias_name="n_b")))
 
-    def jfilter(b: pa.Table) -> pa.Table:
-        inter = b.column("inter").to_numpy(zero_copy_only=False)
-        na = b.column("n_a").to_numpy(zero_copy_only=False)
-        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+    # partial pair counts combine INSIDE the gram-partition task (the
+    # exactness-preserving τ=½ length prune plus an Arrow group_by),
+    # so the pair exchange ships combined counts, not raw pair rows.
+    def local_pairs(block: pa.Table) -> pa.Table:
+        return combine_pair_counts(
+            gram_pair_rows(block, half_tau_prune=True))
+
+    partial = (grams.repartition(32, keys=["gram"])
+               .map_batches(local_pairs, batch_format="pyarrow",
+                            batch_size=None))
+
+    def final_pairs(block: pa.Table) -> pa.Table:
+        g = combine_pair_counts(block, inter_col="inter")
+        inter = g.column("inter").to_numpy(zero_copy_only=False)
+        na = g.column("n_a").to_numpy(zero_copy_only=False)
+        nb = g.column("n_b").to_numpy(zero_copy_only=False)
         m = 2 * inter >= na + nb - inter
-        return b.filter(pa.array(m)).select(["id_a", "id_b"])
-    return merged.map_batches(jfilter, batch_format="pyarrow")
+        return g.filter(pa.array(m)).select(["id_a", "id_b"])
+
+    return (partial.repartition(32, keys=["id_a", "id_b"])
+            .map_batches(final_pairs, batch_format="pyarrow",
+                         batch_size=None))
 
 
 SQL_DEDUP_JACCARD = """

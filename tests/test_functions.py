@@ -227,3 +227,29 @@ def test_ivf_recall_and_full_probe_exactness(ray_session):
               for r in q_ann_ivf(sf, n_centroids=8, nprobe=4).take_all()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_combine_pair_counts_partial_then_final():
+    raw = pa.table({
+        "id_a": pa.array([1, 1, 1, 2], pa.int64()),
+        "id_b": pa.array([2, 2, 3, 3], pa.int64()),
+        "n_a": pa.array([4, 4, 4, 6], pa.int64()),
+        "n_b": pa.array([5, 5, 7, 7], pa.int64())})
+    part = dedup.combine_pair_counts(raw)
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"])
+           for r in part.to_pylist()}
+    assert got == {(1, 2): (2, 4, 5), (1, 3): (1, 4, 7), (2, 3): (1, 6, 7)}
+    # final combine over two partials sums the counts
+    two = pa.concat_tables([part, part])
+    final = dedup.combine_pair_counts(two, inter_col="inter")
+    got2 = {(r["id_a"], r["id_b"]): r["inter"] for r in final.to_pylist()}
+    assert got2 == {(1, 2): 4, (1, 3): 2, (2, 3): 2}
+
+
+def test_half_tau_prune_drops_impossible_pairs():
+    grams = pa.table({
+        "gram": pa.array([7, 7], pa.int64()),
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "n_grams": pa.array([2, 100], pa.int64())})  # 3*2 < 102
+    assert dedup.gram_pair_rows(grams, half_tau_prune=True).num_rows == 0
+    assert dedup.gram_pair_rows(grams).num_rows == 1
