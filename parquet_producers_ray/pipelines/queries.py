@@ -240,6 +240,46 @@ GROUP BY o_orderstatus
 """
 
 
+def q_broadcast_join(sf_dir: str):
+    """Broadcast join — the shuffle-free join for small dimension
+    tables: the 25-row nation table is ``ray.put`` ONCE and every map
+    task enriches its batch via a vectorized ``pc.index_in`` lookup;
+    only the (tiny) grouped aggregate shuffles.  This is the at-scale
+    alternative to `u10_join`'s hash-exchange join whenever one side
+    fits in the object store."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = pa.concat_tables(list(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+        .iter_batches(batch_format="pyarrow")))
+    ref = ray.put(nation)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        nt = ray.get(ref)   # zero-copy from the local object store
+        idx = pc.index_in(b.column("c_nationkey"),
+                          value_set=nt.column("n_nationkey").combine_chunks())
+        return pa.table({
+            "n_name": pc.take(nt.column("n_name").combine_chunks(), idx),
+            "c_custkey": b.column("c_custkey"),
+            "c_acctbal": b.column("c_acctbal")})
+
+    return (_read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey", "c_acctbal"])
+            .map_batches(enrich, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Count("c_custkey", alias_name="n_customers"),
+                       Sum("c_acctbal", alias_name="total_bal")))
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n_name, count(c_custkey) AS n_customers,
+       sum(c_acctbal) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # U11 — exact distinct (reference DistinctUntilChanged on sorted keys,
 # ParquetProduction.cs:204)
@@ -488,14 +528,11 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
         lambda b: lsh_band_rows(b, "doc_id"), batch_format="pyarrow")
 
     def candidate_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64())})
+        import numpy as np
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        i, j = np.triu_indices(len(ids), 1)
+        return pa.table({"id_a": pa.array(ids[i], type=pa.int64()),
+                         "id_b": pa.array(ids[j], type=pa.int64())})
 
     pairs = (bands.groupby(["band", "band_hash"])
              .map_groups(candidate_pairs, batch_format="pyarrow"))
@@ -1054,6 +1091,7 @@ REGISTRY = {
     "u8_sort": (q_u8_sort, SQL_U8),
     "u9_union": (q_u9_union, SQL_U9),
     "u10_join": (q_u10_join, SQL_U10),
+    "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
     "u11_distinct": (q_u11_distinct, SQL_U11),
     "u14_scalars": (q_u14_scalars, SQL_U14),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
