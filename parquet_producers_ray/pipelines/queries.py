@@ -941,6 +941,79 @@ GROUP BY word
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join — an operator Ray Data lacks, composed per the
+    documented partitioning assumption: ONE hash exchange on the join
+    key (``user_id``) co-locates every user's events, then each block
+    is sorted once and every click is matched to the latest
+    prior-or-equal view of the same user with a vectorized
+    ``np.searchsorted`` per user segment.  Left semantics: clicks with
+    no prior view emit null.  Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    if hasattr(ds, "context"):
+        import ray
+        from ray.data.context import ShuffleStrategy
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+
+    def asof_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "view_event_id": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        is_click = pc.equal(b.column("event_type"),
+                            "click").to_numpy(zero_copy_only=False)
+        is_view = pc.equal(b.column("event_type"),
+                           "view").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(uid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(uid)]))
+        out_click, out_view = [], []
+        for s, e in zip(starts, ends):
+            ck = np.flatnonzero(is_click[s:e]) + s
+            if len(ck) == 0:
+                continue
+            vw = np.flatnonzero(is_view[s:e]) + s
+            if len(vw) == 0:
+                out_click.append(eid[ck])
+                out_view.append(np.full(len(ck), -1, dtype=np.int64))
+                continue
+            pos = np.searchsorted(ts[vw], ts[ck], side="right") - 1
+            matched = np.where(pos >= 0, eid[vw[np.maximum(pos, 0)]], -1)
+            out_click.append(eid[ck])
+            out_view.append(matched)
+        if not out_click:
+            return empty
+        clicks = np.concatenate(out_click)
+        views = np.concatenate(out_view)
+        return pa.table({
+            "event_id": pa.array(clicks, type=pa.int64()),
+            "view_event_id": pa.array(views, type=pa.int64(),
+                                      mask=views == -1)})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(asof_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_ASOF_JOIN = """
+SELECT c.event_id, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_sessionize(sf_dir: str):
     import numpy as np
 
@@ -1114,6 +1187,7 @@ REGISTRY = {
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
 }
 
