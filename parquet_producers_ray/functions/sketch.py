@@ -1,0 +1,91 @@
+"""K-minimum-values (KMV) distinct-count sketch.
+
+The at-scale approximate COUNT(DISTINCT): each map task reduces its
+block to the k smallest 64-bit hashes per group (bounded memory,
+deduped), partial sketches merge associatively (union → k smallest), and
+the estimator is the classic (k−1)/θ where θ is the k-th minimum
+normalized to [0,1).  When a group's true cardinality is below k the
+sketch holds every distinct hash and the estimate is EXACT — which is
+what makes the small-scale oracle parity against DuckDB's
+``count(DISTINCT ...)`` meaningful while the operator stays
+bounded-memory at 10^12 rows.
+
+The reference has no sketches (SURVEY.md §2 "not present"); this is a
+beyond-reference training-data operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .text import fnv1a_hash
+
+TWO64 = float(2 ** 64)
+
+
+def _hash_values(arr: pa.Array) -> np.ndarray:
+    """64-bit hash of any column: strings/binary via FNV-1a, integers
+    via the splitmix64 finalizer (never identity — KMV needs uniform
+    hashes)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_integer(arr.type) or pa.types.is_temporal(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = v.astype(np.uint64)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        return h
+    return fnv1a_hash(arr.cast(pa.string()))
+
+
+def kmv_partial(batch: pa.Table, key_col: str, value_col: str,
+                k: int = 1024) -> pa.Table:
+    """Per-block partial sketches: one row per group key present in the
+    batch with a ``kmv`` list of ≤k distinct smallest hashes (stored as
+    int64 bit-patterns).  Fully vectorized: one lexsort + consecutive
+    dedupe + per-segment rank cut."""
+    keys = batch.column(key_col).combine_chunks()
+    h = _hash_values(batch.column(value_col))
+    enc = keys.dictionary_encode()
+    kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((h, kidx))
+    ks, hs = kidx[order], h[order]
+    keep = np.ones(len(ks), dtype=bool)
+    keep[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+    ks, hs = ks[keep], hs[keep]
+    starts = np.flatnonzero(np.diff(ks)) + 1
+    seg_start = np.concatenate(([0], starts))
+    seg_id = np.cumsum(np.concatenate(([0], np.diff(ks) != 0)))
+    rank = np.arange(len(ks)) - seg_start[seg_id]
+    cut = rank < k
+    ks, hs = ks[cut], hs[cut]
+    # build the list column: offsets from per-group counts
+    counts = np.bincount(ks, minlength=len(enc.dictionary))
+    present = np.flatnonzero(counts)
+    offsets = np.zeros(len(present) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(counts[present])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(hs.view(np.int64)))
+    return pa.table({key_col: enc.dictionary.take(pa.array(present)),
+                     "kmv": lists})
+
+
+def kmv_merge_estimate(group: pa.Table, k: int = 1024,
+                       out_col: str = "n_distinct") -> pa.Table:
+    """Final merge of one group's partial sketches: union of hashes →
+    k smallest → estimate.  Exact (= number of hashes) when fewer than
+    k survive; else (k−1)·2^64/h_(k)."""
+    flat = group.column("kmv").combine_chunks().flatten()
+    h = np.unique(flat.to_numpy(zero_copy_only=False).view(np.uint64))
+    if len(h) < k:
+        est = len(h)
+    else:
+        theta = float(h[k - 1]) + 1.0
+        est = int(round((k - 1) * TWO64 / theta))
+    key_cols = [c for c in group.column_names if c != "kmv"]
+    out = {c: group.column(c).slice(0, 1) for c in key_cols}
+    out[out_col] = pa.array([est], type=pa.int64())
+    return pa.table(out)

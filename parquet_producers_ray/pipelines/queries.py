@@ -941,6 +941,31 @@ GROUP BY word
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def q_approx_distinct(sf_dir: str, k: int = 8192):
+    """KMV distinct-count sketch (bounded-memory approximate
+    COUNT(DISTINCT)): every block reduces to ≤k smallest value hashes
+    per group BEFORE the shuffle, partial sketches merge associatively.
+    Below k true distincts the estimate is exact, which the DuckDB
+    ``count(DISTINCT ...)`` oracle verifies at test scale; the
+    estimator's bounded error at >k cardinality is asserted in
+    tests/test_functions.py."""
+    from ..functions.sketch import kmv_merge_estimate, kmv_partial
+
+    return (_read(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(lambda b: kmv_partial(b, "event_type",
+                                               "user_id", k),
+                         batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(lambda g: kmv_merge_estimate(g, k, "n_users"),
+                        batch_format="pyarrow"))
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_join(sf_dir: str):
     """As-of join — an operator Ray Data lacks, composed per the
     documented partitioning assumption: ONE hash exchange on the join
@@ -1188,6 +1213,7 @@ REGISTRY = {
     "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
 }
 

@@ -253,3 +253,34 @@ def test_half_tau_prune_drops_impossible_pairs():
         "n_grams": pa.array([2, 100], pa.int64())})  # 3*2 < 102
     assert dedup.gram_pair_rows(grams, half_tau_prune=True).num_rows == 0
     assert dedup.gram_pair_rows(grams).num_rows == 1
+
+
+def test_kmv_sketch_exact_below_k_and_bounded_error_above():
+    from parquet_producers_ray.functions import sketch
+
+    # exact regime: 3 groups, < k distinct values each
+    t = pa.table({"g": pa.array(["a"] * 6 + ["b"] * 4 + ["c"] * 2),
+                  "v": pa.array([1, 1, 2, 3, 3, 4, 9, 9, 9, 10, 7, 7],
+                                pa.int64())})
+    part = sketch.kmv_partial(t, "g", "v", k=16)
+    got = {}
+    for key in ("a", "b", "c"):
+        grp = part.filter(pa.compute.equal(part.column("g"), key))
+        est = sketch.kmv_merge_estimate(grp, k=16, out_col="n")
+        got[key] = est.column("n")[0].as_py()
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+    # merge associativity: two partials over disjoint halves == one pass
+    import numpy as np
+    big = pa.table({"g": pa.array(["x"] * 100000),
+                    "v": pa.array(np.arange(100000) % 40000, pa.int64())})
+    k = 1024
+    p1 = sketch.kmv_partial(big.slice(0, 50000), "g", "v", k)
+    p2 = sketch.kmv_partial(big.slice(50000), "g", "v", k)
+    merged = sketch.kmv_merge_estimate(pa.concat_tables([p1, p2]), k,
+                                       out_col="n")
+    est = merged.column("n")[0].as_py()
+    assert abs(est - 40000) / 40000 < 0.10, est
+    one = sketch.kmv_merge_estimate(sketch.kmv_partial(big, "g", "v", k),
+                                    k, out_col="n")
+    assert one.column("n")[0].as_py() == est
