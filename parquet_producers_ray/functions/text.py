@@ -145,3 +145,75 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "fingerprint": pa.array(fnv1a_hash(batch.column(text_col))
                                 .astype(np.int64)),  # two's complement
     })
+
+
+WINNOW_BASE = np.uint64(1099511628211)
+
+
+def winnow_fingerprints(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text", kgram: int = 8,
+                        window: int = 4) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): polynomial rolling hash of every ``kgram``-byte
+    shingle, then keep each ``window``'s minimum hash (rightmost on
+    ties) — a position-robust selection whose density is 2/(window+1),
+    the standard local fingerprinting scheme for near-dup detection.
+
+    Fully vectorized over the batch's flat byte buffer: the rolling
+    hashes are ``kgram`` shifted multiply-adds over all docs at once and
+    the window minimum is one ``sliding_window_view`` reduction; doc
+    boundaries are masked, never crossed.  Output exploded rows
+    ``(doc_id, pos, fp)`` with ``pos`` the shingle offset inside the
+    doc."""
+    col = batch.column(text_col).combine_chunks().cast(pa.large_binary())
+    n = len(col)
+    out_empty = pa.table({id_col: batch.column(id_col).slice(0, 0),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+    if n == 0:
+        return out_empty
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + n + 1]
+    base = int(offs[0])
+    dbuf = col.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)[base: base + int(offs[-1])
+                                                - base]
+            if dbuf is not None else np.zeros(0, dtype=np.uint8))
+    offs = offs - base
+    total = len(data)
+    if total < kgram:
+        return out_empty
+    # rolling k-gram hashes over the FLAT buffer (boundary-crossing
+    # positions masked below): h[i] = sum data[i+j] * B^(k-1-j)
+    nh = total - kgram + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(nh, dtype=np.uint64)
+        for j in range(kgram):
+            h = h * WINNOW_BASE + data[j: j + nh].astype(np.uint64)
+    # per-position doc id; a shingle at flat pos i belongs to doc d iff
+    # i + kgram <= offs[d+1]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[:nh]
+    valid_h = h.copy()
+    doc_end = offs[1:][doc_of]
+    valid = (np.arange(nh) + kgram) <= doc_end
+    valid_h[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    if nh < window:
+        return out_empty
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(valid_h, window)          # (nh-w+1, w)
+    # rightmost minimum per window (winnowing tie rule)
+    rev_arg = np.argmin(wins[:, ::-1], axis=1)
+    sel = np.arange(len(wins)) + (window - 1 - rev_arg)  # global position
+    # a window is usable iff it lies entirely within one doc's shingles
+    wstart = np.arange(len(wins))
+    same_doc = doc_of[wstart] == doc_of[wstart + window - 1]
+    w_ok = same_doc & valid[wstart] & valid[wstart + window - 1]
+    sel = sel[w_ok]
+    # overlapping windows re-select the same position — dedupe
+    sel = np.unique(sel)
+    ids = batch.column(id_col).combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(doc_of[sel])),
+        "pos": pa.array(sel - offs[:-1][doc_of[sel]], type=pa.int64()),
+        "fp": pa.array(h[sel].view(np.int64)),
+    })

@@ -481,6 +481,16 @@ def q_text_fingerprint(sf_dir: str):
         fn, batch_format="pyarrow")
 
 
+def q_text_winnow(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (2/(w+1)-density local
+    signatures; rows-only — rolling-hash selection is not expressible
+    in ANSI SQL; position-robustness is asserted in unit tests)."""
+    from ..functions.text import winnow_fingerprints
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnow_fingerprints, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 
@@ -1198,6 +1208,7 @@ REGISTRY = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, None),
+    "text_winnow": (q_text_winnow, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),

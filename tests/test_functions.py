@@ -284,3 +284,26 @@ def test_kmv_sketch_exact_below_k_and_bounded_error_above():
     one = sketch.kmv_merge_estimate(sketch.kmv_partial(big, "g", "v", k),
                                     k, out_col="n")
     assert one.column("n")[0].as_py() == est
+
+
+def test_winnow_fingerprints_position_robust():
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight") * 3
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, "PREFIX SHIFT >> " + base, "unrelated content " * 12]})
+    out = text.winnow_fingerprints(docs)
+    by_doc = {}
+    for r in out.to_pylist():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # density ~ 2/(w+1): selections exist and are far fewer than shingles
+    assert 0 < len(by_doc[1]) < len(base)
+    # shifting the doc by a prefix keeps most selected fingerprints
+    overlap = len(by_doc[1] & by_doc[2]) / len(by_doc[1])
+    assert overlap > 0.8, overlap
+    # unrelated text shares almost nothing
+    noise = len(by_doc[1] & by_doc[3]) / len(by_doc[1])
+    assert noise < 0.1, noise
+    # deterministic across calls and across batch slicing
+    again = text.winnow_fingerprints(docs.slice(0, 1))
+    assert {r["fp"] for r in again.to_pylist()} == by_doc[1]
