@@ -1,7 +1,8 @@
 """Per-column lightweight compression codecs (pure Arrow/NumPy, no Ray).
 
 Codecs: ``plain`` (IPC passthrough), ``dict``, ``rle``, ``bitpack``,
-``for`` (frame-of-reference), ``fsst``; plus the sampling-based
+``for`` (frame-of-reference), ``delta`` (zigzag deltas of
+sorted/near-sorted ints), ``fsst``; plus the sampling-based
 auto-selector in :mod:`.auto`.
 """
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from . import bitpack, dictionary, for_, fsst, plain, rle
+from . import bitpack, delta, dictionary, for_, fsst, plain, rle
 from .base import Encoded
 
 CODECS = {
@@ -24,11 +24,13 @@ CODECS = {
     rle.NAME: rle,
     bitpack.NAME: bitpack,
     for_.NAME: for_,
+    delta.NAME: delta,
     fsst.NAME: fsst,
 }
 
 # trial order is a mild prior; selection is purely by sampled size
-_CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, for_.NAME, bitpack.NAME,
+_CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, delta.NAME,
+                    for_.NAME, bitpack.NAME,
                     fsst.NAME, plain.NAME]
 
 

@@ -75,7 +75,19 @@ def test_auto_roundtrip(colname):
 def test_auto_picks_sensible_codecs():
     assert encode_auto(FIXTURE_ARRAYS["lang_skewed"]).codec in ("dict", "rle")
     assert encode_auto(FIXTURE_ARRAYS["sorted_keys"]).codec == "rle"
-    assert encode_auto(FIXTURE_ARRAYS["timestamps"]).codec == "for"
+    # evenly-spaced sorted timestamps: delta (tiny increments) beats
+    # frame-of-reference (wide range)
+    assert encode_auto(FIXTURE_ARRAYS["timestamps"]).codec == "delta"
+    assert encode_auto(FIXTURE_ARRAYS["big_ints"]).codec == "delta"
+
+
+def test_delta_beats_for_on_sorted_wide_range():
+    arr = pa.array(np.cumsum(np.random.default_rng(3).integers(
+        0, 50, 50_000)) + 2**45, type=pa.int64())
+    d = CODECS["delta"].encode(arr)
+    f = CODECS["for"].encode(arr)
+    assert d.nbytes < f.nbytes / 2.5   # 7-bit deltas vs 21-bit offsets
+    assert arrays_bit_identical(codecs.decode(d), arr)
 
 
 def test_encoded_row_roundtrip():
