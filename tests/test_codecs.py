@@ -144,7 +144,7 @@ def test_fsst_hypothesis_binary(vals):
                           st.integers(-2**60, 2**60)), max_size=80))
 def test_int_codecs_hypothesis(vals):
     arr = pa.array(vals, type=pa.int64())
-    for name in ("rle", "dict", "for", "plain"):
+    for name in ("rle", "dict", "for", "delta", "plain"):
         enc = CODECS[name].encode(arr)
         assert codecs.decode(enc).equals(arr), name
     assert codecs.decode(encode_auto(arr)).equals(arr)

@@ -307,3 +307,41 @@ def test_winnow_fingerprints_position_robust():
     # deterministic across calls and across batch slicing
     again = text.winnow_fingerprints(docs.slice(0, 1))
     assert {r["fp"] for r in again.to_pylist()} == by_doc[1]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+_texts = st.lists(st.lists(_words, min_size=0, max_size=12)
+                  .map(" ".join), min_size=1, max_size=10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_texts)
+def test_inverted_index_jaccard_property(texts):
+    """The distributed formulation (distinct grams → co-occurrence
+    counts → integer threshold) equals the direct set-based bigram
+    Jaccard on arbitrary small corpora, including empty/short docs."""
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+    grams = dedup.distinct_gram_rows(docs, "doc_id")
+    pairs = dedup.combine_pair_counts(dedup.gram_pair_rows(grams))
+    got = set()
+    for r in pairs.to_pylist():
+        if 2 * r["inter"] >= r["n_a"] + r["n_b"] - r["inter"]:
+            got.add((r["id_a"], r["id_b"]))
+
+    def bigrams(t):
+        w = t.lower().split(" ")
+        return {(w[i], w[i + 1]) for i in range(len(w) - 1)}
+
+    sets = [bigrams(t) for t in texts]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and 2 * inter >= union:
+                want.add((i, j))
+    assert got == want
