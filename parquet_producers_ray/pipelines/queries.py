@@ -830,6 +830,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sliding_window(sf_dir: str, size_hours: int = 3):
+    """Sliding-window aggregate (3 h windows stepping 1 h): each event
+    explodes to its size/step windows INSIDE map_batches (a vectorized
+    repeat — no self-join), then ONE grouped aggregate.  The flat-map
+    formulation is the scale path: the exchange carries size/step
+    copies of the (tiny) aggregate columns, never a range join."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    HOUR_US = 3600 * 1_000_000
+
+    def explode(b: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(b.column("ts"), unit="hour").combine_chunks()
+        hh = h.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [hh - o * HOUR_US for o in range(size_hours)])
+        vals = np.tile(v, size_hours)
+        return pa.table({
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "value": pa.array(vals)})
+
+    return (_read(sf_dir, "events", ["ts", "value"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("window_start")
+            .aggregate(Count("value", alias_name="n_events"),
+                       Sum("value", alias_name="total_value")))
+
+
+SQL_SLIDING_WINDOW = """
+SELECT window_start, count(value) AS n_events, sum(value) AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start,
+         value
+  FROM events, (SELECT unnest([0, 1, 2]) AS o)
+) GROUP BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # JSON-ish extraction from a string column (regex kernel — the
 # reference has no JSON functions; SURVEY.md §2 absence list)
@@ -1219,6 +1258,7 @@ REGISTRY = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
