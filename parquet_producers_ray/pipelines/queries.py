@@ -795,6 +795,19 @@ def q_media_features(sf_dir: str):
     return feats.select_columns(["doc_id", "width", "height", "n_bytes"])
 
 
+def q_audio_chunks(sf_dir: str):
+    """Audio-chunking plumbing (rows-only): synthesize a deterministic
+    binary audio column, then an actor-pool stage explodes each clip
+    into 25 ms chunks with per-chunk RMS/peak features — the VAD /
+    segment-feature shape; decode is the documented stub boundary."""
+    from ..stages.multimodal import AudioChunkStage, synthesize_audio_column
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synthesize_audio_column, batch_format="pyarrow"))
+    return ds.map_batches(AudioChunkStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
 SQL_MEDIA_FEATURES = """
 SELECT doc_id,
        doc_id % 640 + 1 AS width,
@@ -1256,6 +1269,7 @@ REGISTRY = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, None),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "audio_chunks": (q_audio_chunks, None),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
     "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),

@@ -105,6 +105,90 @@ def synthesize_image_column(batch: pa.Table, text_col: str = "text",
     })
 
 
+AUDIO_MAGIC = b"FAUD"
+AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
+
+
+class FakeAudioCodec:
+    """Deterministic stand-in audio format: header + little-endian
+    int16 samples.  A real deployment would hold an ffmpeg/soundfile
+    handle per actor (same integration point as PillowImageDecoder)."""
+
+    @staticmethod
+    def encode(sample_rate: int, samples: np.ndarray) -> bytes:
+        s = np.asarray(samples, dtype="<i2")
+        return AUDIO_HEADER.pack(AUDIO_MAGIC, sample_rate, len(s)) \
+            + s.tobytes()
+
+    @staticmethod
+    def decode(blob: bytes) -> tuple[int, np.ndarray]:
+        magic, rate, n = AUDIO_HEADER.unpack_from(blob)
+        if magic != AUDIO_MAGIC:
+            raise ValueError("not a FAUD blob")
+        samples = np.frombuffer(blob, dtype="<i2",
+                                offset=AUDIO_HEADER.size, count=n)
+        return rate, samples
+
+
+def synthesize_audio_column(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            sample_rate: int = 16_000) -> pa.Table:
+    """Deterministic audio-like column: the utf-8 text bytes become
+    int16 samples (zero-copy widen) so the chunking/feature plumbing
+    runs without real media files."""
+    blobs = []
+    for t in batch.column(text_col).to_pylist():
+        raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        samples = (raw.astype(np.int16) - 64) * 256
+        blobs.append(FakeAudioCodec.encode(sample_rate, samples))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "audio": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
+class AudioChunkStage:
+    """Actor-pool stage: decode a binary audio column and explode each
+    clip into fixed-duration chunks with per-chunk features (RMS and
+    peak) — the 1→n shape of VAD / segment-level feature extraction.
+    Codec per actor; numpy-vectorized per clip."""
+
+    def __init__(self, binary_col: str = "audio", id_col: str = "doc_id",
+                 chunk_ms: int = 25, decoder=None):
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.chunk_ms = chunk_ms
+        self.decoder = decoder or FakeAudioCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, chunk_idx, n_samp, rms, peak = [], [], [], [], []
+        for i, blob in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.binary_col).to_pylist()):
+            rate, samples = self.decoder.decode(blob)
+            k = max(1, rate * self.chunk_ms // 1000)
+            n = (len(samples) + k - 1) // k
+            if n == 0:
+                continue
+            pad = np.zeros(n * k, dtype=np.float64)
+            pad[: len(samples)] = samples
+            chunks = pad.reshape(n, k)
+            ids.extend([i] * n)
+            chunk_idx.extend(range(n))
+            counts = np.full(n, k, dtype=np.int64)
+            counts[-1] = len(samples) - (n - 1) * k
+            n_samp.extend(counts.tolist())
+            rms.extend(np.sqrt((chunks ** 2).sum(axis=1)
+                               / np.maximum(counts, 1)).tolist())
+            peak.extend(np.abs(chunks).max(axis=1).tolist())
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "chunk": pa.array(chunk_idx, type=pa.int64()),
+            "n_samples": pa.array(n_samp, type=pa.int64()),
+            "rms": pa.array(rms, type=pa.float64()),
+            "peak": pa.array(peak, type=pa.float64()),
+        })
+
+
 def frame_sample(batch: pa.Table, binary_col: str = "video",
                  id_col: str = "doc_id", every: int = 4) -> pa.Table:
     """Frame-sampling plumbing for video-like payloads: emit every

@@ -345,3 +345,27 @@ def test_inverted_index_jaccard_property(texts):
             if union and 2 * inter >= union:
                 want.add((i, j))
     assert got == want
+
+
+def test_audio_codec_and_chunk_stage():
+    from parquet_producers_ray.stages.multimodal import (AudioChunkStage,
+                                                         FakeAudioCodec,
+                                                         synthesize_audio_column)
+
+    samples = np.arange(-500, 500, 10, dtype=np.int16)
+    blob = FakeAudioCodec.encode(16000, samples)
+    rate, back = FakeAudioCodec.decode(blob)
+    assert rate == 16000 and np.array_equal(back, samples)
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": ["hello world " * 40, "x"]})
+    audio = synthesize_audio_column(docs)
+    out = AudioChunkStage()(audio)
+    rows = out.to_pylist()
+    # chunk size = 16000*25/1000 = 400 samples; doc 1 has 480 bytes
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk"] for r in doc1] == [0, 1]
+    assert doc1[0]["n_samples"] == 400 and doc1[1]["n_samples"] == 80
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["n_samples"] == 1
+    assert all(r["rms"] > 0 and r["peak"] > 0 for r in doc1)
