@@ -261,6 +261,48 @@ def decode_pipeline(out_dir: str):
             .map_batches(_decode, batch_format="pyarrow", batch_size=1))
 
 
+DECODE_METRICS_SCHEMA = pa.schema([
+    pa.field("part", pa.int64()),
+    pa.field("rows", pa.int64()),
+    pa.field("decoded_bytes", pa.int64()),
+    pa.field("decode_sec", pa.float64()),
+    pa.field("decode_mbps", pa.float64()),
+])
+
+
+def decode_metrics_pipeline(out_dir: str):
+    """Per-partition decode throughput metrics (north rule:
+    "per-partition encode/decode throughput and compression-ratio
+    metrics" — encode-side figures live in each partition's lineage
+    manifest): decode every partition and emit one metrics row per
+    partition instead of the decoded rows."""
+    import ray.data
+
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+
+    def _metrics(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            t0 = time.perf_counter()
+            tbl = decode_segment(pq.read_table(p))
+            dt = time.perf_counter() - t0
+            part = int(os.path.basename(p).split("-")[1].split(".")[0])
+            out.append({
+                "part": part,
+                "rows": tbl.num_rows,
+                "decoded_bytes": int(tbl.nbytes),
+                "decode_sec": round(dt, 4),
+                "decode_mbps": round(tbl.nbytes / dt / 1e6, 2)
+                if dt > 0 else 0.0,
+            })
+        return pa.Table.from_pylist(out, schema=DECODE_METRICS_SCHEMA)
+
+    return (ray.data.from_items([{"path": p} for p in files])
+            .map_batches(_metrics, batch_format="pyarrow", batch_size=1))
+
+
 def summarize(manifests) -> dict:
     """Collapse the manifest Dataset into headline metrics (small)."""
     t = manifests.to_pandas()

@@ -124,3 +124,16 @@ def test_decode_segments_batch_coalesced(ray_session):
     merged = pa.concat_tables([seg1, seg2])
     out = decode_segments_batch(merged)
     assert out.equals(pa.concat_tables([t1, t2]))
+
+
+def test_decode_metrics_per_partition(encoded_dir):
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    metrics = F.decode_metrics_pipeline(out + "/enc").take_all()
+    assert len(metrics) == 8
+    assert sorted(m["part"] for m in metrics) == list(range(8))
+    total_rows = sum(m["rows"] for m in metrics)
+    assert total_rows == ROWS
+    assert all(m["decoded_bytes"] > 0 and m["decode_sec"] >= 0
+               for m in metrics)
