@@ -95,6 +95,25 @@ def run_flagship(input_path: str, out_dir: str,
     summary["decode_sec"] = round(dwall, 3)
     summary["decode_mbps"] = round(summary["input_bytes"] / dwall / 1e6, 2)
     assert n == summary["rows"], (n, summary["rows"])
+    # reference comparator: the reference's entire encoding story is a
+    # plain Parquet write with 100k-row groups, snappy defaults
+    # (BASELINE.md "Reference-derived constants"); same input, same
+    # Ray write path, no sort/codec layer.
+    ref_dir = out_dir + "_refwrite"
+    shutil.rmtree(ref_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    read_input(input_path).write_parquet(
+        ref_dir, compression="snappy", row_group_size=100_000)
+    rwall = time.perf_counter() - t0
+    ref_bytes = sum(os.path.getsize(os.path.join(ref_dir, f))
+                    for f in os.listdir(ref_dir))
+    summary["refwrite_sec"] = round(rwall, 3)
+    summary["refwrite_mbps"] = round(
+        summary["input_bytes"] / rwall / 1e6, 2)
+    summary["refwrite_bytes"] = int(ref_bytes)
+    summary["stored_vs_ref"] = round(
+        summary["stored_bytes"] / ref_bytes, 3) if ref_bytes else None
+    shutil.rmtree(ref_dir, ignore_errors=True)
     return summary
 
 
