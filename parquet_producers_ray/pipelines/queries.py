@@ -622,22 +622,49 @@ def q_dedup_jaccard(sf_dir: str):
             if ray.is_initialized() else 4
         grams.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
 
+    # the per-doc distinct-gram counts are one tiny row per doc —
+    # broadcast them once (at 10^12 docs this becomes a hash join of
+    # the few surviving pairs against the count table instead)
+    import numpy as np
+    import ray
+
+    counts_tbl = pa.concat_tables([
+        b.group_by("doc_id").aggregate([("n_grams", "max")])
+        for b in grams.iter_batches(batch_format="pyarrow")])
+    counts_tbl = counts_tbl.group_by("doc_id").aggregate(
+        [("n_grams_max", "max")]).rename_columns(["doc_id", "n"])
+    raw_ids = counts_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(raw_ids)
+    doc_ids = raw_ids[order]
+    doc_ns = counts_tbl.column("n").to_numpy(zero_copy_only=False)[order]
+    counts_ref = ray.put((doc_ids, doc_ns))
+
     # partial pair counts combine INSIDE the gram-partition task (the
-    # exactness-preserving τ=½ length prune plus an Arrow group_by),
-    # so the pair exchange ships combined counts, not raw pair rows.
+    # exactness-preserving τ=½ length prune plus an Arrow group_by);
+    # the pair exchange then ships ONLY (id_a, id_b, int32 inter) —
+    # the per-doc sizes rejoin after the final combine.
     def local_pairs(block: pa.Table) -> pa.Table:
-        return combine_pair_counts(
-            gram_pair_rows(block, half_tau_prune=True))
+        g = combine_pair_counts(gram_pair_rows(block, half_tau_prune=True))
+        return pa.table({
+            "id_a": g.column("id_a"),
+            "id_b": g.column("id_b"),
+            "inter": g.column("inter").cast(pa.int32())})
 
     partial = (grams.repartition(32, keys=["gram"])
                .map_batches(local_pairs, batch_format="pyarrow",
                             batch_size=None))
 
     def final_pairs(block: pa.Table) -> pa.Table:
-        g = combine_pair_counts(block, inter_col="inter")
-        inter = g.column("inter").to_numpy(zero_copy_only=False)
-        na = g.column("n_a").to_numpy(zero_copy_only=False)
-        nb = g.column("n_b").to_numpy(zero_copy_only=False)
+        if block.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        g = block.group_by(["id_a", "id_b"]).aggregate([("inter", "sum")])
+        ids_sorted, ns_sorted = ray.get(counts_ref)
+        inter = g.column("inter_sum").to_numpy(zero_copy_only=False)
+        ia = g.column("id_a").to_numpy(zero_copy_only=False)
+        ib = g.column("id_b").to_numpy(zero_copy_only=False)
+        na = ns_sorted[np.searchsorted(ids_sorted, ia)]
+        nb = ns_sorted[np.searchsorted(ids_sorted, ib)]
         m = 2 * inter >= na + nb - inter
         return g.filter(pa.array(m)).select(["id_a", "id_b"])
 
