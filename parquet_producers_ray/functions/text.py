@@ -49,6 +49,22 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, whitespace — RE2 syntax so the Arrow kernel
+# and the DuckDB oracle count identically.
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact BPE-ish pre-token count per doc via one vectorized RE2
+    scan (``pc.count_substring_regex``) — the regex-family counterpart
+    of the whitespace count in :func:`token_counts`."""
+    n = pc.count_substring_regex(batch.column(text_col),
+                                 BPE_PATTERN).cast(pa.int64())
+    return pa.table({"n_bpe_tokens": n})
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / mean-word-length / stopword-ratio quality signals."""
     text = batch.column(text_col)

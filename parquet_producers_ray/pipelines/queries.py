@@ -400,6 +400,29 @@ FROM documents
 """
 
 
+def q_text_tokens_bpe(sf_dir: str):
+    """BPE-ish regex pre-token count (GPT-2 pre-tokenizer shape) — one
+    vectorized RE2 scan per batch; same RE2 pattern in the DuckDB
+    oracle, so the counts must match exactly."""
+    from ..functions.text import BPE_PATTERN, bpe_token_counts
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = bpe_token_counts(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bpe_tokens": t.column("n_bpe_tokens")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_TEXT_TOKENS_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+       )) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_text_quality(sf_dir: str):
     from ..functions.text import quality_scores
 
@@ -1284,6 +1307,7 @@ REGISTRY = {
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "stream_encode": (q_stream_encode, SQL_STREAM_ENCODE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, None),

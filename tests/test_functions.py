@@ -369,3 +369,10 @@ def test_audio_codec_and_chunk_stage():
     doc2 = [r for r in rows if r["doc_id"] == 2]
     assert len(doc2) == 1 and doc2[0]["n_samples"] == 1
     assert all(r["rms"] > 0 and r["peak"] > 0 for r in doc1)
+
+
+def test_bpe_token_counts_examples():
+    t = pa.table({"text": ["Hello, world! I'm fine.", "", "don't stop 42x"]})
+    out = text.bpe_token_counts(t)
+    # don | 't | ' stop' | ' 42' | 'x' -> 5
+    assert out.column("n_bpe_tokens").to_pylist() == [8, 0, 5]
