@@ -97,20 +97,28 @@ def gram_pair_rows(block: pa.Table, max_df: int | None = None,
     bounds = np.flatnonzero(np.diff(g)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(g)]))
-    ia, ib = [], []
-    for s, e in zip(starts, ends):
-        k = int(e - s)
-        if k < 2 or (max_df is not None and k > max_df):
-            continue
-        i, j = np.triu_indices(k, 1)
-        ia.append(s + i)
-        ib.append(s + j)
-    if not ia:
+    sizes = ends - starts
+    keep_g = sizes >= 2
+    if max_df is not None:
+        keep_g &= sizes <= max_df
+    gstart, sizes = starts[keep_g], sizes[keep_g]
+    if len(sizes) == 0:
         return empty
-    i = np.concatenate(ia)
-    j = np.concatenate(ib)
-    na, nb = ns[i], ns[j]
-    ida, idb = ids[i], ids[j]
+    # fully vectorized triu over all groups at once (no per-group
+    # Python): level 1 enumerates each group's "left" elements, level 2
+    # expands each left element to its partners to the right
+    n1 = sizes - 1
+    L = int(n1.sum())
+    grp_of_left = np.repeat(np.arange(len(sizes)), n1)
+    loc_i = np.arange(L) - np.repeat(np.cumsum(n1) - n1, n1)
+    c = sizes[grp_of_left] - 1 - loc_i          # partners per left elem
+    P = int(c.sum())
+    off_j = np.arange(P) - np.repeat(np.cumsum(c) - c, c)
+    gi = gstart[grp_of_left]
+    abs_i = np.repeat(gi + loc_i, c)
+    abs_j = np.repeat(gi + loc_i, c) + 1 + off_j
+    na, nb = ns[abs_i], ns[abs_j]
+    ida, idb = ids[abs_i], ids[abs_j]
     if half_tau_prune:
         keep = 3 * np.minimum(na, nb) >= na + nb
         ida, idb, na, nb = ida[keep], idb[keep], na[keep], nb[keep]

@@ -47,12 +47,37 @@ def kmv_partial(batch: pa.Table, key_col: str, value_col: str,
     batch with a ``kmv`` list of ≤k distinct smallest hashes (stored as
     int64 bit-patterns).  Fully vectorized: one lexsort + consecutive
     dedupe + per-segment rank cut."""
+    import pyarrow.compute as pc
+
+    # SQL parity: count(DISTINCT v) ignores null VALUES but a group
+    # whose values are all null still exists (count 0), and a null KEY
+    # is its own group.  Null keys are peeled off as one extra segment
+    # (the vectorized path needs non-null dictionary indices).
     keys = batch.column(key_col).combine_chunks()
-    h = _hash_values(batch.column(value_col))
+    null_row = None
+    if keys.null_count:
+        key_null = pc.is_null(keys)
+        nv = batch.filter(key_null).column(value_col)
+        nv = nv.combine_chunks().drop_null() if isinstance(
+            nv, pa.ChunkedArray) else nv.drop_null()
+        null_h = np.unique(_hash_values(nv))[:k] if len(nv) \
+            else np.zeros(0, dtype=np.uint64)
+        null_row = pa.table({
+            key_col: pa.nulls(1, keys.type),
+            "kmv": pa.ListArray.from_arrays(
+                pa.array([0, len(null_h)], pa.int32()),
+                pa.array(np.ascontiguousarray(null_h).view(np.int64)))})
+        batch = batch.filter(pc.invert(key_null))
+        keys = batch.column(key_col).combine_chunks()
     enc = keys.dictionary_encode()
     kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((h, kidx))
-    ks, hs = kidx[order], h[order]
+    vmask = pc.is_valid(batch.column(value_col)).to_numpy(
+        zero_copy_only=False) if batch.num_rows else np.zeros(0, bool)
+    h = _hash_values(batch.filter(pa.array(vmask)).column(value_col)) \
+        if vmask.any() else np.zeros(0, dtype=np.uint64)
+    kv = kidx[vmask]
+    order = np.lexsort((h, kv))
+    ks, hs = kv[order], h[order]
     keep = np.ones(len(ks), dtype=bool)
     keep[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
     ks, hs = ks[keep], hs[keep]
@@ -62,15 +87,17 @@ def kmv_partial(batch: pa.Table, key_col: str, value_col: str,
     rank = np.arange(len(ks)) - seg_start[seg_id]
     cut = rank < k
     ks, hs = ks[cut], hs[cut]
-    # build the list column: offsets from per-group counts
+    # list column over EVERY group in the batch — zero-count groups
+    # (all-null values) get an empty sketch, not a missing row
     counts = np.bincount(ks, minlength=len(enc.dictionary))
-    present = np.flatnonzero(counts)
-    offsets = np.zeros(len(present) + 1, dtype=np.int32)
-    offsets[1:] = np.cumsum(counts[present])
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(counts)
     lists = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(hs.view(np.int64)))
-    return pa.table({key_col: enc.dictionary.take(pa.array(present)),
-                     "kmv": lists})
+        pa.array(offsets), pa.array(np.ascontiguousarray(hs).view(np.int64)))
+    out = pa.table({key_col: enc.dictionary, "kmv": lists})
+    if null_row is not None:
+        out = pa.concat_tables([out, null_row])
+    return out
 
 
 def kmv_merge_estimate(group: pa.Table, k: int = 1024,

@@ -21,6 +21,23 @@ def _read(sf_dir: str, table: str, columns=None):
                            columns=columns)
 
 
+
+def _enable_hash_shuffle(ds):
+    """Key-based repartition needs the hash-shuffle backend; cap the
+    aggregator actors at ~half the CPUs so the exchange can never
+    starve the map/actor-pool stages (this VM deadlocks at 2 CPUs
+    otherwise — see CLAUDE.md machine quirks).  Shared by every keyed
+    repartition in this module and pipelines/flagship.py."""
+    if hasattr(ds, "context"):
+        import ray
+        from ray.data.context import ShuffleStrategy
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # U1 — per-record projection / re-key (map)
 
@@ -404,7 +421,9 @@ def q_text_tokens_bpe(sf_dir: str):
     """BPE-ish regex pre-token count (GPT-2 pre-tokenizer shape) — one
     vectorized RE2 scan per batch; same RE2 pattern in the DuckDB
     oracle, so the counts must match exactly."""
-    from ..functions.text import BPE_PATTERN, bpe_token_counts
+    # the same RE2 pattern (functions.text.BPE_PATTERN) is baked
+    # into SQL_TEXT_TOKENS_BPE as a literal — keep them in sync
+    from ..functions.text import bpe_token_counts
 
     def fn(b: pa.Table) -> pa.Table:
         t = bpe_token_counts(b)
@@ -634,16 +653,11 @@ def q_dedup_jaccard(sf_dir: str):
 
     grams = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: distinct_gram_rows(b, "doc_id"), batch_format="pyarrow")
-    # key-based repartition needs the hash-shuffle backend (same setup
-    # as pipelines/flagship.py); cap aggregators so the exchange can't
-    # starve the map tasks on small CPU counts.
-    if hasattr(grams, "context"):
-        import ray
-        from ray.data.context import ShuffleStrategy
-        grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        cpus = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        grams.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    _enable_hash_shuffle(grams)
+    # two consumers follow (the counts collection and the pair
+    # exchange); materialize so the read + tokenize pass runs once —
+    # the gram rows are ~1-2% the size of the corpus
+    grams = grams.materialize()
 
     # the per-doc distinct-gram counts are one tiny row per doc —
     # broadcast them once (at 10^12 docs this becomes a hash join of
@@ -1085,25 +1099,22 @@ def q_asof_join(sf_dir: str):
     is sorted once and every click is matched to the latest
     prior-or-equal view of the same user with a vectorized
     ``np.searchsorted`` per user segment.  Left semantics: clicks with
-    no prior view emit null.  Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    no prior view emit null; among views tied on ts the max event_id
+    wins (deterministic on both sides — DuckDB's ASOF tie-break is
+    arbitrary, so the oracle is an arg_max formulation)."""
     import numpy as np
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
                                   "event_type"])
-    if hasattr(ds, "context"):
-        import ray
-        from ray.data.context import ShuffleStrategy
-        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        cpus = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    _enable_hash_shuffle(ds)
 
     def asof_block(b: pa.Table) -> pa.Table:
         empty = pa.table({"event_id": pa.array([], pa.int64()),
                           "view_event_id": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         ts = b.column("ts").combine_chunks().cast(
             pa.int64()).to_numpy(zero_copy_only=False)
@@ -1144,10 +1155,14 @@ def q_asof_join(sf_dir: str):
 
 
 SQL_ASOF_JOIN = """
-SELECT c.event_id, v.event_id AS view_event_id
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-  ON c.user_id = v.user_id AND c.ts >= v.ts
+SELECT event_id, view_event_id FROM (
+  SELECT c.event_id, v.event_id AS view_event_id,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON v.user_id = c.user_id AND v.ts <= c.ts
+) WHERE rn = 1
 """
 
 

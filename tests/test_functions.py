@@ -376,3 +376,19 @@ def test_bpe_token_counts_examples():
     out = text.bpe_token_counts(t)
     # don | 't | ' stop' | ' 42' | 'x' -> 5
     assert out.column("n_bpe_tokens").to_pylist() == [8, 0, 5]
+
+
+def test_kmv_sketch_null_semantics_match_sql():
+    """count(DISTINCT v) ignores null values, an all-null-value group
+    still exists with count 0, and a null key is its own group."""
+    from parquet_producers_ray.functions import sketch
+
+    t = pa.table({"g": pa.array(["a", None, "b", None, "a", "b"]),
+                  "v": pa.array([1, 2, None, 4, 1, None], pa.int64())})
+    p = sketch.kmv_partial(t, "g", "v", k=16)
+    import pyarrow.compute as _pc
+    for key, want in [("a", 1), ("b", 0), (None, 2)]:
+        m = _pc.is_null(p.column("g")) if key is None \
+            else _pc.equal(p.column("g"), key)
+        est = sketch.kmv_merge_estimate(p.filter(m), 16, "n")
+        assert est.column("n")[0].as_py() == want, key
