@@ -202,6 +202,23 @@ def pick_num_buckets(input_bytes: int,
     return max(min_buckets, int(np.ceil(input_bytes / target)))
 
 
+def enable_hash_shuffle(ds):
+    """Key-based repartition requires the hash-shuffle backend; the
+    context was captured when ``ds`` was created, so set it there.
+    Aggregator actors are capped at ~half the CPUs so the exchange can
+    never starve map/actor-pool stages (this VM deadlocks at 2 CPUs
+    otherwise).  Canonical copy — every keyed repartition in the repo
+    goes through here."""
+    if hasattr(ds, "context"):
+        import ray
+        from ray.data.context import ShuffleStrategy
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    return ds
+
+
 def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
                     key: str = "url", allowed: list | None = None,
                     resume: bool = True, concurrency=None):
@@ -221,17 +238,7 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         concurrency = (1, max(2, cpus))
-    from ray.data.context import ShuffleStrategy
-    # key-based repartition requires the hash-shuffle backend; the
-    # context was captured when `ds` was created, so set it there.
-    # Cap aggregator actors at ~half the CPUs so the shuffle cannot
-    # starve the encode actor pool on small clusters.
-    if hasattr(ds, "context"):
-        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+    enable_hash_shuffle(ds)
     return (ds
             .map_batches(add_bucket, batch_format="pyarrow",
                          fn_kwargs={"num_buckets": num_buckets,

@@ -23,19 +23,8 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _enable_hash_shuffle(ds):
-    """Key-based repartition needs the hash-shuffle backend; cap the
-    aggregator actors at ~half the CPUs so the exchange can never
-    starve the map/actor-pool stages (this VM deadlocks at 2 CPUs
-    otherwise — see CLAUDE.md machine quirks).  Shared by every keyed
-    repartition in this module and pipelines/flagship.py."""
-    if hasattr(ds, "context"):
-        import ray
-        from ray.data.context import ShuffleStrategy
-        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        cpus = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
-    return ds
+    from .flagship import enable_hash_shuffle
+    return enable_hash_shuffle(ds)
 
 
 # ---------------------------------------------------------------------------
