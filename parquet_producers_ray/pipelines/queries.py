@@ -306,6 +306,36 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """
 
 
+def q_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p50/p95) — the aggregate
+    family the reference lacks entirely.  Small group count → exact
+    sort inside map_groups with DuckDB's quantile_disc index formula
+    ceil(q·n)−1; at web scale (many/large groups) the mergeable-sketch
+    path is `approx_distinct`-style (t-digest per block, merged)."""
+    import numpy as np
+
+    def qtile(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("l_quantity").to_numpy(zero_copy_only=False))
+        n = len(v)
+        pick = lambda q: float(v[int(np.ceil(q * n)) - 1])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag").slice(0, 1),
+            "q50": pa.array([pick(0.5)], pa.float64()),
+            "q95": pa.array([pick(0.95)], pa.float64())})
+
+    return (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+            .groupby("l_returnflag")
+            .map_groups(qtile, batch_format="pyarrow"))
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS q50,
+       quantile_disc(l_quantity, 0.95) AS q95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # U14 — scalar functions (string/math/date) inside map_batches
 # (reference Split/Math.Abs/concat — Tests:280, Program.cs:66)
@@ -1308,6 +1338,7 @@ REGISTRY = {
     "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
     "u11_distinct": (q_u11_distinct, SQL_U11),
     "u14_scalars": (q_u14_scalars, SQL_U14),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "stream_encode": (q_stream_encode, SQL_STREAM_ENCODE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
