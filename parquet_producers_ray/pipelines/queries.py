@@ -336,6 +336,59 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Top-k within each group (largest order per priority, rank ≤ k)
+    — the windowed-rank pattern: one grouped exchange, a per-group
+    vectorized argsort, no global sort."""
+    import numpy as np
+
+    def topk(g: pa.Table) -> pa.Table:
+        price = g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -price))[:k]
+        return pa.table({
+            "o_orderpriority": pa.array(
+                [g.column("o_orderpriority")[0].as_py()] * len(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1)),
+            "o_orderkey": pa.array(keys[order]),
+            "o_totalprice": pa.array(price[order])})
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderpriority", "o_orderkey", "o_totalprice"])
+            .groupby("o_orderpriority")
+            .map_groups(topk, batch_format="pyarrow"))
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered string aggregation per group (region → '|'-joined sorted
+    nation names): map_groups joins the sorted members; deterministic
+    ORDER BY inside the SQL string_agg keeps the oracle exact."""
+    def join_names(g: pa.Table) -> pa.Table:
+        names = sorted(g.column("n_name").to_pylist())
+        return pa.table({
+            "n_regionkey": g.column("n_regionkey").slice(0, 1),
+            "nations": pa.array(["|".join(names)])})
+
+    return (_read(sf_dir, "nation", ["n_regionkey", "n_name"])
+            .groupby("n_regionkey")
+            .map_groups(join_names, batch_format="pyarrow"))
+
+
+SQL_STRING_AGG = """
+SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # U14 — scalar functions (string/math/date) inside map_batches
 # (reference Split/Math.Abs/concat — Tests:280, Program.cs:66)
@@ -1339,6 +1392,8 @@ REGISTRY = {
     "u11_distinct": (q_u11_distinct, SQL_U11),
     "u14_scalars": (q_u14_scalars, SQL_U14),
     "quantiles": (q_quantiles, SQL_QUANTILES),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "string_agg": (q_string_agg, SQL_STRING_AGG),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "stream_encode": (q_stream_encode, SQL_STREAM_ENCODE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
