@@ -71,7 +71,8 @@ def ensure_bench_input(rows: int = BENCH_ROWS) -> str:
 
 
 def run_flagship(input_path: str, out_dir: str,
-                 num_buckets: int | None = None) -> dict:
+                 num_buckets: int | None = None,
+                 skip_refwrite: bool = False) -> dict:
     """One cold flagship encode run; returns timing + metrics."""
     from parquet_producers_ray.pipelines.flagship import (encode_pipeline,
                                                           read_input,
@@ -95,6 +96,8 @@ def run_flagship(input_path: str, out_dir: str,
     summary["decode_sec"] = round(dwall, 3)
     summary["decode_mbps"] = round(summary["input_bytes"] / dwall / 1e6, 2)
     assert n == summary["rows"], (n, summary["rows"])
+    if skip_refwrite:   # scaling workers compare throughput only
+        return summary
     # reference comparator: the reference's entire encoding story is a
     # plain Parquet write with 100k-row groups, snappy defaults
     # (BASELINE.md "Reference-derived constants"); same input, same
@@ -204,6 +207,7 @@ def worker(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     input_path = ensure_bench_input()
     flag = run_flagship(input_path, OUT_DIR + f"_c{num_cpus}",
+                        skip_refwrite=True,
                         num_buckets=SCALING_BUCKETS)
     return {"num_cpus": num_cpus, **flag}
 

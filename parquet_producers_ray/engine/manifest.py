@@ -23,6 +23,21 @@ def partition_paths(out_dir: str, part: int) -> tuple[str, str]:
             os.path.join(out_dir, f"part-{part:05d}.manifest.json"))
 
 
+def partition_id(data_path: str) -> int:
+    """Inverse of :func:`partition_paths` for the data file name —
+    the ONE place that knows the ``part-%05d.parquet`` format."""
+    name = os.path.basename(data_path)
+    assert name.startswith("part-") and name.endswith(".parquet"), name
+    return int(name[len("part-"):-len(".parquet")])
+
+
+def list_partition_files(out_dir: str) -> list:
+    """Sorted data-file paths of every completed partition dir entry."""
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+
+
 def column_digest(arr: pa.Array) -> str:
     """Cheap deterministic digest of a column (order-sensitive)."""
     h = hashlib.sha256()

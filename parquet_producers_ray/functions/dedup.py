@@ -116,7 +116,7 @@ def gram_pair_rows(block: pa.Table, max_df: int | None = None,
     off_j = np.arange(P) - np.repeat(np.cumsum(c) - c, c)
     gi = gstart[grp_of_left]
     abs_i = np.repeat(gi + loc_i, c)
-    abs_j = np.repeat(gi + loc_i, c) + 1 + off_j
+    abs_j = abs_i + 1 + off_j
     na, nb = ns[abs_i], ns[abs_j]
     ida, idb = ids[abs_i], ids[abs_j]
     if half_tau_prune:

@@ -255,9 +255,7 @@ def decode_pipeline(out_dir: str):
     """Stream the encoded partitions back to original rows."""
     import ray.data
 
-    files = sorted(
-        os.path.join(out_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".parquet"))
+    files = mf.list_partition_files(out_dir)
 
     def _decode(batch: pa.Table) -> pa.Table:
         tables = [decode_segment(pq.read_table(p))
@@ -285,9 +283,7 @@ def decode_metrics_pipeline(out_dir: str):
     partition instead of the decoded rows."""
     import ray.data
 
-    files = sorted(
-        os.path.join(out_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".parquet"))
+    files = mf.list_partition_files(out_dir)
 
     def _metrics(batch: pa.Table) -> pa.Table:
         out = []
@@ -295,7 +291,7 @@ def decode_metrics_pipeline(out_dir: str):
             t0 = time.perf_counter()
             tbl = decode_segment(pq.read_table(p))
             dt = time.perf_counter() - t0
-            part = int(os.path.basename(p).split("-")[1].split(".")[0])
+            part = mf.partition_id(p)
             out.append({
                 "part": part,
                 "rows": tbl.num_rows,

@@ -505,13 +505,16 @@ def q_text_tokens_bpe(sf_dir: str):
         fn, batch_format="pyarrow")
 
 
-SQL_TEXT_TOKENS_BPE = r"""
+from ..functions.text import BPE_PATTERN as _BPE
+
+# the ONE copy of the pattern, SQL-escaped ('' for ') at import time
+SQL_TEXT_TOKENS_BPE = """
 SELECT doc_id,
        len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+           '{}'
        )) AS n_bpe_tokens
 FROM documents
-"""
+""".format(_BPE.replace("'", "''"))
 
 
 def q_text_quality(sf_dir: str):
@@ -737,9 +740,15 @@ def q_dedup_jaccard(sf_dir: str):
     import numpy as np
     import ray
 
-    counts_tbl = pa.concat_tables([
+    count_batches = [
         b.group_by("doc_id").aggregate([("n_grams", "max")])
-        for b in grams.iter_batches(batch_format="pyarrow")])
+        for b in grams.iter_batches(batch_format="pyarrow")]
+    if not count_batches:   # empty corpus / no doc with >= 2 tokens
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64())}))
+    counts_tbl = pa.concat_tables(count_batches)
     counts_tbl = counts_tbl.group_by("doc_id").aggregate(
         [("n_grams_max", "max")]).rename_columns(["doc_id", "n"])
     raw_ids = counts_tbl.column("doc_id").to_numpy(zero_copy_only=False)
