@@ -137,3 +137,41 @@ def test_decode_metrics_per_partition(encoded_dir):
     assert total_rows == ROWS
     assert all(m["decoded_bytes"] > 0 and m["decode_sec"] >= 0
                for m in metrics)
+
+
+def test_interrupted_run_resume_bit_identical(encoded_dir, table, tmp_path):
+    """BASELINE criterion 'kill mid-run, re-run': simulate a crash that
+    left some partitions missing, one mid-replace (.tmp orphan) and one
+    manifest orphaned; the resumed run must skip completed partitions
+    and produce byte-identical outputs to an uninterrupted run."""
+    import ray.data as rd
+
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    clean = out + "/enc"
+    src = os.path.join(out, "input.parquet")
+
+    crashed = str(tmp_path / "crashed")
+    F.summarize(F.encode_pipeline(rd.read_parquet(src), crashed,
+                                  num_buckets=8).materialize())
+    # simulate the crash: two partitions vanish entirely, one is caught
+    # mid-replace (.tmp orphan, data+manifest gone), one manifest lost
+    for part in (1, 3):
+        dp, mp = mf.partition_paths(crashed, part)
+        os.remove(dp)
+        os.remove(mp)
+    dp5, mp5 = mf.partition_paths(crashed, 5)
+    os.rename(dp5, dp5 + ".tmp")
+    os.remove(mp5)
+    dp6, mp6 = mf.partition_paths(crashed, 6)
+    os.remove(mp6)
+
+    man = F.encode_pipeline(rd.read_parquet(src), crashed, num_buckets=8)
+    s = F.summarize(man)
+    assert s["skipped_partitions"] == 4          # 0,2,4,7 untouched
+    for part in range(8):
+        dp_a, _ = mf.partition_paths(clean, part)
+        dp_b, _ = mf.partition_paths(crashed, part)
+        with open(dp_a, "rb") as fa, open(dp_b, "rb") as fb:
+            assert fa.read() == fb.read(), part
