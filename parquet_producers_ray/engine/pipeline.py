@@ -270,9 +270,15 @@ class RangedProducer(Producer):
                 from .produce import updates_from_table
                 ds = updates_from_table(ds)
             elif UPD_SEQ_COL not in ds.schema().names:
+                # within-batch arange preserves intra-batch input order
+                # (cross-batch order of same-key rows is unspecified for
+                # a Dataset bootstrap; callers that need total within-key
+                # order pass _upd_seq themselves, as updates_from_table
+                # does)
                 def add_seq(t: pa.Table) -> pa.Table:
                     return t.append_column(
-                        UPD_SEQ_COL, pa.array(np.zeros(len(t), np.int64)))
+                        UPD_SEQ_COL, pa.array(np.arange(len(t),
+                                                        dtype=np.int64)))
                 ds = ds.map_batches(add_seq, batch_format="pyarrow")
             self.mirror.bootstrap(ds, version + 1)
             return

@@ -65,16 +65,19 @@ def _collect_tuples(ds, cols: list) -> set:
     return out
 
 
-def _membership_mask(batch: pa.Table, cols: list, keyset) -> np.ndarray:
+def _membership_mask(batch: pa.Table, cols: list, keyset,
+                     value_arr: pa.Array | None = None) -> np.ndarray:
     """Boolean mask: row's tuple over ``cols`` ∈ keyset.  Single-column
-    keys use the vectorized ``pc.is_in`` kernel; compound keys fall back
-    to a tuple-hash probe (keys are narrow; the wide value columns never
-    enter this path)."""
+    keys use the vectorized ``pc.is_in`` kernel (pass ``value_arr`` to
+    reuse a pre-converted value set across batches); compound keys fall
+    back to a tuple-hash probe (keys are narrow; the wide value columns
+    never enter this path)."""
     import pyarrow.compute as pc
 
     if len(cols) == 1:
-        values = pa.array([t[0] for t in keyset],
-                          type=batch.schema.field(cols[0]).type)
+        values = value_arr if value_arr is not None else pa.array(
+            [t[0] for t in keyset],
+            type=batch.schema.field(cols[0]).type)
         return pc.is_in(batch.column(cols[0]),
                         value_set=values).to_numpy(zero_copy_only=False)
     tups = zip(*(batch.column(c).to_pylist() for c in cols))
@@ -98,9 +101,18 @@ def _broadcast_filter(conditions):
         mask = np.ones(len(batch), dtype=bool)
         cache = getattr(fn, "_cache", None)
         if cache is None:
-            cache = fn._cache = [ _ray.get(r) for _, r, _ in refs ]
-        for (cols, _, keep), keyset in zip(refs, cache):
-            m = _membership_mask(batch, cols, keyset)
+            # fetch each keyset once per task AND pre-convert the
+            # single-column value sets to Arrow once, not per batch
+            cache = fn._cache = []
+            for cols, r, _ in refs:
+                keyset = _ray.get(r)
+                arr = pa.array(
+                    [t[0] for t in keyset],
+                    type=batch.schema.field(cols[0]).type) \
+                    if len(cols) == 1 else None
+                cache.append((keyset, arr))
+        for (cols, _, keep), (keyset, arr) in zip(refs, cache):
+            m = _membership_mask(batch, cols, keyset, value_arr=arr)
             mask &= m if keep else ~m
         return batch.filter(pa.array(mask))
     return fn

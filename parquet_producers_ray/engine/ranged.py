@@ -18,9 +18,17 @@ key ranges intersect the delta:
 - reads of "rows with key ∈ K" open only the partitions whose range
   can contain K (the provenance-index lookup never scans the table).
 
-Ordering caveat: partition assignment compares keys as Python tuples
-while partition-local sorts use Arrow ordering; these agree for
-integers, timestamps and ASCII strings (the engine's key types).
+Ordering caveats:
+- partition assignment compares keys in a normalized order-preserving
+  space (``_norm_value``: timestamps → epoch µs, bytes → hex) that
+  agrees with Arrow ordering for integers, timestamps, bytes and ASCII
+  strings (the engine's key types);
+- the ranged store's canonical PHYSICAL order is ascending: a
+  descending-target bootstrap is stored as written (manifest ranges are
+  orientation-agnostic, so pruning stays correct), but incremental
+  rewrites normalize touched partitions to ascending — descending
+  target order is a logical property of the DAG (feeds, surrogate
+  allocation order), not a physical guarantee of this store.
 """
 
 from __future__ import annotations
@@ -36,6 +44,27 @@ import pyarrow.parquet as pq
 DEFAULT_TARGET_ROWS = 100_000   # reference RowsPerGroup
 
 
+def _norm_value(v):
+    """JSON-safe, ORDER-PRESERVING normal form of one key value: the
+    manifest min/max and every bisect comparison go through this, so
+    timestamps (→ epoch µs int) and bytes (→ hex, order-preserving
+    since each byte maps to two hex chars) survive the JSON round-trip
+    with correct range semantics.  int/str pass through."""
+    import datetime
+    if isinstance(v, datetime.datetime):
+        return int((v - datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo))
+                   .total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _norm_tuple(k) -> tuple:
+    return tuple(_norm_value(v) for v in k)
+
+
 def _key_tuple(batch: pa.Table, cols: list, i: int) -> tuple:
     return tuple(batch.column(c)[i].as_py() for c in cols)
 
@@ -48,9 +77,14 @@ def _file_range(path: str, sort_cols: list) -> tuple:
     first = pf.read_row_group(0, columns=sort_cols)
     last = pf.read_row_group(pf.metadata.num_row_groups - 1,
                              columns=sort_cols)
-    return (_key_tuple(first, sort_cols, 0),
-            _key_tuple(last, sort_cols, len(last) - 1),
-            pf.metadata.num_rows)
+    lo = _norm_tuple(_key_tuple(first, sort_cols, 0))
+    hi = _norm_tuple(_key_tuple(last, sort_cols, len(last) - 1))
+    # orientation-agnostic: a bootstrap written in DESCENDING target
+    # order has last < first — the manifest range must still be
+    # (min, max) or every bisect prune is vacuously empty
+    if hi < lo:
+        lo, hi = hi, lo
+    return (lo, hi, pf.metadata.num_rows)
 
 
 class RangedTable:
@@ -83,7 +117,7 @@ class RangedTable:
         m = {"sort_cols": self.sort_cols, "partitions": parts}
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(m, f, default=str)
+            json.dump(m, f)   # min/max pre-normalized by _norm_tuple
         os.replace(tmp, self._manifest_path(version))
 
     # -- bootstrap write --------------------------------------------------
@@ -127,34 +161,25 @@ class RangedTable:
             return None
         return ray.data.read_parquet(files)
 
-    def _assign(self, manifest: dict, keys: list) -> dict:
-        """key tuple → partition index by range bisect (keys between
-        partitions attach to the left neighbour; keys before the first
-        partition to partition 0)."""
-        mins = [tuple(p["min"]) for p in manifest["partitions"]]
-        out = {}
-        for k in keys:
-            i = bisect.bisect_right(mins, tuple(k)) - 1
-            out[tuple(k)] = max(0, i)
-        return out
-
     def read_keys(self, version: int, key_tuples: set) -> pa.Table:
         """Range-pruned point lookup: read only the partitions whose
         range can contain one of the keys; returns matching rows.
         `key_tuples` are prefixes of the sort key (e.g. just sk for a
         (sk, tk)-sorted mapping table)."""
+        import pyarrow.compute as pc
+
         m = self.manifest(version)
         if m is None or not key_tuples:
             return None
         nprefix = len(next(iter(key_tuples)))
+        norm_keys = sorted(_norm_tuple(k) for k in key_tuples)
         hit = set()
         for p_idx, p in enumerate(m["partitions"]):
             lo = tuple(p["min"])[:nprefix]
             hi = tuple(p["max"])[:nprefix]
-            for k in key_tuples:
-                if lo <= tuple(k) <= hi:
-                    hit.add(p_idx)
-                    break
+            a = bisect.bisect_left(norm_keys, lo)
+            if a < len(norm_keys) and norm_keys[a] <= hi:
+                hit.add(p_idx)
         if not hit:
             return None
         tables = []
@@ -163,10 +188,42 @@ class RangedTable:
             path = os.path.join(self._vdir(version),
                                 m["partitions"][i]["file"])
             t = pq.read_table(path)
-            mask = [_key_tuple(t, pre_cols, j) in key_tuples
-                    for j in range(len(t))]
-            tables.append(t.filter(pa.array(mask)))
+            if nprefix == 1:
+                # vectorized membership on the single prefix column
+                vals = pa.array([k[0] for k in key_tuples])
+                mask = pc.is_in(t.column(pre_cols[0]).combine_chunks()
+                                .cast(vals.type), value_set=vals)
+                tables.append(t.filter(mask))
+            else:
+                mask = [_key_tuple(t, pre_cols, j) in key_tuples
+                        for j in range(len(t))]
+                tables.append(t.filter(pa.array(mask)))
         return pa.concat_tables(tables) if tables else None
+
+    def _write_fresh(self, new_version: int, new_vdir: str,
+                     adds: pa.Table) -> dict:
+        """Delta applied on top of an empty version: the (sorted) adds
+        become the new table's partitions."""
+        parts = []
+        n = len(adds)
+        nfiles = max(1, (n + 2 * self.target_rows - 1)
+                     // (2 * self.target_rows)) if n else 0
+        for s in range(nfiles):
+            step = (n + nfiles - 1) // nfiles
+            sl = adds.slice(s * step, step)
+            if len(sl) == 0:
+                continue
+            fname = f"fresh.d{new_version}-{s}.parquet"
+            pq.write_table(sl, os.path.join(new_vdir, fname),
+                           row_group_size=self.target_rows)
+            parts.append({
+                "file": fname, "rows": len(sl),
+                "min": list(_norm_tuple(
+                    [sl.column(c)[0].as_py() for c in self.sort_cols])),
+                "max": list(_norm_tuple(
+                    [sl.column(c)[-1].as_py() for c in self.sort_cols]))})
+        self._write_manifest(new_version, parts)
+        return {"rewritten": len(parts), "linked": 0}
 
     # -- incremental apply --------------------------------------------------
 
@@ -188,12 +245,17 @@ class RangedTable:
         os.makedirs(new_vdir, exist_ok=True)
 
         adds = adds.sort_by([(c, "ascending") for c in self.sort_cols])
-        # assign add rows + drop keys to partitions
         parts = m["partitions"]
+        if not parts:
+            # previous version holds zero partitions (everything was
+            # deleted, or an empty bootstrap): the adds ARE the table
+            return self._write_fresh(new_version, new_vdir, adds)
+        # assign add rows + drop keys to partitions (all comparisons in
+        # the manifest's normalized key space)
         mins = [tuple(p["min"]) for p in parts]
         n_adds = len(adds)
         add_part = [max(0, bisect.bisect_right(
-            mins, _key_tuple(adds, self.sort_cols, i)) - 1)
+            mins, _norm_tuple(_key_tuple(adds, self.sort_cols, i))) - 1)
             for i in range(n_adds)]
         touched: dict = {}
         for i, pi in enumerate(add_part):
@@ -201,9 +263,11 @@ class RangedTable:
         # drop keys are tuples over `drop_cols`, a PREFIX of sort_cols:
         # one merge pass assigns each partition the drops its prefix
         # range covers (a key group straddling a file boundary hits
-        # every file whose range contains it)
+        # every file whose range contains it); rewrite tasks match on
+        # the RAW tuples, only the range pruning is normalized
         drop_by_part: dict = {}
-        sorted_drops = sorted(tuple(k) for k in drop_keys)
+        raw_by_norm = {_norm_tuple(k): tuple(k) for k in drop_keys}
+        sorted_drops = sorted(raw_by_norm)
         if sorted_drops:
             npre = len(sorted_drops[0])
             for pi, p in enumerate(parts):
@@ -213,7 +277,7 @@ class RangedTable:
                 b = bisect.bisect_right(sorted_drops, hi)
                 if b > a:
                     drop_by_part.setdefault(pi, set()).update(
-                        sorted_drops[a:b])
+                        raw_by_norm[k] for k in sorted_drops[a:b])
         for pi in drop_by_part:
             touched.setdefault(pi, [])
 
@@ -241,8 +305,10 @@ class RangedTable:
                                row_group_size=target_rows)
                 out.append({
                     "file": fname, "rows": len(sl),
-                    "min": [sl.column(c)[0].as_py() for c in sort_cols],
-                    "max": [sl.column(c)[-1].as_py() for c in sort_cols]})
+                    "min": list(_norm_tuple(
+                        [sl.column(c)[0].as_py() for c in sort_cols])),
+                    "max": list(_norm_tuple(
+                        [sl.column(c)[-1].as_py() for c in sort_cols]))})
             return out
 
         futures = []

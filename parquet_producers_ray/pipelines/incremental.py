@@ -150,8 +150,9 @@ class IncrementalMirror:
         tups = zip(*(adds.column(c).to_pylist() for c in tk))
         ids = pa.array([prev_ids[t] for t in tups],
                        type=spec.out_schema.field(idc).type)
-        state["next_id"] = spec.preserver.next_id
-        self._write_state(state)
+        # NOTE: the advanced counter is persisted by apply() AFTER all
+        # version data is written — a crash mid-version then re-run
+        # must reallocate the same ids (idempotent resume)
         return adds.set_column(adds.column_names.index(idc), idc, ids)
 
     def _state_path(self) -> str:
@@ -183,6 +184,21 @@ class IncrementalMirror:
         spec = self.spec
         tk, skp, vals = spec.target_key, spec.stored_sk, spec.value_columns
         raw_sk = spec.source_key
+
+        # reference rule (ParquetProduction.cs:326-337, same check as
+        # engine/produce.py): a source key carries EITHER one Delete OR
+        # upserts, never a mix
+        import pyarrow.compute as pc
+        is_del = pc.equal(updates_tbl.column(TYPE_COL), DELETE)
+        if pc.any(is_del).as_py():
+            del_sks = _collect(updates_tbl.filter(is_del), raw_sk)
+            ups_sks = _collect(updates_tbl.filter(pc.invert(is_del)),
+                               raw_sk)
+            mixed = del_sks & ups_sks
+            if mixed:
+                raise ValueError(
+                    "update batch mixes Delete and upsert rows for "
+                    f"source key(s) {sorted(mixed)[:5]}")
 
         updates_tbl = updates_tbl.append_column(
             UPD_SEQ_COL, pa.array(np.arange(len(updates_tbl)),
@@ -228,38 +244,53 @@ class IncrementalMirror:
             version, version + 1, adds.select(skp + tk + [SEQ_COL]),
             touched_pairs, skp + tk)
 
-        # feed: full new rowset per touched tk (reference F7/F8 labels)
+        # feed: full new rowset per touched tk (reference F7/F8 labels),
+        # labeled VECTORIZED over the sorted table — the only Python
+        # loop is over run starts (one per touched tk, delta-sized)
         after = self.content.read_keys(version + 1, touched_tks)
-        feed_rows = []
+        parts = []
         if after is not None and len(after):
             after = after.sort_by([(c, "ascending")
                                    for c in tk + skp + [SEQ_COL]])
-            prev_tk = None
-            upd_seq = 0
-            for j in range(len(after)):
-                tkv = tuple(after.column(c)[j].as_py() for c in tk)
-                if tkv != prev_tk:
-                    prev_tk = tkv
-                    upd_seq = 0
-                    first = True
-                else:
-                    first = False
-                row = {c: after.column(c)[j].as_py() for c in tk + vals}
-                row[TYPE_COL] = ADD if (first and tkv not in before_tks) \
-                    else UPDATE
-                row[UPD_SEQ_COL] = upd_seq
-                upd_seq += 1
-                feed_rows.append(row)
+            n = len(after)
+            new_run = np.zeros(n, dtype=bool)
+            new_run[0] = True
+            for c in tk:
+                col = after.column(c).to_numpy(zero_copy_only=False)
+                new_run[1:] |= col[1:] != col[:-1]
+            run_starts = np.flatnonzero(new_run)
+            run_id = np.cumsum(new_run) - 1
+            upd_seq = np.arange(n) - run_starts[run_id]
+            is_add_run = np.fromiter(
+                (tuple(after.column(c)[int(s)].as_py() for c in tk)
+                 not in before_tks for s in run_starts),
+                dtype=bool, count=len(run_starts))
+            types = np.full(n, UPDATE, dtype=np.int8)
+            types[run_starts[is_add_run]] = ADD
+            main = {c: after.column(c) for c in tk + vals}
+            main[TYPE_COL] = pa.array(types)
+            main[UPD_SEQ_COL] = pa.array(upd_seq, type=pa.int64())
+            parts.append(pa.table(main).select(feed_schema.names)
+                         .cast(feed_schema))
         live_tks = _collect(after, tk) if after is not None else set()
-        for tkv in sorted(touched_tks - live_tks):
-            row = {c: v for c, v in zip(tk, tkv)}
+        dead = sorted(touched_tks - live_tks)
+        if dead:
+            drows = {c: pa.array([t[i] for t in dead],
+                                 type=feed_schema.field(c).type)
+                     for i, c in enumerate(tk)}
             for c in vals:
-                row[c] = None
-            row[TYPE_COL] = DELETE
-            row[UPD_SEQ_COL] = 0
-            feed_rows.append(row)
-        feed = pa.Table.from_pylist(feed_rows, schema=feed_schema)
+                drows[c] = pa.nulls(len(dead), feed_schema.field(c).type)
+            drows[TYPE_COL] = pa.array([DELETE] * len(dead), pa.int8())
+            drows[UPD_SEQ_COL] = pa.array([0] * len(dead), pa.int64())
+            parts.append(pa.table(drows).select(feed_schema.names)
+                         .cast(feed_schema))
+        feed = pa.concat_tables(parts) if parts \
+            else feed_schema.empty_table()
         feed = feed.sort_by([(c, "ascending") for c in tk]
                             + [(UPD_SEQ_COL, "ascending")])
         self._write_feed_tbl(feed, version + 1)
+        if spec.preserver is not None:
+            state = self._read_state()
+            state["next_id"] = spec.preserver.next_id
+            self._write_state(state)
         return {"feed": feed, "content": cstats, "mappings": mstats}

@@ -161,3 +161,101 @@ def test_oversized_partition_splits(ray_session, tmp_path):
         assert tuple(a["max"]) <= tuple(b["min"])
     got = _content_rows(mirror, 2)
     assert len(got) == 1900
+
+
+def test_ranged_table_descending_bootstrap_and_empty_rebuild(
+        ray_session, tmp_path):
+    """Manifest ranges must be orientation-agnostic (a descending
+    bootstrap writes last < first) and a delta applied on top of an
+    empty version must rebuild the table instead of crashing."""
+    import ray.data as rd
+
+    from parquet_producers_ray.engine.ranged import RangedTable
+
+    t1 = pa.table({"k": pa.array([9, 8, 7], pa.int64()),
+                   "v": pa.array([1, 2, 3], pa.int64()),
+                   "_seq": pa.array([0, 0, 0], pa.int64())})
+    t2 = pa.table({"k": pa.array([6, 5, 4], pa.int64()),
+                   "v": pa.array([4, 5, 6], pa.int64()),
+                   "_seq": pa.array([0, 0, 0], pa.int64())})
+    rt = RangedTable(str(tmp_path / "rt"), ["k", "_seq"], target_rows=100)
+    rt.write_full(rd.from_arrow([t1, t2]), 1)
+    m = rt.manifest(1)
+    assert len(m["partitions"]) == 2
+    for p in m["partitions"]:
+        assert tuple(p["min"]) <= tuple(p["max"])
+    # range-pruned point lookup into the "inverted" second file
+    got = rt.read_keys(1, {(5,)})
+    assert got.column("v").to_pylist() == [5]
+    # delta across partitions: drop from one file, add beyond the range
+    adds = pa.table({"k": pa.array([10], pa.int64()),
+                     "v": pa.array([99], pa.int64()),
+                     "_seq": pa.array([0], pa.int64())})
+    rt.apply_delta(1, 2, adds, {(8,)}, ["k"])
+    assert sorted(r["k"] for r in rt.read(2).take_all()) == \
+        [4, 5, 6, 7, 9, 10]
+
+    # drop EVERYTHING -> empty version -> re-add must not crash
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "_seq": pa.array([], pa.int64())})
+    rt.apply_delta(2, 3, empty, {(k,) for k in [4, 5, 6, 7, 9, 10]},
+                   ["k"])
+    assert rt.manifest(3)["partitions"] == []
+    assert rt.read(3) is None
+    rt.apply_delta(3, 4, adds, set(), ["k"])
+    assert [r["k"] for r in rt.read(4).take_all()] == [10]
+
+
+def test_ranged_table_timestamp_keys_round_trip(ray_session, tmp_path):
+    """Timestamp sort keys must survive the manifest JSON round-trip
+    with working range comparisons (epoch-µs normalization)."""
+    import datetime
+
+    import ray.data as rd
+
+    from parquet_producers_ray.engine.ranged import RangedTable
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = [base + datetime.timedelta(minutes=m) for m in range(6)]
+    t1 = pa.table({"ts": pa.array(ts[:3], pa.timestamp("us")),
+                   "v": pa.array([0, 1, 2], pa.int64()),
+                   "_seq": pa.array([0, 0, 0], pa.int64())})
+    t2 = pa.table({"ts": pa.array(ts[3:], pa.timestamp("us")),
+                   "v": pa.array([3, 4, 5], pa.int64()),
+                   "_seq": pa.array([0, 0, 0], pa.int64())})
+    rt = RangedTable(str(tmp_path / "ts"), ["ts", "_seq"],
+                     target_rows=100)
+    rt.write_full(rd.from_arrow([t1, t2]), 1)
+    got = rt.read_keys(1, {(ts[4],)})
+    assert got.column("v").to_pylist() == [4]
+    adds = pa.table({"ts": pa.array([ts[1]], pa.timestamp("us")),
+                     "v": pa.array([99], pa.int64()),
+                     "_seq": pa.array([1], pa.int64())})
+    stats = rt.apply_delta(1, 2, adds, {(ts[0],)}, ["ts"])
+    assert stats == {"rewritten": 1, "linked": 1}
+    assert sorted(r["v"] for r in rt.read(2).take_all()) == \
+        [1, 2, 3, 4, 5, 99]
+
+
+def test_mirror_rejects_mixed_delete_and_upsert(ray_session, tmp_path):
+    from parquet_producers_ray.engine.model import DELETE, UPDATE
+    from parquet_producers_ray.pipelines.incremental import (
+        IncrementalMirror, webpage_mirror_spec)
+    from parquet_producers_ray.sources.webpages import generate_shard
+
+    import ray.data as rd
+
+    mirror = IncrementalMirror(str(tmp_path / "m"), webpage_mirror_spec())
+    boot = updates_with_type(generate_shard(0, 64))
+    boot = boot.append_column(UPD_SEQ_COL, pa.array(
+        np.arange(len(boot), dtype=np.int64)))
+    mirror.bootstrap(rd.from_arrow(boot), 1)
+    bad = generate_shard(0, 2)
+    bad = bad.append_column(TYPE_COL, pa.array(
+        [DELETE, UPDATE], pa.int8()))
+    # same url twice: one Delete + one upsert
+    bad = bad.set_column(bad.column_names.index("url"), "url",
+                         pa.array([bad.column("url")[1].as_py()] * 2))
+    with pytest.raises(ValueError, match="mixes Delete"):
+        mirror.apply(bad, 1)
