@@ -68,7 +68,10 @@ def select_codec(arr: pa.Array, allowed: list | None = None,
                     state["fsst_table"] = tbl
             else:
                 size = codec.encode(s).nbytes
-        except (ValueError, pa.ArrowInvalid):
+        except (ValueError, pa.ArrowInvalid,
+                pa.lib.ArrowNotImplementedError):
+            # a codec that can't handle this type/content simply loses
+            # the trial; plain always works
             continue
         if best_size is None or size < best_size:
             best_name, best_size = name, size
@@ -76,10 +79,15 @@ def select_codec(arr: pa.Array, allowed: list | None = None,
 
 
 def encode_auto(arr: pa.Array, allowed: list | None = None) -> Encoded:
-    name = select_codec(arr, allowed)
+    state: dict = {}
+    name = select_codec(arr, allowed, state)
     try:
+        if name == fsst.NAME and "fsst_table" in state:
+            # reuse the symbol table trained during selection (on the
+            # sample) — never re-train for the full-column encode
+            return fsst.encode(arr, state["fsst_table"])
         return CODECS[name].encode(arr)
-    except (ValueError, pa.ArrowInvalid):
+    except (ValueError, pa.ArrowInvalid, pa.lib.ArrowNotImplementedError):
         return plain.encode(arr)
 
 

@@ -117,14 +117,31 @@ def apply_validity(arr: pa.Array, valid: np.ndarray | None) -> pa.Array:
 # ---------------------------------------------------------------------------
 # bit-packing primitives (little-endian bit order)
 
+PACK_CHUNK = 1 << 20   # bound the n×width bit-matrix temporary
+
+
 def pack_ints(vals: np.ndarray, width: int) -> bytes:
-    """Pack non-negative uint64 values, each < 2**width, LSB-first."""
+    """Pack non-negative uint64 values, each < 2**width, LSB-first.
+    Chunked so the intermediate bit matrix stays ≤ ~64 MiB regardless
+    of column length (width is a multiple of 8 bits per chunk boundary
+    only when n*width % 8 == 0 — chunks are sized so it always is)."""
     if width == 0 or len(vals) == 0:
         return b""
     vals = vals.astype(np.uint64, copy=False)
     shifts = np.arange(width, dtype=np.uint64)
-    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    if len(vals) <= PACK_CHUNK:
+        bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    # chunk at multiples of 8 values → every chunk's bitstream is
+    # byte-aligned, so byte concatenation equals one-shot packing
+    step = PACK_CHUNK - PACK_CHUNK % 8
+    out = []
+    for s in range(0, len(vals), step):
+        chunk = vals[s: s + step]
+        bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        out.append(np.packbits(bits.reshape(-1),
+                               bitorder="little").tobytes())
+    return b"".join(out)
 
 
 def unpack_ints(buf: bytes, width: int, n: int) -> np.ndarray:
@@ -148,12 +165,19 @@ def arrays_bit_identical(a: pa.Array, b: pa.Array) -> bool:
     if a.type != b.type or len(a) != len(b):
         return False
     if pa.types.is_floating(a.type):
+        # BIT identity, not value equality: -0.0 != 0.0 and NaN
+        # payloads must survive — compare the raw bit patterns of the
+        # valid slots
         if a.null_count != b.null_count:
             return False
         va, vb = np.asarray(a.is_valid()), np.asarray(b.is_valid())
         if not np.array_equal(va, vb):
             return False
-        na = a.to_numpy(zero_copy_only=False)
-        nb = b.to_numpy(zero_copy_only=False)
-        return bool(np.array_equal(na[va], nb[vb], equal_nan=True))
+        width = a.type.bit_width
+        itype = {16: np.uint16, 32: np.uint32, 64: np.uint64}[width]
+        na = np.ascontiguousarray(
+            a.to_numpy(zero_copy_only=False)[va]).view(itype)
+        nb = np.ascontiguousarray(
+            b.to_numpy(zero_copy_only=False)[vb]).view(itype)
+        return bool(np.array_equal(na, nb))
     return a.equals(b)

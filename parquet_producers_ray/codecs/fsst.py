@@ -366,11 +366,9 @@ def _decode_buffer(data: np.ndarray, offs: np.ndarray, table: SymbolTable,
     starts = starts[starts < nbytes]
     brk = np.zeros(nbytes, dtype=bool)
     brk[starts] = True
+    # brk (string starts) is already inside the mask, so a run
+    # spanning a string boundary breaks there too
     run_start_mask = is_esc_byte & (brk | ~prev)
-    # also break the alternation when a run spans a string start:
-    # treat in-run string starts as run starts too (they begin a new token)
-    in_run_break = is_esc_byte & brk & prev
-    run_start_mask |= in_run_break
 
     run_starts = np.flatnonzero(run_start_mask)
     if len(run_starts):

@@ -75,7 +75,12 @@ def generate_shard(shard: int, rows: int, seed: int = 42) -> pa.Table:
 
     # token-soup text from a small vocabulary (FSST/dict friendly)
     ntok = rng.integers(20, 200, size=rows)
-    flat = rng.integers(0, len(VOCAB), size=int(ntok.sum()))
+    total_tok = int(ntok.sum())
+    if total_tok >= 2 ** 31:
+        raise ValueError(
+            f"shard too large for 32-bit list offsets ({total_tok} "
+            "tokens); generate more, smaller shards instead")
+    flat = rng.integers(0, len(VOCAB), size=total_tok)
     offsets = np.zeros(rows + 1, dtype=np.int32)
     offsets[1:] = np.cumsum(ntok)
     words = _VOCAB_PA.take(pa.array(flat))
@@ -160,7 +165,9 @@ def webpages_parquet(rows: int, seed: int = 42,
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"webpages_r{rows}_s{seed}.parquet")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        # pid-suffixed temp: concurrent cold-cache callers must not
+        # interleave writes into one file before the atomic rename
+        tmp = f"{path}.{os.getpid()}.tmp"
         pq.write_table(generate_table(rows, seed), tmp,
                        row_group_size=65536)
         os.replace(tmp, path)

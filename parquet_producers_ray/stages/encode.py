@@ -36,17 +36,24 @@ def encode_table(table: pa.Table, allowed: list | None = None,
     rows, choices = [], {}
     for name in table.column_names:
         arr = table.column(name).combine_chunks()
-        codec_name = select_codec(arr, allowed)
+        sel_state: dict = {}
+        codec_name = select_codec(arr, allowed, sel_state)
         try:
-            if codec_name == fsst_codec.NAME and fsst_tables is not None:
-                tbl = fsst_tables.get(name)
+            if codec_name == fsst_codec.NAME:
+                tbl = (fsst_tables.get(name)
+                       if fsst_tables is not None else None)
                 if tbl is None:
-                    tbl = fsst_codec.train_from_array(arr)
-                    fsst_tables[name] = tbl
+                    # symbol table trained on the selection sample —
+                    # reused, never re-trained on the full column
+                    tbl = (sel_state.get("fsst_table")
+                           or fsst_codec.train_from_array(arr))
+                    if fsst_tables is not None:
+                        fsst_tables[name] = tbl
                 enc = fsst_codec.encode(arr, tbl)
             else:
                 enc = CODECS[codec_name].encode(arr)
-        except (ValueError, pa.ArrowInvalid):
+        except (ValueError, pa.ArrowInvalid,
+                pa.lib.ArrowNotImplementedError):
             enc = plain_codec.encode(arr)
         choices[name] = enc.codec
         rows.append(enc.to_row(name))
@@ -59,14 +66,18 @@ def encode_table(table: pa.Table, allowed: list | None = None,
 def decode_segment(seg: pa.Table) -> pa.Table:
     """Inverse of :func:`encode_table` — bit-identical reconstruction."""
     from ..codecs import decode as decode_one
+    meta = seg.schema.metadata or {}
+    schema = pa.ipc.read_schema(pa.py_buffer(meta[b"source_schema"])) \
+        if b"source_schema" in meta else None
+    if seg.num_rows == 0:
+        # an empty block may still carry segment-schema metadata
+        return schema.empty_table() if schema is not None \
+            else pa.table({})
     cols = {}
     for row in seg.to_pylist():
         enc = Encoded.from_row(row)
         cols[row["column"]] = decode_one(enc)
-    meta = seg.schema.metadata or {}
-    if b"source_schema" in meta:
-        schema = pa.ipc.read_schema(pa.py_buffer(meta[b"source_schema"]))
-    else:
+    if schema is None:
         schema = pa.schema([pa.field(n, a.type) for n, a in cols.items()])
     return pa.table(cols, schema=schema)
 
@@ -136,7 +147,8 @@ def _encode_pinned(table: pa.Table, choices: dict,
                 enc = fsst_codec.encode(arr, tbl)
             else:
                 enc = CODECS[codec_name].encode(arr)
-        except (ValueError, pa.ArrowInvalid):
+        except (ValueError, pa.ArrowInvalid,
+                pa.lib.ArrowNotImplementedError):
             enc = plain_codec.encode(arr)
         rows[name] = enc.codec
         out.append(enc.to_row(name))

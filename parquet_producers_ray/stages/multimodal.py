@@ -78,6 +78,10 @@ class ImageFeatureStage:
         blobs = batch.column(self.binary_col)
         feats = {name: [] for name in FEATURE_SCHEMA.names}
         for v in blobs.to_pylist():
+            if v is None:   # missing media is normal in crawl data
+                for name in FEATURE_SCHEMA.names:
+                    feats[name].append(None)
+                continue
             d = self.decoder.decode(v)
             for name in FEATURE_SCHEMA.names:
                 feats[name].append(int(d[name]))
@@ -139,7 +143,8 @@ def synthesize_audio_column(batch: pa.Table, text_col: str = "text",
     blobs = []
     for t in batch.column(text_col).to_pylist():
         raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        samples = (raw.astype(np.int16) - 64) * 256
+        # (byte - 128) * 128 stays within int16 for every byte value
+        samples = (raw.astype(np.int16) - 128) * 128
         blobs.append(FakeAudioCodec.encode(sample_rate, samples))
     return pa.table({
         id_col: batch.column(id_col),

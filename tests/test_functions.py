@@ -392,3 +392,22 @@ def test_kmv_sketch_null_semantics_match_sql():
             else _pc.equal(p.column("g"), key)
         est = sketch.kmv_merge_estimate(p.filter(m), 16, "n")
         assert est.column("n")[0].as_py() == want, key
+
+
+def test_image_stage_null_blobs_and_empty_segment_decode(ray_session):
+    from parquet_producers_ray.stages.encode import (decode_segments_batch,
+                                                     encode_table)
+    from parquet_producers_ray.stages.multimodal import ImageFeatureStage
+
+    # null media rows yield null feature rows, not a crash
+    blob = multimodal.FakeImageCodec.encode(2, 3, b"xy")
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "image": pa.array([blob, None], pa.large_binary())})
+    out = ImageFeatureStage()(t)
+    assert out.column("width").to_pylist() == [2, None]
+
+    # zero-row segment batches decode to an empty source-schema table
+    seg, _ = encode_table(pa.table({"k": ["a"], "v": [1]}))
+    empty = decode_segments_batch(seg.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["k", "v"]
