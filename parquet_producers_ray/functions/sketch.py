@@ -100,6 +100,36 @@ def kmv_partial(batch: pa.Table, key_col: str, value_col: str,
     return out
 
 
+def mg_truncate(items: np.ndarray, counts: np.ndarray,
+                m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra–Gries truncation of an exact/partial frequency vector to at
+    most ``m`` counters: subtract the (m+1)-th largest count from every
+    counter and drop the non-positive remainder (Agarwal et al.,
+    "Mergeable Summaries", PODS 2012).  Identity when ``len ≤ m`` —
+    counts stay EXACT as long as no truncation ever fires, and undercount
+    by at most n/(m+1) in total otherwise."""
+    if len(items) <= m:
+        return items, counts
+    # (m+1)-th largest via partition — O(n), no full sort
+    thresh = np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)]
+    adj = counts - thresh
+    keep = adj > 0
+    return items[keep], adj[keep]
+
+
+def mg_partial(batch: pa.Table, col: str, m: int = 4096) -> pa.Table:
+    """Per-block Misra–Gries summary: exact ``value_counts`` of the
+    block truncated to ≤ m counters.  Partials merge associatively by
+    summing counts per item then re-truncating; the whole exchange is
+    bounded at m rows per block regardless of block cardinality."""
+    vc = batch.column(col).combine_chunks().drop_null().value_counts()
+    items = vc.field("values")
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    idx, counts = mg_truncate(np.arange(len(items)), counts, m)
+    return pa.table({col: items.take(pa.array(idx)),
+                     "n": pa.array(counts, type=pa.int64())})
+
+
 def kmv_merge_estimate(group: pa.Table, k: int = 1024,
                        out_col: str = "n_distinct") -> pa.Table:
     """Final merge of one group's partial sketches: union of hashes →

@@ -1387,6 +1387,214 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Range (interval) join — an operator Ray Data lacks (named alongside
+# as-of join in the operator brief).  Partitioning assumption: the
+# interval side is small enough to broadcast (`ray.put` once); the big
+# probe side NEVER shuffles — each batch is sorted once and every band
+# is counted with two vectorized `np.searchsorted` probes (lo
+# inclusive, hi exclusive); the per-batch partial counts merge in a
+# groupby-sum over ≤ #bands rows per block.  Overlapping bands are
+# fine: each band counts independently against the sorted values.
+
+def q_range_join(sf_dir: str):
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pa.concat_tables(list(
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+        .iter_batches(batch_format="pyarrow")))
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    rp = part.column("p_retailprice").to_numpy(zero_copy_only=False)
+    sel = pk % 40 == 0
+    band_id = pk[sel]
+    lo = rp[sel] * (1 + pk[sel] % 50)
+    hi = lo + 500.0
+    ref = ray.put((band_id, lo, hi))
+
+    def count_bands(b: pa.Table) -> pa.Table:
+        bid, lo, hi = ray.get(ref)   # zero-copy from local object store
+        v = np.sort(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        n = (np.searchsorted(v, hi, side="left")
+             - np.searchsorted(v, lo, side="left"))
+        keep = n > 0
+        return pa.table({"band_id": pa.array(bid[keep], type=pa.int64()),
+                         "n_matches": pa.array(n[keep], type=pa.int64())})
+
+    return (_read(sf_dir, "lineitem", ["l_extendedprice"])
+            .map_batches(count_bands, batch_format="pyarrow")
+            .groupby("band_id")
+            .aggregate(Sum("n_matches", alias_name="n_matches")))
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT p_partkey AS band_id,
+         p_retailprice * (1 + p_partkey % 50) AS lo,
+         p_retailprice * (1 + p_partkey % 50) + 500 AS hi
+  FROM part WHERE p_partkey % 40 = 0)
+SELECT band_id, count(*) AS n_matches
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti join — membership joins via Ray's native hash-join
+# (join_type="left_semi"/"left_anti", Ray ≥2.46).  The right side is
+# pre-shrunk to distinct keys INSIDE each map task before the exchange,
+# so the shuffle moves ≤ #distinct-keys rows per block, not the raw
+# orders table.  Window: customers with (semi) / without (anti) an
+# order since 2001-01-01 — both sides non-empty on the testdata.
+
+def _recent_order_keys(sf_dir: str):
+    from datetime import datetime
+    cutoff = pa.scalar(datetime(2001, 1, 1), type=pa.timestamp("us"))
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("o_orderdate"), cutoff))
+        return t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .map_batches(recent_keys, batch_format="pyarrow"))
+
+
+def _membership_join(sf_dir: str, join_type: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return cust.join(_recent_order_keys(sf_dir), join_type=join_type,
+                     num_partitions=8, on=("c_custkey",),
+                     right_on=("o_custkey",))
+
+
+def q_semi_join(sf_dir: str):
+    return _membership_join(sf_dir, "left_semi")
+
+
+def q_anti_join(sf_dir: str):
+    return _membership_join(sf_dir, "left_anti")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Three-table analytic pipeline (TPC-H Q3 shape): selective dimension
+# filter → semi-join reduction → fact hash-join → grouped revenue →
+# deterministic top-10.  Shows join composition: the customer side is
+# reduced to bare keys and semi-joined BEFORE the wide orders⋈lineitem
+# exchange, so only qualifying orders reach the big join.
+
+def q_join3_topk(sf_dir: str):
+    from datetime import datetime
+    from ray.data.aggregate import Sum
+    cutoff = pa.scalar(datetime(1998, 3, 15), type=pa.timestamp("us"))
+
+    building = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+                .map_batches(
+                    lambda b: b.filter(pc.equal(b.column("c_mktsegment"),
+                                                "BUILDING"))
+                    .select(["c_custkey"]),
+                    batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(
+                  lambda b: b.filter(pc.less(b.column("o_orderdate"),
+                                             cutoff)),
+                  batch_format="pyarrow")
+              .join(building, join_type="left_semi", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",)))
+
+    def line_revenue(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "revenue": rev})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+          .map_batches(line_revenue, batch_format="pyarrow"))
+
+    joined = li.join(orders.select_columns(["o_orderkey", "o_orderdate"]),
+                     join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return (joined.groupby(["l_orderkey", "o_orderdate"])
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .sort(["revenue", "l_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+SQL_JOIN3_TOPK = """
+SELECT l_orderkey, o_orderdate,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — mergeable Misra–Gries top-k sketch (Agarwal et al.,
+# PODS 2012).  Each block reduces to ≤ m counters (exact value_counts,
+# MG-truncated), partials merge by a groupby-sum then one final
+# truncation.  Like the KMV sketch, counts are EXACT whenever no
+# truncation fires (distinct ≤ m everywhere) — which makes the
+# small-scale oracle parity meaningful while the exchange stays bounded
+# at m rows per block at 10^12 scale.
+
+def q_approx_topk(sf_dir: str, m: int = 4096, k: int = 20):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import mg_partial, mg_truncate
+
+    merged = (_read(sf_dir, "lineitem", ["l_partkey"])
+              .map_batches(lambda b: mg_partial(b, "l_partkey", m),
+                           batch_format="pyarrow")
+              .groupby("l_partkey")
+              .aggregate(Sum("n", alias_name="n")))
+
+    def final_topk(b: pa.Table) -> pa.Table:
+        items = b.column("l_partkey").combine_chunks()
+        counts = b.column("n").to_numpy(zero_copy_only=False)
+        idx, counts = mg_truncate(np.arange(len(items)), counts, m)
+        t = pa.table({"l_partkey": items.take(pa.array(idx)),
+                      "n": pa.array(counts, type=pa.int64())})
+        return t.sort_by([("n", "descending"),
+                          ("l_partkey", "ascending")]).slice(0, k)
+
+    # the merged sketch is ≤ m rows — a single tiny final task
+    return merged.repartition(1).map_batches(
+        final_topk, batch_format="pyarrow", batch_size=None)
+
+
+SQL_APPROX_TOPK = """
+SELECT l_partkey, count(*) AS n
+FROM lineitem GROUP BY l_partkey
+ORDER BY n DESC, l_partkey LIMIT 20
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -1430,6 +1638,11 @@ REGISTRY = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "join3_topk": (q_join3_topk, SQL_JOIN3_TOPK),
+    "approx_topk": (q_approx_topk, SQL_APPROX_TOPK),
 }
 
 

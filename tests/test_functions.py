@@ -411,3 +411,55 @@ def test_image_stage_null_blobs_and_empty_segment_decode(ray_session):
     empty = decode_segments_batch(seg.slice(0, 0))
     assert empty.num_rows == 0
     assert empty.schema.names == ["k", "v"]
+
+
+def test_mg_sketch_exact_below_m_and_bounded_undercount_above():
+    from ray.data.aggregate import Sum
+
+    from parquet_producers_ray.functions import sketch
+
+    # exact regime: distinct ≤ m everywhere → counts are true counts
+    vals = pa.table({"x": pa.array([1, 1, 1, 2, 2, 3] * 5, pa.int64())})
+    p = sketch.mg_partial(vals, "x", m=16)
+    got = dict(zip(p.column("x").to_pylist(), p.column("n").to_pylist()))
+    assert got == {1: 15, 2: 10, 3: 5}
+
+    # truncated regime: zipf-ish stream, m = 8 ≪ 100 distinct.
+    # MG guarantees: (a) ≤ m counters, (b) undercount per item ≤ n/(m+1),
+    # (c) merge of slice partials == sum-then-truncate (mergeability)
+    rng = np.random.RandomState(7)
+    stream = (rng.zipf(1.5, 20000) % 100).astype(np.int64)
+    n = len(stream)
+    t = pa.table({"x": pa.array(stream)})
+    m = 8
+    p1 = sketch.mg_partial(t.slice(0, n // 2), "x", m)
+    p2 = sketch.mg_partial(t.slice(n // 2), "x", m)
+    merged = pa.concat_tables([p1, p2]).group_by(["x"]).aggregate(
+        [("n", "sum")]).rename_columns(["x", "n"])
+    items = np.arange(merged.num_rows)
+    idx, cnt = sketch.mg_truncate(items, merged.column("n").to_numpy(
+        zero_copy_only=False), m)
+    assert len(idx) <= m
+    true = {v: int(c) for v, c in
+            zip(*np.unique(stream, return_counts=True))}
+    kept = merged.column("x").take(pa.array(idx)).to_pylist()
+    for item, est in zip(kept, cnt):
+        assert 0 < est <= true[item]
+        # total error across both truncations ≤ 2·n/(m+1)
+        assert true[item] - est <= 2 * n / (m + 1)
+    # the true heavy hitter (zipf mode = 1) always survives
+    mode = max(true, key=true.get)
+    assert mode in kept
+
+
+def test_range_join_counts_match_brute_force():
+    # the searchsorted band counter == per-pair brute force, including
+    # overlapping bands and boundary semantics (lo inclusive, hi excl.)
+    rng = np.random.RandomState(3)
+    v = np.round(rng.uniform(0, 100, 500), 2)
+    lo = np.array([0.0, 10.0, 10.0, 95.0, 200.0])
+    hi = np.array([10.0, 20.0, 30.0, 100.0, 300.0])
+    s = np.sort(v)
+    fast = np.searchsorted(s, hi, "left") - np.searchsorted(s, lo, "left")
+    brute = [(int(((v >= a) & (v < b)).sum())) for a, b in zip(lo, hi)]
+    assert fast.tolist() == brute
