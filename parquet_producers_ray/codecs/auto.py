@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from . import bitpack, delta, dictionary, for_, fsst, plain, rle
+from . import bitpack, bss, delta, dictionary, for_, fsst, plain, rle
 from .base import Encoded
 
 CODECS = {
@@ -26,12 +26,13 @@ CODECS = {
     for_.NAME: for_,
     delta.NAME: delta,
     fsst.NAME: fsst,
+    bss.NAME: bss,
 }
 
 # trial order is a mild prior; selection is purely by sampled size
 _CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, delta.NAME,
                     for_.NAME, bitpack.NAME,
-                    fsst.NAME, plain.NAME]
+                    fsst.NAME, bss.NAME, plain.NAME]
 
 
 def candidates(typ: pa.DataType) -> list:

@@ -19,7 +19,9 @@ NAME = "dict"
 
 
 def applicable(typ: pa.DataType) -> bool:
-    return not (pa.types.is_nested(typ) or pa.types.is_dictionary(typ))
+    # halffloat has no dictionary_encode kernel in pyarrow 16
+    return not (pa.types.is_nested(typ) or pa.types.is_dictionary(typ)
+                or (pa.types.is_floating(typ) and typ.bit_width == 16))
 
 
 def encode(arr: pa.Array) -> Encoded:

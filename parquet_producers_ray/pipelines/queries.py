@@ -953,6 +953,35 @@ def q_audio_chunks(sf_dir: str):
                           batch_size=64, concurrency=2)
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing: synthesize a deterministic
+    framed binary column, then a flat-map stage explodes every 4th
+    64-byte 'frame' into its own row — the 1→n sampler shape (the real
+    decoder is the documented stub boundary).  Fully oracle-checked:
+    the frame bytes are reproducible substrings of the payload."""
+    from ..stages.multimodal import frame_sample, synthesize_image_column
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synthesize_image_column, batch_format="pyarrow"))
+    return ds.map_batches(
+        lambda b: frame_sample(b, binary_col="image"),
+        batch_format="pyarrow")
+
+
+# the synthetic corpus is pure ASCII (verified octet_length == length
+# at every sf), so VARCHAR slicing in the oracle equals the byte
+# slicing the Ray stage performs on the blob
+SQL_VIDEO_FRAMES = """
+WITH f AS (
+  SELECT doc_id, text AS body,
+         greatest(octet_length(encode(text)) // 64, 1) AS n
+  FROM documents)
+SELECT doc_id, frame, substr(body, CAST(frame * 64 + 1 AS BIGINT),
+                             CAST(64 AS BIGINT)) AS frame_bytes
+FROM f CROSS JOIN unnest(range(0, CAST(n AS BIGINT), 4)) AS t(frame)
+"""
+
+
 SQL_MEDIA_FEATURES = """
 SELECT doc_id,
        doc_id % 640 + 1 AS width,
@@ -1388,6 +1417,67 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
 
 
 # ---------------------------------------------------------------------------
+# Embedding-column encode — the float storage path at training-data
+# scale: list<float> columns route to the byte-stream-split codec
+# (codecs/bss.py), everything stays a stateful actor-pool map_batches
+# stage.  The stage is self-certifying: every batch is encoded, decoded
+# and bit-compared IN the pipeline (raises on any mismatch, including a
+# wrong codec choice); the oracle then checks the values that flowed
+# through via scalar projections (a list column itself can't be
+# hash-compared by the driver).
+
+class _EmbedRoundtripStage:
+    def __init__(self):
+        from ..stages.encode import EncoderPool
+        self.pool = EncoderPool()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..codecs.base import arrays_bit_identical
+        from ..stages.encode import decode_segments_batch
+
+        seg = self.pool(b)
+        codec_by_col = dict(zip(seg.column("column").to_pylist(),
+                                seg.column("codec").to_pylist()))
+        if codec_by_col.get("embedding") != "bss":
+            raise AssertionError(
+                f"embedding column routed to {codec_by_col.get('embedding')}"
+                " — expected byte-stream-split")
+        dec = decode_segments_batch(seg).select(b.column_names)
+        for name in b.column_names:
+            if not arrays_bit_identical(dec.column(name).combine_chunks(),
+                                        b.column(name).combine_chunks()):
+                raise AssertionError(f"bit mismatch in {name}")
+        emb = dec.column("embedding").combine_chunks()
+        lens = pc.list_value_length(emb).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        esum = np.add.reduceat(flat, offsets) if len(flat) \
+            else np.zeros(len(lens))
+        esum[lens == 0] = 0.0
+        return pa.table({"vec_id": dec.column("vec_id"),
+                         "dim": pa.array(lens),
+                         "esum": pa.array(esum)})
+
+
+def q_encode_embeddings(sf_dir: str):
+    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(_EmbedRoundtripStage, batch_format="pyarrow",
+                         batch_size=4096, concurrency=2))
+
+
+SQL_ENCODE_EMBEDDINGS = """
+SELECT vec_id, len(embedding) AS dim,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS esum
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
 # Range (interval) join — an operator Ray Data lacks (named alongside
 # as-of join in the operator brief).  Partitioning assumption: the
 # interval side is small enough to broadcast (`ray.put` once); the big
@@ -1643,6 +1733,8 @@ REGISTRY = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "join3_topk": (q_join3_topk, SQL_JOIN3_TOPK),
     "approx_topk": (q_approx_topk, SQL_APPROX_TOPK),
+    "encode_embeddings": (q_encode_embeddings, SQL_ENCODE_EMBEDDINGS),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
 }
 
 

@@ -44,6 +44,19 @@ FIXTURE_ARRAYS = {
     "all_null_str": pa.array([None] * 17, type=pa.string()),
     "single": pa.array(["x"]),
     "constant": pa.array([42] * 1000, type=pa.int16()),
+    "floats_dense": pa.array(
+        (np.sin(np.arange(2000)) * 100).astype(np.float64)),
+    "floats16": pa.array(np.arange(100, dtype=np.float16),
+                         type=pa.float16()),
+    "embedding_list": pa.array(
+        np.random.default_rng(11).standard_normal((200, 16))
+        .astype(np.float32).tolist(), type=pa.list_(pa.float32())),
+    "embedding_fsl": pa.FixedSizeListArray.from_arrays(
+        pa.array(np.random.default_rng(12).standard_normal(800)
+                 .astype(np.float32)), 8),
+    "ragged_float_list": pa.array(
+        [[float(i)] * (i % 5) for i in range(300)],
+        type=pa.list_(pa.float64())),
 }
 
 
@@ -79,6 +92,28 @@ def test_auto_picks_sensible_codecs():
     # frame-of-reference (wide range)
     assert encode_auto(FIXTURE_ARRAYS["timestamps"]).codec == "delta"
     assert encode_auto(FIXTURE_ARRAYS["big_ints"]).codec == "delta"
+
+
+def test_bss_beats_plain_on_floats_and_embeddings():
+    # the byte-plane transpose + deflate must realise the exponent/sign
+    # redundancy real float data carries; plain IPC cannot
+    from parquet_producers_ray.codecs import plain
+    for name in ("floats_dense", "embedding_list", "embedding_fsl"):
+        arr = FIXTURE_ARRAYS[name]
+        b = CODECS["bss"].encode(arr)
+        assert b.nbytes < plain.encode(arr).nbytes, name
+        dec = codecs.decode(b)
+        assert dec.type == arr.type and arrays_bit_identical(dec, arr)
+    # auto-selection routes dense float/embedding columns to bss
+    assert encode_auto(FIXTURE_ARRAYS["embedding_list"]).codec == "bss"
+
+
+def test_bss_declines_nulls_auto_falls_back():
+    nl = pa.array([[1.0, 2.0], None], pa.list_(pa.float32()))
+    with pytest.raises(ValueError):
+        CODECS["bss"].encode(nl)
+    enc = encode_auto(nl)
+    assert arrays_bit_identical(codecs.decode(enc), nl)
 
 
 def test_delta_beats_for_on_sorted_wide_range():
