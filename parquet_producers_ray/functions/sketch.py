@@ -130,6 +130,49 @@ def mg_partial(batch: pa.Table, col: str, m: int = 4096) -> pa.Table:
                      "n": pa.array(counts, type=pa.int64())})
 
 
+def hist_partial(batch: pa.Table, col: str,
+                 edges: np.ndarray | None = None) -> pa.Table:
+    """Per-block quantile-sketch partial.  Without ``edges``: exact
+    ``value_counts`` (one row per distinct value in the block) — the
+    exact-below-capacity regime, right whenever the column's global
+    distinct count is bounded (grades, sizes, quantities).  With
+    ``edges`` (fixed bin boundaries shared by every block): a
+    ``np.histogram`` partial — bounded at len(edges)−1 rows per block
+    regardless of cardinality, quantile error ≤ one bin width.  Both
+    merge by summing counts per value/bin."""
+    vals = batch.column(col).combine_chunks().drop_null()
+    if edges is None:
+        vc = vals.value_counts()
+        return pa.table({"v": vc.field("values").cast(pa.float64()),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+    v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+    counts, _ = np.histogram(v, bins=edges)
+    keep = counts > 0
+    # a bin is represented by its LEFT edge: the quantile answer is then
+    # a lower bound within one bin width of the true discrete quantile
+    return pa.table({"v": pa.array(edges[:-1][keep], pa.float64()),
+                     "cnt": pa.array(counts[keep], pa.int64())})
+
+
+def hist_quantiles(values: np.ndarray, counts: np.ndarray,
+                   qs: list[float]) -> list[float]:
+    """Discrete quantiles from merged (value, count) partials using
+    DuckDB's quantile_disc index formula ceil(q·n)−1: the smallest
+    value whose cumulative count reaches rank ceil(q·n)."""
+    order = np.argsort(values, kind="stable")
+    v, c = values[order], counts[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(float("nan"))
+            continue
+        rank = max(int(np.ceil(q * n)), 1)
+        out.append(float(v[np.searchsorted(cum, rank, side="left")]))
+    return out
+
+
 def kmv_merge_estimate(group: pa.Table, k: int = 1024,
                        out_col: str = "n_distinct") -> pa.Table:
     """Final merge of one group's partial sketches: union of hashes →

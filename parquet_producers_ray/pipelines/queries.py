@@ -1417,6 +1417,132 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
 
 
 # ---------------------------------------------------------------------------
+# Whole-table approximate quantiles — mergeable histogram sketch
+# (functions/sketch.py::hist_partial): each block reduces to its
+# value_counts (exact regime — l_quantity has a bounded domain) or to a
+# fixed-edge histogram (bounded at #bins rows per block at 10^12
+# scale); partials merge in a groupby-sum and ONE tiny final task picks
+# the discrete quantiles with DuckDB's ceil(q·n)−1 rank formula.
+
+def q_approx_quantile(sf_dir: str):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import hist_partial, hist_quantiles
+
+    merged = (_read(sf_dir, "lineitem", ["l_quantity"])
+              .map_batches(lambda b: hist_partial(b, "l_quantity"),
+                           batch_format="pyarrow")
+              .groupby("v")
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def final(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        q50, q90, q99 = hist_quantiles(v, c, [0.5, 0.9, 0.99])
+        return pa.table({"q50": pa.array([q50], pa.float64()),
+                         "q90": pa.array([q90], pa.float64()),
+                         "q99": pa.array([q99], pa.float64())})
+
+    return merged.repartition(1).map_batches(final, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+SQL_APPROX_QUANTILE = """
+SELECT CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS q50,
+       CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS q90,
+       CAST(quantile_disc(l_quantity, 0.99) AS DOUBLE) AS q99
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC feed — the U13 surface as a driver-checked query: the versioned
+# mirror's OUTGOING update stream for one delta wave, with exact
+# Add/Update/Delete labels (reference semantics: Add iff the target key
+# did not exist in the prior version, one Delete per vanished key,
+# suppressed when an upsert follows — PendingDeleteState parity).
+
+def q_cdc_feed(sf_dir: str, tmp_base: str = "/tmp/ppray_cdc"):
+    import shutil
+
+    import numpy as np
+
+    from ..engine.model import DELETE, TYPE_COL, UPD_SEQ_COL, UPDATE
+    from ..engine.model import StageSpec
+    from ..pipelines.incremental import IncrementalMirror
+
+    doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("text", pa.string())])
+
+    def mirror_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "_sk_doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "_row": pa.array(np.arange(len(batch), dtype=np.int64))})
+
+    spec = StageSpec(
+        name="cdc_mirror", produce=None, produce_rows=mirror_rows,
+        source_key=["doc_id"], target_key=["doc_id"],
+        value_columns=["text"], source_value_columns=["text"],
+        out_schema=doc_schema, source_schema=doc_schema)
+
+    root = os.path.join(tmp_base,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    mirror = IncrementalMirror(root, spec, target_rows=2048)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ups = docs.map_batches(
+        lambda b: b.append_column(
+            TYPE_COL, pa.array(np.full(len(b), UPDATE, np.int8)))
+        .append_column(UPD_SEQ_COL,
+                       pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow")
+    mirror.bootstrap(ups, 1)
+
+    full = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow")))
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    mod_mask = ids % 100 == 1
+    del_mask = (ids % 97 == 0) & ~mod_mask
+    mod = full.filter(pa.array(mod_mask))
+    mod = mod.set_column(
+        mod.column_names.index("text"), "text",
+        pa.array(["v2 " + t for t in mod.column("text").to_pylist()]))
+    mod = mod.append_column(TYPE_COL, pa.array(
+        np.full(len(mod), UPDATE, np.int8)))
+    dele = full.filter(pa.array(del_mask)).set_column(
+        1, "text", pa.nulls(int(del_mask.sum()), pa.string()))
+    dele = dele.append_column(TYPE_COL, pa.array(
+        np.full(len(dele), DELETE, np.int8)))
+    # brand-new keys exercise the Add label (key absent from version 1)
+    new_ids = np.arange(1, 6, dtype=np.int64) + int(ids.max())
+    adds = pa.table({
+        "doc_id": pa.array(new_ids),
+        "text": pa.array([f"new {i}" for i in new_ids]),
+        TYPE_COL: pa.array(np.full(len(new_ids), UPDATE, np.int8))})
+    mirror.apply(pa.concat_tables([mod, dele, adds]), 1)
+
+    feed = mirror.read_feed(2)
+    return feed.select_columns(["doc_id", "text", TYPE_COL])
+
+
+SQL_CDC_FEED = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT doc_id, 'v2 ' || text AS text, 1 AS _type
+  FROM documents WHERE doc_id % 100 = 1
+UNION ALL
+SELECT doc_id, NULL AS text, 2 AS _type
+  FROM documents WHERE doc_id % 97 = 0 AND doc_id % 100 <> 1
+UNION ALL
+SELECT m + s AS doc_id, 'new ' || CAST(m + s AS VARCHAR) AS text,
+       0 AS _type
+  FROM mx CROSS JOIN unnest(range(1, 6)) AS t(s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-column encode — the float storage path at training-data
 # scale: list<float> columns route to the byte-stream-split codec
 # (codecs/bss.py), everything stays a stateful actor-pool map_batches
@@ -1735,6 +1861,8 @@ REGISTRY = {
     "approx_topk": (q_approx_topk, SQL_APPROX_TOPK),
     "encode_embeddings": (q_encode_embeddings, SQL_ENCODE_EMBEDDINGS),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
+    "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
+    "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
 }
 
 

@@ -463,3 +463,44 @@ def test_range_join_counts_match_brute_force():
     fast = np.searchsorted(s, hi, "left") - np.searchsorted(s, lo, "left")
     brute = [(int(((v >= a) & (v < b)).sum())) for a, b in zip(lo, hi)]
     assert fast.tolist() == brute
+
+
+def test_hist_sketch_exact_and_binned_paths():
+    from parquet_producers_ray.functions import sketch
+
+    rng = np.random.RandomState(5)
+    data = rng.gamma(4.0, 10.0, 30000)
+    t = pa.table({"x": pa.array(data)})
+
+    def merge(parts):
+        m = pa.concat_tables(parts).group_by(["v"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["v", "cnt"])
+        return (m.column("v").to_numpy(zero_copy_only=False),
+                m.column("cnt").to_numpy(zero_copy_only=False))
+
+    # exact path: value_counts partials over slices == direct formula
+    vi = np.round(data).astype(np.int64)
+    ti = pa.table({"x": pa.array(vi)})
+    v, c = merge([sketch.hist_partial(ti.slice(0, 10000), "x"),
+                  sketch.hist_partial(ti.slice(10000), "x")])
+    got = sketch.hist_quantiles(v, c, [0.5, 0.9, 0.99])
+    s = np.sort(vi)
+    want = [float(s[int(np.ceil(q * len(s))) - 1]) for q in (0.5, 0.9, 0.99)]
+    assert got == want
+
+    # binned path: fixed edges shared across blocks; answer is the left
+    # edge of the true quantile's bin → within one bin width, and a
+    # lower bound
+    edges = np.linspace(0.0, data.max() + 1e-9, 257)
+    width = edges[1] - edges[0]
+    v, c = merge([sketch.hist_partial(t.slice(0, 15000), "x", edges),
+                  sketch.hist_partial(t.slice(15000), "x", edges)])
+    sd = np.sort(data)
+    for q, est in zip((0.5, 0.9, 0.99),
+                      sketch.hist_quantiles(v, c, [0.5, 0.9, 0.99])):
+        true = float(sd[int(np.ceil(q * len(sd))) - 1])
+        assert est <= true < est + 2 * width, (q, est, true)
+
+    # empty input → NaN, not a crash
+    assert np.isnan(sketch.hist_quantiles(
+        np.zeros(0), np.zeros(0, np.int64), [0.5])[0])
