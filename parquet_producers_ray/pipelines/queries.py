@@ -1417,6 +1417,62 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
 
 
 # ---------------------------------------------------------------------------
+# Column profiler — the data-quality pass a training pipeline runs
+# before ingest: ONE streaming pass computes min/max/null/row partials
+# for every profiled column per block (a 4-row partial per block, not
+# 4 separate scans), merged in a tiny groupby.  At 10^12 rows the
+# exchange is #columns × #blocks rows.
+
+def q_profile_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, mins, maxs, nulls, rows = [], [], [], [], []
+        for c in cols:
+            arr = b.column(c)
+            mm = pc.min_max(arr)
+            names.append(c)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+            nulls.append(arr.null_count)
+            rows.append(len(arr))
+        return pa.table({"col": pa.array(names),
+                         "minv": pa.array(mins, pa.float64()),
+                         "maxv": pa.array(maxs, pa.float64()),
+                         "n_nulls": pa.array(nulls, pa.int64()),
+                         "n_rows": pa.array(rows, pa.int64())})
+
+    return (_read(sf_dir, "lineitem", cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Min("minv", alias_name="minv"),
+                       Max("maxv", alias_name="maxv"),
+                       Sum("n_nulls", alias_name="n_nulls"),
+                       Sum("n_rows", alias_name="n_rows")))
+
+
+SQL_PROFILE_STATS = """
+SELECT 'l_quantity' AS col, min(l_quantity) AS minv, max(l_quantity) AS maxv,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls, count(*) AS n_rows FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT), count(*) FROM lineitem
+UNION ALL
+SELECT 'l_discount', min(l_discount), max(l_discount),
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'l_tax', min(l_tax), max(l_tax),
+       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(*) FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # Whole-table approximate quantiles — mergeable histogram sketch
 # (functions/sketch.py::hist_partial): each block reduces to its
 # value_counts (exact regime — l_quantity has a bounded domain) or to a
@@ -1563,6 +1619,11 @@ class _EmbedRoundtripStage:
         from ..codecs.base import arrays_bit_identical
         from ..stages.encode import decode_segments_batch
 
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "esum": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
         seg = self.pool(b)
         codec_by_col = dict(zip(seg.column("column").to_pylist(),
                                 seg.column("codec").to_pylist()))
@@ -1582,8 +1643,10 @@ class _EmbedRoundtripStage:
             zero_copy_only=False).astype(np.float64)
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        esum = np.add.reduceat(flat, offsets) if len(flat) \
-            else np.zeros(len(lens))
+        # trailing zero-length rows would index past the end; clip then
+        # zero them out after the segmented sum
+        esum = np.add.reduceat(flat, np.minimum(offsets, len(flat) - 1)) \
+            if len(flat) else np.zeros(len(lens))
         esum[lens == 0] = 0.0
         return pa.table({"vec_id": dec.column("vec_id"),
                          "dim": pa.array(lens),
@@ -1863,6 +1926,7 @@ REGISTRY = {
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
     "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
+    "profile_stats": (q_profile_stats, SQL_PROFILE_STATS),
 }
 
 
