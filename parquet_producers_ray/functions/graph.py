@@ -1,0 +1,144 @@
+"""Connected components over an edge Dataset — iterative hash-min with
+pointer jumping.
+
+The one operator category the rest of the registry lacks: an ITERATIVE
+distributed algorithm (dedup clustering's final step: near-dup pairs →
+duplicate groups).  Formulation (the hash-min family, Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014): maintain a
+label per node (seeded ``min(n, neighbours)``), and each round take
+
+    label[n] ← min(label[n],
+                   min_{(u,n) ∈ E} label[u],      # edge propagation
+                   label[label[n]])               # pointer jumping
+
+Propagation alone is correct but needs O(diameter) rounds; pointer
+jumping alone is NOT correct (a node whose seed label is itself never
+learns a smaller id two hops away — e.g. the path 2–3–1, where
+min(N(2) ∪ {2}) = 2).  The combination converges in O(log diameter)
+rounds; labels are non-increasing and bounded below by the component
+min (every label is a node id from inside the component), so the
+fixpoint labels every node with its component minimum — and the SUM of
+all labels strictly decreases while anything moves, which gives a
+one-scalar convergence check with no extra join.
+
+Physical shape per round: the big edge table flows through a STATELESS
+map that looks up each endpoint's current label, then ONE grouped min
+over the label table rebuilds the labels.  The lookup side is adaptive,
+the same policy as the registry's broadcast join: while the label table
+is small it is ``ray.put`` once per round and probed with a vectorized
+``np.searchsorted`` inside every map task (edges never shuffle after
+the initial symmetrise); past ``broadcast_threshold`` bytes it switches
+to Ray's hash join.  Driver-side state is one scalar per round.
+
+The reference has no graph operators (SURVEY.md §2 "not present").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _local_min(key: str, val: str):
+    def fn(b: pa.Table) -> pa.Table:
+        return b.group_by([key]).aggregate([(val, "min")]) \
+            .rename_columns([key, val])
+    return fn
+
+
+def _min_by_key(ds, key: str, val: str):
+    """groupby(key).min(val) with a map-side partial min first, so the
+    exchange moves at most #distinct-keys rows per block."""
+    from ray.data.aggregate import Min
+    return (ds.map_batches(_local_min(key, val), batch_format="pyarrow")
+            .groupby(key).aggregate(Min(val, alias_name=val)))
+
+
+def _labels_to_arrays(labels) -> tuple[np.ndarray, np.ndarray]:
+    t = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
+    nodes = t.column("node").to_numpy(zero_copy_only=False)
+    labs = t.column("label").to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    return nodes[order], labs[order]
+
+
+def _lookup(nodes: np.ndarray, labs: np.ndarray,
+            keys: np.ndarray) -> np.ndarray:
+    """label of each key; keys are guaranteed present (every edge
+    endpoint is seeded)."""
+    return labs[np.searchsorted(nodes, keys)]
+
+
+def connected_components(edges, num_partitions: int = 8,
+                         max_rounds: int = 64,
+                         broadcast_threshold: int = 64 << 20):
+    """edges: Ray Dataset with int64 columns (src, dst).  Returns a
+    Dataset (node, component) where component is the minimum node id in
+    the node's connected component; every node mentioned in the edges
+    is labelled (a self-loop keeps an isolated node's own id)."""
+    import ray
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b.column("src").combine_chunks()
+        d = b.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([s, d, s, d]),
+                         "nbr": pa.concat_arrays([d, s, s, d])})
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+    labels = _min_by_key(edges_sym, "node", "nbr") \
+        .rename_columns(["node", "label"]).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        small = (labels.size_bytes() or 0) <= broadcast_threshold
+        if small:
+            ref = ray.put(_labels_to_arrays(labels))
+
+            def prop(b: pa.Table) -> pa.Table:
+                # candidate for nbr = min(label[u], label[label[u]]):
+                # propagation and pointer jump in one lookup; the
+                # self-loop rows re-emit each node's own (jumped) label
+                # so nothing is lost in the grouped min
+                nodes, labs = ray.get(ref)
+                lab_u = _lookup(nodes, labs, b.column("node").to_numpy(
+                    zero_copy_only=False))
+                lab2 = np.minimum(lab_u, _lookup(nodes, labs, lab_u))
+                return pa.table({"node": b.column("nbr"),
+                                 "label": pa.array(lab2, pa.int64())})
+
+            cand = edges_sym.map_batches(prop, batch_format="pyarrow")
+            labels = _min_by_key(cand, "node", "label") \
+                .rename_columns(["node", "label"]).materialize()
+        else:
+            # at-scale path: the label table no longer broadcasts —
+            # same semantics through Ray's hash joins.  Propagation:
+            # edges pick up label[u], grouped min per nbr (self-loops
+            # retain the old label).  Jump: one self-join of the label
+            # table, a pure per-row map afterwards (one row per node).
+            cand = (edges_sym.join(labels, join_type="inner",
+                                   num_partitions=num_partitions,
+                                   on=("node",))
+                    .map_batches(lambda b: pa.table(
+                        {"node": b.column("nbr"),
+                         "label": b.column("label")}),
+                        batch_format="pyarrow"))
+            merged = _min_by_key(cand, "node", "label") \
+                .rename_columns(["node", "label"]).materialize()
+            parents = merged.rename_columns(["label", "label2"])
+            labels = (merged.join(parents, join_type="left_outer",
+                                  num_partitions=num_partitions,
+                                  on=("label",))
+                      .map_batches(lambda b: pa.table(
+                          {"node": b.column("node"),
+                           "label": pc.min_element_wise(
+                               b.column("label"),
+                               pc.coalesce(b.column("label2"),
+                                           b.column("label")))}),
+                          batch_format="pyarrow")).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:   # labels non-increasing ⇒ fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns(["node", "component"])

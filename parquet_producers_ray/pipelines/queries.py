@@ -1417,6 +1417,39 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
 
 
 # ---------------------------------------------------------------------------
+# Connected components — the iterative-algorithm category (dedup
+# clustering's final step: near-dup pairs → duplicate groups), via
+# functions/graph.py's hash-min + pointer-jumping rounds (O(log
+# diameter) label-table exchanges).  Demo graph: every doc_id n > 0
+# gets the edge (n, 2n), so components are the halving chains and the
+# true component id of any node is its odd part n >> ctz(n) — a closed
+# form the oracle checks WITHOUT recursion, while the Ray side runs the
+# real distributed iteration.
+
+def q_graph_components(sf_dir: str):
+    from ..functions.graph import connected_components
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks()
+        ids = ids.filter(pc.greater(ids, 0))
+        return pa.table({"src": ids,
+                         "dst": pc.multiply(ids, pa.scalar(2, pa.int64()))})
+
+    e = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    return connected_components(e)
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents WHERE doc_id > 0
+  UNION
+  SELECT doc_id * 2 AS node FROM documents WHERE doc_id > 0)
+SELECT node, node // (node & -node) AS component FROM nodes
+"""
+
+
+# ---------------------------------------------------------------------------
 # Column profiler — the data-quality pass a training pipeline runs
 # before ingest: ONE streaming pass computes min/max/null/row partials
 # for every profiled column per block (a 4-row partial per block, not
@@ -1927,6 +1960,7 @@ REGISTRY = {
     "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
     "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
     "profile_stats": (q_profile_stats, SQL_PROFILE_STATS),
+    "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
 }
 
 

@@ -504,3 +504,55 @@ def test_hist_sketch_exact_and_binned_paths():
     # empty input → NaN, not a crash
     assert np.isnan(sketch.hist_quantiles(
         np.zeros(0), np.zeros(0, np.int64), [0.5])[0])
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data
+
+    from parquet_producers_ray.functions.graph import connected_components
+
+    rng = np.random.RandomState(17)
+    # sparse random graph with long path chains mixed in (exercises both
+    # the propagation and the pointer-jumping phases)
+    n = 400
+    src = rng.randint(0, n, 250).astype(np.int64)
+    dst = rng.randint(0, n, 250).astype(np.int64)
+    chain = np.arange(500, 560, dtype=np.int64)          # path component
+    src = np.concatenate([src, chain[:-1]])
+    dst = np.concatenate([dst, chain[1:]])
+
+    # union-find ground truth
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(src.tolist()) | set(dst.tolist()))
+    want = {x: find(x) for x in nodes}
+    # normalize to min-of-component
+    comp_min = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in nodes}
+
+    e = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                      "dst": pa.array(dst)}))
+    out = connected_components(e, num_partitions=4)
+    got = {r["node"]: r["component"] for r in out.take_all()}
+    assert got == want
+
+    # the at-scale hash-join path (broadcast_threshold=0) must agree;
+    # tiny graph only — each join round carries fixed actor costs
+    path = pa.table({"src": pa.array([2, 3], pa.int64()),
+                     "dst": pa.array([3, 1], pa.int64())})
+    small = ray.data.from_arrow(path)
+    for thresh in (64 << 20, 0):
+        res = connected_components(small, num_partitions=2,
+                                   broadcast_threshold=thresh)
+        assert {r["node"]: r["component"] for r in res.take_all()} == \
+            {1: 1, 2: 1, 3: 1}, thresh
