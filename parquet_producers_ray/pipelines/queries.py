@@ -639,6 +639,46 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_dedup_cluster(sf_dir: str):
+    """Dedup clustering end-to-end: exact-digest duplicate PAIRS (star
+    edges: each digest group's min doc_id → every member, built inside
+    the same grouped pass dedup_exact uses) fed through the iterative
+    connected-components operator (functions/graph.py) to assign every
+    document its canonical representative.  Star edges make component
+    diameter ≤ 2, so the iteration converges in a round or two; the
+    oracle states the fixpoint directly as a window min over identical
+    text."""
+    import numpy as np
+
+    from ..functions.graph import connected_components
+    from ..functions.text import fnv1a_hash
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "_digest": pa.array(
+                             fnv1a_hash(b.column("text"))
+                             .astype(np.int64))})
+
+    def star_edges(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "src": pa.array(np.full(len(ids), ids[0]), pa.int64()),
+            "dst": pa.array(ids, pa.int64())})
+
+    edges = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(digest, batch_format="pyarrow")
+             .groupby("_digest")
+             .map_groups(star_edges, batch_format="pyarrow"))
+    return (connected_components(edges)
+            .rename_columns(["doc_id", "component"]))
+
+
+SQL_DEDUP_CLUSTER = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
+FROM documents
+"""
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
     """MinHash+LSH near-dup: shingle → minhash → band rows → bucket
     groupby emits candidate pairs → exact Jaccard verify → union-find
@@ -1961,6 +2001,7 @@ REGISTRY = {
     "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
     "profile_stats": (q_profile_stats, SQL_PROFILE_STATS),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
+    "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
 }
 
 
