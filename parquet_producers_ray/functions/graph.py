@@ -80,13 +80,23 @@ def connected_components(edges, num_partitions: int = 8,
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
+        # both directions + ONE self-loop per distinct endpoint in the
+        # batch (the self-loop keeps every node's own label alive in
+        # the grouped min; deduping it matters because edges_sym is
+        # re-scanned every round)
         s = b.column("src").combine_chunks()
         d = b.column("dst").combine_chunks()
-        return pa.table({"node": pa.concat_arrays([s, d, s, d]),
-                         "nbr": pa.concat_arrays([d, s, s, d])})
+        selfs = pc.unique(pa.concat_arrays([s, d]))
+        return pa.table({"node": pa.concat_arrays([s, d, selfs]),
+                         "nbr": pa.concat_arrays([d, s, selfs])})
 
     edges_sym = edges.map_batches(sym, batch_format="pyarrow") \
         .materialize()
+    if edges_sym.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
     labels = _min_by_key(edges_sym, "node", "nbr") \
         .rename_columns(["node", "label"]).materialize()
     prev_sum = labels.sum("label")

@@ -146,6 +146,10 @@ def hist_partial(batch: pa.Table, col: str,
         return pa.table({"v": vc.field("values").cast(pa.float64()),
                          "cnt": vc.field("counts").cast(pa.int64())})
     v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+    # out-of-range values land in the terminal bins rather than being
+    # silently dropped (dropping would shift every quantile rank and
+    # break the one-bin-width error bound for in-range quantiles)
+    v = np.clip(v, edges[0], edges[-1])
     counts, _ = np.histogram(v, bins=edges)
     keep = counts > 0
     # a bin is represented by its LEFT edge: the quantile answer is then

@@ -1366,15 +1366,20 @@ FROM s GROUP BY user_id, sid
 # doc_id%100==1, delete doc_id%97==0 unless modified), read version 2 —
 # SQL expresses the final state directly.
 
-def q_engine_incremental(sf_dir: str, tmp_base: str = "/tmp/ppray_incr"):
+def _doc_mirror_after_wave(sf_dir: str, tmp_base: str, stage_name: str,
+                           with_adds: bool):
+    """Shared harness for the incremental queries: bootstrap a
+    doc_id-keyed mirror of documents, apply ONE delta wave (modify
+    doc_id%100==1, delete doc_id%97==0 unless modified, plus — when
+    ``with_adds`` — five brand-new keys past max(doc_id)), and return
+    the mirror at version 2."""
     import shutil
 
     import numpy as np
-    import ray.data
 
     from ..engine.model import DELETE, TYPE_COL, UPD_SEQ_COL, UPDATE
-    from ..pipelines.incremental import IncrementalMirror
     from ..engine.model import StageSpec
+    from ..pipelines.incremental import IncrementalMirror
 
     doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
                             pa.field("text", pa.string())])
@@ -1387,7 +1392,7 @@ def q_engine_incremental(sf_dir: str, tmp_base: str = "/tmp/ppray_incr"):
             "_row": pa.array(np.arange(len(batch), dtype=np.int64))})
 
     spec = StageSpec(
-        name="doc_mirror", produce=None, produce_rows=mirror_rows,
+        name=stage_name, produce=None, produce_rows=mirror_rows,
         source_key=["doc_id"], target_key=["doc_id"],
         value_columns=["text"], source_value_columns=["text"],
         out_schema=doc_schema, source_schema=doc_schema)
@@ -1420,8 +1425,20 @@ def q_engine_incremental(sf_dir: str, tmp_base: str = "/tmp/ppray_incr"):
         1, "text", pa.nulls(int(del_mask.sum()), pa.string()))
     dele = dele.append_column(TYPE_COL, pa.array(
         np.full(len(dele), DELETE, np.int8)))
-    mirror.apply(pa.concat_tables([mod, dele]), 1)
+    wave = [mod, dele]
+    if with_adds:
+        new_ids = np.arange(1, 6, dtype=np.int64) + int(ids.max())
+        wave.append(pa.table({
+            "doc_id": pa.array(new_ids),
+            "text": pa.array([f"new {i}" for i in new_ids]),
+            TYPE_COL: pa.array(np.full(len(new_ids), UPDATE, np.int8))}))
+    mirror.apply(pa.concat_tables(wave), 1)
+    return mirror
 
+
+def q_engine_incremental(sf_dir: str, tmp_base: str = "/tmp/ppray_incr"):
+    mirror = _doc_mirror_after_wave(sf_dir, tmp_base, "doc_mirror",
+                                    with_adds=False)
     content = mirror.content.read(2)
     return content.select_columns(["doc_id", "text"])
 
@@ -1593,66 +1610,10 @@ FROM lineitem
 # suppressed when an upsert follows — PendingDeleteState parity).
 
 def q_cdc_feed(sf_dir: str, tmp_base: str = "/tmp/ppray_cdc"):
-    import shutil
+    from ..engine.model import TYPE_COL
 
-    import numpy as np
-
-    from ..engine.model import DELETE, TYPE_COL, UPD_SEQ_COL, UPDATE
-    from ..engine.model import StageSpec
-    from ..pipelines.incremental import IncrementalMirror
-
-    doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
-                            pa.field("text", pa.string())])
-
-    def mirror_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "_sk_doc_id": batch.column("doc_id"),
-            "text": batch.column("text"),
-            "_row": pa.array(np.arange(len(batch), dtype=np.int64))})
-
-    spec = StageSpec(
-        name="cdc_mirror", produce=None, produce_rows=mirror_rows,
-        source_key=["doc_id"], target_key=["doc_id"],
-        value_columns=["text"], source_value_columns=["text"],
-        out_schema=doc_schema, source_schema=doc_schema)
-
-    root = os.path.join(tmp_base,
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(root, ignore_errors=True)
-    mirror = IncrementalMirror(root, spec, target_rows=2048)
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    ups = docs.map_batches(
-        lambda b: b.append_column(
-            TYPE_COL, pa.array(np.full(len(b), UPDATE, np.int8)))
-        .append_column(UPD_SEQ_COL,
-                       pa.array(np.zeros(len(b), np.int64))),
-        batch_format="pyarrow")
-    mirror.bootstrap(ups, 1)
-
-    full = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow")))
-    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
-    mod_mask = ids % 100 == 1
-    del_mask = (ids % 97 == 0) & ~mod_mask
-    mod = full.filter(pa.array(mod_mask))
-    mod = mod.set_column(
-        mod.column_names.index("text"), "text",
-        pa.array(["v2 " + t for t in mod.column("text").to_pylist()]))
-    mod = mod.append_column(TYPE_COL, pa.array(
-        np.full(len(mod), UPDATE, np.int8)))
-    dele = full.filter(pa.array(del_mask)).set_column(
-        1, "text", pa.nulls(int(del_mask.sum()), pa.string()))
-    dele = dele.append_column(TYPE_COL, pa.array(
-        np.full(len(dele), DELETE, np.int8)))
-    # brand-new keys exercise the Add label (key absent from version 1)
-    new_ids = np.arange(1, 6, dtype=np.int64) + int(ids.max())
-    adds = pa.table({
-        "doc_id": pa.array(new_ids),
-        "text": pa.array([f"new {i}" for i in new_ids]),
-        TYPE_COL: pa.array(np.full(len(new_ids), UPDATE, np.int8))})
-    mirror.apply(pa.concat_tables([mod, dele, adds]), 1)
-
+    mirror = _doc_mirror_after_wave(sf_dir, tmp_base, "cdc_mirror",
+                                    with_adds=True)
     feed = mirror.read_feed(2)
     return feed.select_columns(["doc_id", "text", TYPE_COL])
 
@@ -1716,11 +1677,13 @@ class _EmbedRoundtripStage:
             zero_copy_only=False).astype(np.float64)
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        # trailing zero-length rows would index past the end; clip then
-        # zero them out after the segmented sum
-        esum = np.add.reduceat(flat, np.minimum(offsets, len(flat) - 1)) \
-            if len(flat) else np.zeros(len(lens))
-        esum[lens == 0] = 0.0
+        # segment-sum only the non-empty rows: their offsets are
+        # strictly increasing and < len(flat), so reduceat is exact;
+        # empty rows contribute no values and stay 0
+        esum = np.zeros(len(lens))
+        nz = lens > 0
+        if flat.size:
+            esum[nz] = np.add.reduceat(flat, offsets[nz])
         return pa.table({"vec_id": dec.column("vec_id"),
                          "dim": pa.array(lens),
                          "esum": pa.array(esum)})
