@@ -164,6 +164,21 @@ def bits_needed(max_val: int) -> int:
 def arrays_bit_identical(a: pa.Array, b: pa.Array) -> bool:
     if a.type != b.type or len(a) != len(b):
         return False
+    if (pa.types.is_list(a.type) or pa.types.is_large_list(a.type)
+            or pa.types.is_fixed_size_list(a.type)):
+        # Arrow's equals() is NaN != NaN even inside lists; compare
+        # structure (validity + lengths) then the flattened values
+        # bit-wise.  flatten() emits values of non-null slots only, so
+        # equal structure ⇒ aligned flattened children.
+        import pyarrow.compute as pc
+        if not np.array_equal(np.asarray(a.is_valid()),
+                              np.asarray(b.is_valid())):
+            return False
+        la = pc.list_value_length(a).fill_null(-1)
+        lb = pc.list_value_length(b).fill_null(-1)
+        if not la.equals(lb):
+            return False
+        return arrays_bit_identical(a.flatten(), b.flatten())
     if pa.types.is_floating(a.type):
         # BIT identity, not value equality: -0.0 != 0.0 and NaN
         # payloads must survive — compare the raw bit patterns of the

@@ -1507,6 +1507,139 @@ SELECT node, node // (node & -node) AS component FROM nodes
 
 
 # ---------------------------------------------------------------------------
+# Ordered window functions (cumulative sum + lag) — the per-key
+# running-state family the registry's windows (tumbling / sliding /
+# session / rank) don't cover.  Same partitioning contract as asof_join:
+# ONE hash exchange on the key co-locates each user's events, each
+# block sorts once, then cumsum and shift are pure vectorized kernels
+# per user segment (np.add.reduceat-style segment resets via
+# subtracting the segment-start running total).
+
+def q_window_cumsum(sf_dir: str):
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    _enable_hash_shuffle(ds)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "cum_value": pa.array([], pa.float64()),
+                             "prev_value": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(uid), dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        cum = np.cumsum(val)
+        # reset at segment starts: subtract the running total just
+        # before each segment, broadcast forward with a cummax of
+        # start indices
+        seg_id = np.cumsum(starts) - 1
+        seg_base = np.concatenate(([0.0], cum))[
+            np.flatnonzero(starts)][seg_id]
+        prev = np.empty_like(val)
+        prev[1:] = val[:-1]
+        prev[0] = np.nan
+        prev[starts] = np.nan
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "cum_value": pa.array(cum - seg_base),
+            "prev_value": pa.array(prev, mask=np.isnan(prev))})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_WINDOW_CUMSUM = """
+SELECT event_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_value,
+       lag(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — per-group deterministic rates (the curation
+# move: keep 50% of 'en', 10% of everything else).  Multiplicative-hash
+# membership, so the sample is stable across runs, partitionings and
+# engines; no shuffle at all.
+
+def q_sample_stratified(sf_dir: str):
+    import numpy as np
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2**32) % np.uint64(100)
+        is_en = pc.equal(b.column("lang"), "en").to_numpy(
+            zero_copy_only=False)
+        keep = np.where(is_en, h < 50, h < 10)
+        return b.filter(pa.array(keep))
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100
+      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide) — per-priority order counts spread across one
+# column per order status.  A fixed category set makes the wide schema
+# static: one grouped count, then a vectorized spread inside a single
+# small task (the grouped result is #priorities × #statuses rows).
+
+def q_pivot(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    counts = (_read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus",
+                                       "o_orderkey"])
+              .groupby(["o_orderpriority", "o_orderstatus"])
+              .aggregate(Count("o_orderkey", alias_name="n")))
+
+    statuses = ["F", "O", "P"]
+
+    def spread(b: pa.Table) -> pa.Table:
+        import numpy as np
+        pri = b.column("o_orderpriority").to_pylist()
+        st = b.column("o_orderstatus").to_pylist()
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        keys = sorted(set(pri))
+        idx = {k: i for i, k in enumerate(keys)}
+        out = {s: np.zeros(len(keys), dtype=np.int64) for s in statuses}
+        for p, s, c in zip(pri, st, n):
+            if s in out:
+                out[s][idx[p]] += c
+        cols = {"o_orderpriority": pa.array(keys)}
+        for s in statuses:
+            cols[f"n_{s.lower()}"] = pa.array(out[s])
+        return pa.table(cols)
+
+    return counts.repartition(1).map_batches(spread,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Column profiler — the data-quality pass a training pipeline runs
 # before ingest: ONE streaming pass computes min/max/null/row partials
 # for every profiled column per block (a 4-row partial per block, not
@@ -1965,6 +2098,9 @@ REGISTRY = {
     "profile_stats": (q_profile_stats, SQL_PROFILE_STATS),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
+    "window_cumsum": (q_window_cumsum, SQL_WINDOW_CUMSUM),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "pivot": (q_pivot, SQL_PIVOT),
 }
 
 

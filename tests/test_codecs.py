@@ -205,3 +205,27 @@ def test_fsst_native_and_numpy_paths_agree(monkeypatch):
     # numpy decode of the native encoding and vice versa
     monkeypatch.undo()
     assert codecs.decode(enc_np).equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(width=32, allow_nan=True, allow_infinity=True),
+                max_size=120))
+def test_bss_flat_float32_property(vals):
+    arr = pa.array(np.array(vals, dtype=np.float32), type=pa.float32())
+    enc = CODECS["bss"].encode(arr)
+    dec = codecs.decode(enc)
+    assert dec.type == arr.type
+    assert arrays_bit_identical(dec, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.floats(width=32, allow_nan=True,
+                                   allow_infinity=True), max_size=9),
+                max_size=40))
+def test_bss_float_list_property(rows):
+    arr = pa.array([np.array(r, dtype=np.float32).tolist() for r in rows],
+                   type=pa.list_(pa.float32()))
+    enc = CODECS["bss"].encode(arr)
+    dec = codecs.decode(enc)
+    assert dec.type == arr.type
+    assert arrays_bit_identical(dec, arr)
