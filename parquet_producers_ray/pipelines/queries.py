@@ -2043,6 +2043,391 @@ ORDER BY n DESC, l_partkey LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Outer joins — the null-producing side of the join family (`u10_join`
+# is inner, semi/anti are membership).  Ray's native hash join supports
+# left/full outer directly; the aggregate side is pre-shrunk to one row
+# per key before the exchange, so the shuffle moves the small side.
+
+def _join_partitions(*datasets) -> int:
+    """Partition count for Ray's native hash join, scaled to data volume
+    (~256 MiB per partition).  Ray's join aggregator builds each
+    partition side from received shards only — a partition whose side
+    got ZERO rows becomes a schema-less empty table and pyarrow's join
+    errors — so the count must never exceed what the key cardinality
+    comfortably fills (a non-issue at real scale, where every
+    256 MiB partition holds millions of keys)."""
+    total = sum((ds.size_bytes() or 0) for ds in datasets)
+    return max(2, int(total / (256 << 20)))
+
+
+def q_left_join(sf_dir: str):
+    from ray.data.aggregate import Sum
+    spent = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+             .groupby("o_custkey")
+             .aggregate(Sum("o_totalprice", alias_name="total_spent")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return (cust.join(spent, join_type="left_outer",
+                      num_partitions=_join_partitions(cust),
+                      on=("c_custkey",), right_on=("o_custkey",))
+            .select_columns(["c_custkey", "c_name", "total_spent"]))
+
+
+SQL_LEFT_JOIN = """
+SELECT c_custkey, c_name, total_spent
+FROM customer LEFT JOIN (
+  SELECT o_custkey, sum(o_totalprice) AS total_spent
+  FROM orders GROUP BY o_custkey
+) s ON c_custkey = o_custkey
+"""
+
+
+def q_full_outer_join(sf_dir: str):
+    """Full outer join of two keyed aggregates with disjoint-ish key
+    domains (per-user event totals vs per-customer order totals): rows
+    survive from BOTH exclusive sides, key coalesced after the join."""
+    from ray.data.aggregate import Sum
+    ev_raw = _read(sf_dir, "events", ["user_id", "value"])
+    od_raw = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nparts = _join_partitions(ev_raw, od_raw)
+    ev = ev_raw.groupby("user_id").aggregate(
+        Sum("value", alias_name="esum"))
+    od = od_raw.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="osum"))
+    joined = ev.join(od, join_type="full_outer", num_partitions=nparts,
+                     on=("user_id",), right_on=("o_custkey",))
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        # Ray's hash join already merges left/right key columns into the
+        # left name when right_on differs; coalesce only if both exist.
+        key = b.column("user_id")
+        if "o_custkey" in b.column_names:
+            key = pc.coalesce(key, b.column("o_custkey"))
+        return pa.table({"id": key, "esum": b.column("esum"),
+                         "osum": b.column("osum")})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_JOIN = """
+SELECT coalesce(user_id, o_custkey) AS id, esum, osum
+FROM (SELECT user_id, sum(value) AS esum FROM events GROUP BY user_id) e
+FULL OUTER JOIN (SELECT o_custkey, sum(o_totalprice) AS osum
+                 FROM orders GROUP BY o_custkey) o
+ON user_id = o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets — hierarchical totals from ONE distributed
+# aggregation: the finest (flag, status) grid is computed with the
+# normal pre-aggregated groupby, then the coarser levels are derived
+# from that tiny grid (≤ #flags × #statuses rows) in a single task —
+# no second pass over the fact table.
+
+def q_rollup(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    finest = (_read(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity"])
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                         Count("l_quantity", alias_name="n")))
+
+    def levels(b: pa.Table) -> pa.Table:
+        import numpy as np
+        flag = b.column("l_returnflag")
+        qty = b.column("sum_qty")
+        n = b.column("n")
+        out = [b.select(["l_returnflag", "l_linestatus", "sum_qty", "n"])]
+        lvl1 = (b.group_by(["l_returnflag"])
+                .aggregate([("sum_qty", "sum"), ("n", "sum")]))
+        out.append(pa.table({
+            "l_returnflag": lvl1.column("l_returnflag"),
+            "l_linestatus": pa.nulls(lvl1.num_rows, pa.string()),
+            "sum_qty": lvl1.column("sum_qty_sum"),
+            "n": lvl1.column("n_sum")}))
+        out.append(pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty": pa.array([pc.sum(qty).as_py()], pa.float64()),
+            "n": pa.array([pc.sum(n).as_py()], pa.int64())}))
+        return pa.concat_tables(out)
+
+    return finest.repartition(1).map_batches(levels, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(l_quantity) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Moment aggregates — stddev / variance / correlation via mergeable
+# moment partials: each block reduces to (n, Σx, Σx², Σy, Σy², Σxy)
+# per group with Arrow kernels, the tiny partials merge in one groupby,
+# finalization is closed-form.  The exchange moves 6 numbers per
+# (group, block) regardless of data size.
+
+def q_stats_agg(sf_dir: str):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = b.column("l_quantity")
+        y = b.column("l_extendedprice")
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "pn": pa.array(np.ones(b.num_rows, np.int64)),
+            "sx": x, "sxx": pc.multiply(x, x),
+            "sy": y, "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y)})
+        return (t.group_by(["l_returnflag"])
+                .aggregate([(c, "sum") for c in
+                            ("pn", "sx", "sxx", "sy", "syy", "sxy")])
+                .rename_columns(["l_returnflag", "pn", "sx", "sxx",
+                                 "sy", "syy", "sxy"]))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("pn").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        syy = b.column("syy").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        mxx = sxx - sx * sx / n
+        myy = syy - sy * sy / n
+        mxy = sxy - sx * sy / n
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": b.column("pn"),
+            "sd_qty": pa.array(np.sqrt(mxx / (n - 1))),
+            "var_qty": pa.array(mxx / (n - 1)),
+            "corr_qp": pa.array(mxy / np.sqrt(mxx * myy))})
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity", "l_extendedprice"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c) for c in
+                         ("pn", "sx", "sxx", "sy", "syy", "sxy")])
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag, count(*) AS n,
+       stddev_samp(l_quantity) AS sd_qty,
+       var_samp(l_quantity) AS var_qty,
+       corr(l_quantity, l_extendedprice) AS corr_qp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT as one tagged union + grouped
+# min/max-tag filter: each side pre-distincts inside its blocks, the
+# single hash exchange then moves ≤ #distinct keys per block.
+
+def _tagged_keys(sf_dir: str):
+    def tag(col, t):
+        def fn(b: pa.Table) -> pa.Table:
+            d = pa.table({"id": b.column(col)}).group_by(["id"]).aggregate([])
+            return d.append_column("tag", pa.array([t] * d.num_rows,
+                                                   pa.int64()))
+        return fn
+    ords = (_read(sf_dir, "orders", ["o_custkey"])
+            .map_batches(tag("o_custkey", 0), batch_format="pyarrow"))
+    users = (_read(sf_dir, "events", ["user_id"])
+             .map_batches(tag("user_id", 1), batch_format="pyarrow"))
+    from ray.data.aggregate import Max, Min
+    return (ords.union(users).groupby("id")
+            .aggregate(Min("tag", alias_name="mn"),
+                       Max("tag", alias_name="mx")))
+
+
+def q_intersect_keys(sf_dir: str):
+    return (_tagged_keys(sf_dir)
+            .filter(expr="mn == 0 and mx == 1")
+            .select_columns(["id"]))
+
+
+def q_except_keys(sf_dir: str):
+    return (_tagged_keys(sf_dir)
+            .filter(expr="mn == 0 and mx == 0")
+            .select_columns(["id"]))
+
+
+SQL_INTERSECT_KEYS = """
+SELECT o_custkey AS id FROM orders
+INTERSECT SELECT user_id AS id FROM events
+"""
+
+SQL_EXCEPT_KEYS = """
+SELECT o_custkey AS id FROM orders
+EXCEPT SELECT user_id AS id FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram — fixed-width binning: the bin id is a pure vectorized
+# function of the value, each block pre-counts its bins, the global
+# merge is a groupby-sum over ≤ #bins rows per block.
+
+def q_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+    width = 25000.0
+
+    def bin_counts(b: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(b.column("o_totalprice"), width)),
+                       pa.int64())
+        return (pa.table({"bin": bins}).group_by(["bin"])
+                .aggregate([("bin", "count")])
+                .rename_columns(["bin", "n"]))
+
+    return (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(bin_counts, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles — quantile_cont parity (the `quantiles`
+# entry is the discrete variant): per-group exact sort in map_groups,
+# linear interpolation identical to the SQL-standard percentile_cont
+# formula.  The at-scale path for huge groups is `approx_quantile`.
+
+def q_percentile_cont(sf_dir: str):
+    import numpy as np
+
+    def qtile(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag").slice(0, 1),
+            "p50": pa.array([float(np.quantile(v, 0.5))]),
+            "p95": pa.array([float(np.quantile(v, 0.95))])})
+
+    return (_read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+            .groupby("l_returnflag")
+            .map_groups(qtile, batch_format="pyarrow"))
+
+
+SQL_PERCENTILE_CONT = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction — compiled-pattern capture groups over a string
+# column with Arrow's RE2 kernel (no Python per-row work).
+
+def q_regex_extract(sf_dir: str):
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("c_name"), pattern=r"#(?P<num>\d+)")
+        num = pc.cast(pc.struct_field(m, "num"), pa.int64())
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "cust_num": num})
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        extract, batch_format="pyarrow")
+
+
+SQL_REGEX_EXTRACT = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS cust_num
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# arg_max — per-key row selection (the best order per customer) as a
+# mergeable reduce: each block keeps ONE candidate row per key (price
+# desc, orderkey asc tie-break), the global merge applies the same
+# kernel per group.  Unlike `topk_per_group` (full grouped sort) the
+# exchange carries ≤ one row per (key, block).
+
+def _best_per_cust(b: pa.Table) -> pa.Table:
+    import numpy as np
+    if b.num_rows == 0:
+        return b
+    cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
+    price = b.column("best_price").to_numpy(zero_copy_only=False)
+    okey = b.column("best_order").to_numpy(zero_copy_only=False)
+    order = np.lexsort((okey, -price, cust))
+    c_sorted = cust[order]
+    first = np.zeros(len(order), dtype=bool)
+    first[0] = True
+    first[1:] = c_sorted[1:] != c_sorted[:-1]
+    keep = order[first]
+    return pa.table({"o_custkey": pa.array(cust[keep]),
+                     "best_order": pa.array(okey[keep]),
+                     "best_price": pa.array(price[keep])})
+
+
+def q_arg_max(sf_dir: str):
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "best_order": b.column("o_orderkey"),
+                         "best_price": b.column("o_totalprice")})
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(rename, batch_format="pyarrow")
+            .map_batches(_best_per_cust, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(_best_per_cust, batch_format="pyarrow"))
+
+
+SQL_ARG_MAX = """
+SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+             AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar bucketing — date_trunc to month + grouped revenue: the time
+# series rollup.  Bin is computed vectorized per block, blocks
+# pre-aggregate (≤ #months rows each) before the tiny exchange.
+
+def q_time_bucket(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def monthly(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+        t = pa.table({"month": month,
+                      "revenue": b.column("o_totalprice"),
+                      "n": pa.array([1] * b.num_rows, pa.int64())})
+        return (t.group_by(["month"])
+                .aggregate([("revenue", "sum"), ("n", "sum")])
+                .rename_columns(["month", "revenue", "n"]))
+
+    return (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+            .map_batches(monthly, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("revenue", alias_name="revenue"),
+                       Sum("n", alias_name="n")))
+
+
+SQL_TIME_BUCKET = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       sum(o_totalprice) AS revenue, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -2101,6 +2486,17 @@ REGISTRY = {
     "window_cumsum": (q_window_cumsum, SQL_WINDOW_CUMSUM),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "pivot": (q_pivot, SQL_PIVOT),
+    "left_join": (q_left_join, SQL_LEFT_JOIN),
+    "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
+    "rollup": (q_rollup, SQL_ROLLUP),
+    "stats_agg": (q_stats_agg, SQL_STATS_AGG),
+    "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
+    "except_keys": (q_except_keys, SQL_EXCEPT_KEYS),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "percentile_cont": (q_percentile_cont, SQL_PERCENTILE_CONT),
+    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "arg_max": (q_arg_max, SQL_ARG_MAX),
+    "time_bucket": (q_time_bucket, SQL_TIME_BUCKET),
 }
 
 
