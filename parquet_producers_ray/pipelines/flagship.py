@@ -216,6 +216,16 @@ def enable_hash_shuffle(ds):
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
+        # Cap the CPU *reservation* of shuffle aggregator actors at
+        # ~25% of the cluster per 32-partition exchange.  Ray's default
+        # reserves min(1, CPU/2/parts) per partition, so two PIPELINED
+        # keyed repartitions (e.g. the dedup pair pipeline: gram
+        # exchange → pair exchange) reserve 100% of a small cluster's
+        # CPUs for actors and the map tasks in between starve — a hard
+        # deadlock at ≤4 CPUs.  The reservation is a scheduling hint,
+        # not a throughput limit.
+        ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            min(1.0, (cpus / 4) / 32)
     return ds
 
 

@@ -763,8 +763,7 @@ def q_dedup_jaccard(sf_dir: str):
     integer-exact filter 2·|A∩B| ≥ |A∪B|.  No all-pairs scan anywhere;
     at web scale a ``max_df`` stop-gram cap bounds the quadratic term
     (disabled here for exact oracle parity)."""
-    from ..functions.dedup import (combine_pair_counts, distinct_gram_rows,
-                                   gram_pair_rows)
+    from ..functions.dedup import distinct_gram_rows
 
     grams = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: distinct_gram_rows(b, "doc_id"), batch_format="pyarrow")
@@ -772,8 +771,13 @@ def q_dedup_jaccard(sf_dir: str):
     # two consumers follow (the counts collection and the pair
     # exchange); materialize so the read + tokenize pass runs once —
     # the gram rows are ~1-2% the size of the corpus
-    grams = grams.materialize()
+    return _jaccard_pairs_from_grams(grams.materialize())
 
+
+def _jaccard_pairs_from_grams(grams):
+    """Shared tail of the exact-Jaccard family: materialized inverted
+    index rows (gram, doc_id, n_grams) → τ=½ near-dup pairs."""
+    from ..functions.dedup import combine_pair_counts, gram_pair_rows
     # the per-doc distinct-gram counts are one tiny row per doc —
     # broadcast them once (at 10^12 docs this becomes a hash join of
     # the few surviving pairs against the count table instead)
@@ -841,6 +845,81 @@ WITH grams AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE 2 * len(list_intersect(a.g, b.g)) >= len(list_distinct(a.g || b.g))
+"""
+
+
+def q_dedup_jaccard_capped(sf_dir: str, max_df: int = 20):
+    """`dedup_jaccard`'s documented at-scale path made first-class:
+    Jaccard over NON-STOP grams only (document frequency ≤ max_df).
+    Dropping stop grams bounds every posting list — the quadratic
+    pair-generation term becomes O(Σ min(df, cap)²) — and the metric
+    stays oracle-exact because the SQL applies the identical cap.
+    Pipeline: gram rows → per-block df partials merged small → the
+    (small) STOP set broadcast via ray.put → vectorized np.isin filter
+    + per-block re-count of each doc's surviving grams → the shared
+    exact pair pipeline."""
+    import numpy as np
+    import ray
+
+    from ..functions.dedup import distinct_gram_rows
+
+    grams = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: distinct_gram_rows(b, "doc_id"), batch_format="pyarrow")
+    _enable_hash_shuffle(grams)
+    grams = grams.materialize()
+
+    # document frequency per gram: per-block partial counts, merged on
+    # the driver (≤ |vocabulary| rows); only grams with df > cap — by
+    # construction at most Σdf/cap of them — are broadcast as the stop
+    # set.
+    partials = [b.group_by("gram").aggregate([("doc_id", "count")])
+                for b in grams.iter_batches(batch_format="pyarrow")]
+    if not partials:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64())}))
+    df_tbl = (pa.concat_tables(partials).group_by("gram")
+              .aggregate([("doc_id_count", "sum")]))
+    gvals = df_tbl.column("gram").to_numpy(zero_copy_only=False)
+    dfc = df_tbl.column("doc_id_count_sum").to_numpy(zero_copy_only=False)
+    stop_ref = ray.put(np.sort(gvals[dfc > max_df]))
+
+    def drop_stop(b: pa.Table) -> pa.Table:
+        stop = ray.get(stop_ref)
+        h = b.column("gram").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(~np.isin(h, stop)))
+        if t.num_rows == 0:
+            return t
+        # a doc's gram rows never straddle blocks (generated per input
+        # batch, materialized, mapped with batch_size=None), so the
+        # per-doc surviving-gram count is block-local
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ids, return_counts=True)
+        n_new = counts[np.searchsorted(uniq, ids)]
+        return pa.table({"gram": t.column("gram"),
+                         "doc_id": t.column("doc_id"),
+                         "n_grams": pa.array(n_new, pa.int64())})
+
+    filtered = grams.map_batches(drop_stop, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    return _jaccard_pairs_from_grams(filtered)
+
+
+SQL_DEDUP_JACCARD_CAPPED = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+g0 AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(w)),
+                     i -> w[i] || chr(31) || w[i+1]))) AS gram
+       FROM w WHERE len(w) >= 2),
+df AS (SELECT gram, count(*) AS df FROM g0 GROUP BY gram),
+g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN df USING (gram)
+      WHERE df <= 20),
+sets AS (SELECT doc_id, list(gram) AS g FROM g GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
 WHERE 2 * len(list_intersect(a.g, b.g)) >= len(list_distinct(a.g || b.g))
 """
 
@@ -2398,6 +2477,41 @@ WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Cross join — cartesian product with a broadcast small side: the big
+# side streams, each batch tiles against the ray.put'ed table, nothing
+# shuffles.  (A big×big cartesian is a design error at scale; the
+# broadcast form is the only one this engine offers.)
+
+def q_cross_join(sf_dir: str):
+    import numpy as np
+    import ray
+
+    region = pa.concat_tables(list(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"])
+        .iter_batches(batch_format="pyarrow")))
+    ref = ray.put(region)
+
+    def tile(b: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        nb, nr = b.num_rows, r.num_rows
+        left = np.repeat(np.arange(nb), nr)
+        right = np.tile(np.arange(nr), nb)
+        return pa.table({
+            "n_name": pc.take(b.column("n_name").combine_chunks(),
+                              pa.array(left)),
+            "r_name": pc.take(r.column("r_name").combine_chunks(),
+                              pa.array(right))})
+
+    return _read(sf_dir, "nation", ["n_name"]).map_batches(
+        tile, batch_format="pyarrow")
+
+
+SQL_CROSS_JOIN = """
+SELECT n_name, r_name FROM nation CROSS JOIN region
+"""
+
+
+# ---------------------------------------------------------------------------
 # Calendar bucketing — date_trunc to month + grouped revenue: the time
 # series rollup.  Bin is computed vectorized per block, blocks
 # pre-aggregate (≤ #months rows each) before the tiny exchange.
@@ -2497,6 +2611,9 @@ REGISTRY = {
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "arg_max": (q_arg_max, SQL_ARG_MAX),
     "time_bucket": (q_time_bucket, SQL_TIME_BUCKET),
+    "dedup_jaccard_capped": (q_dedup_jaccard_capped,
+                             SQL_DEDUP_JACCARD_CAPPED),
+    "cross_join": (q_cross_join, SQL_CROSS_JOIN),
 }
 
 

@@ -22,7 +22,10 @@ import json
 def _init():
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        # No explicit address: ray.init() honours RAY_ADDRESS, so the
+        # same script runs standalone (RAY_ADDRESS=local / unset) and
+        # under `ray job submit` on a real cluster (address injected).
+        ray.init(include_dashboard=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
