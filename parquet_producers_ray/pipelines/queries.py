@@ -2477,6 +2477,182 @@ WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Unpivot (wide → long) — the inverse of `pivot`: each row explodes
+# into one row per measure column.  Pure per-batch reshape, no
+# shuffle, vectorized with numpy repeats/tiles.
+
+def q_unpivot(sf_dir: str):
+    import numpy as np
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ok = np.empty(n * len(measures), dtype=np.int64)
+        ln = np.empty_like(ok)
+        vals = np.empty(n * len(measures), dtype=np.float64)
+        names = []
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        lno = b.column("l_linenumber").to_numpy(zero_copy_only=False)
+        for i, m in enumerate(measures):
+            ok[i::len(measures)] = okey
+            ln[i::len(measures)] = lno
+            vals[i::len(measures)] = b.column(m).to_numpy(
+                zero_copy_only=False)
+        names = pa.array(np.tile(np.array(measures, dtype=object), n))
+        return pa.table({"l_orderkey": pa.array(ok),
+                         "l_linenumber": pa.array(ln.astype(np.int32)),
+                         "measure": names,
+                         "value": pa.array(vals)})
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber"] + measures).map_batches(
+        melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  UNPIVOT lineitem
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME measure VALUE value)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — the classic text-weighting pipeline over the documents
+# table: per-doc term frequencies (block-local, docs never straddle
+# batches), document frequencies via one pre-aggregated groupby whose
+# result is broadcast, then a vectorized per-batch weight computation.
+# Only the tiny df table ever shuffles.
+
+def q_tf_idf(sf_dir: str, min_tfidf: float = 0.05):
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def term_counts(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
+        nwords = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        doc = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False),
+                        nwords)
+        flat = pc.list_flatten(words)
+        t = pa.table({"doc_id": pa.array(doc, pa.int64()), "word": flat,
+                      "n_words": pa.array(
+                          np.repeat(nwords, nwords).astype(np.int64))})
+        return (t.group_by(["doc_id", "word"])
+                .aggregate([("word", "count"), ("n_words", "max")])
+                .rename_columns(["doc_id", "word", "tf", "n_words"]))
+
+    tf = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(term_counts, batch_format="pyarrow")).materialize()
+
+    # document frequency: per-block partials merged in a tiny groupby,
+    # collected (≤ |vocabulary| rows) and broadcast once
+    df_parts = [b.select(["word"]).group_by("word").aggregate([("word",
+                                                                "count")])
+                for b in tf.iter_batches(batch_format="pyarrow")]
+    n_docs_parts = [b.select(["doc_id"]).group_by("doc_id").aggregate([])
+                    for b in tf.iter_batches(batch_format="pyarrow")]
+    df_tbl = (pa.concat_tables(df_parts).group_by("word")
+              .aggregate([("word_count", "sum")]))
+    n_docs = pa.concat_tables(n_docs_parts).group_by(
+        "doc_id").aggregate([]).num_rows
+    words_sorted = np.sort(np.asarray(
+        df_tbl.column("word").to_pylist(), dtype=object))
+    order = np.argsort(np.asarray(df_tbl.column("word").to_pylist(),
+                                  dtype=object))
+    dfs_sorted = df_tbl.column("word_count_sum").to_numpy(
+        zero_copy_only=False)[order]
+    ref = ray.put((words_sorted, dfs_sorted, n_docs))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        ws, dfs, nd = ray.get(ref)
+        w = np.asarray(b.column("word").to_pylist(), dtype=object)
+        idx = np.searchsorted(ws, w)
+        tf_v = b.column("tf").to_numpy(zero_copy_only=False)
+        nw = b.column("n_words").to_numpy(zero_copy_only=False)
+        tfidf = (tf_v / nw) * np.log((1.0 + nd) / (1.0 + dfs[idx]))
+        keep = tfidf >= min_tfidf
+        return pa.table({"doc_id": b.column("doc_id").filter(
+                             pa.array(keep)),
+                         "word": b.column("word").filter(pa.array(keep)),
+                         "tfidf": pa.array(tfidf[keep])})
+
+    return tf.map_batches(weigh, batch_format="pyarrow")
+
+
+SQL_TF_IDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+         len(string_split(lower(text), ' ')) AS n_words
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf, max(n_words) AS n_words
+       FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
+SELECT tf.doc_id, tf.word,
+       (tf.tf / CAST(tf.n_words AS DOUBLE))
+       * ln((1.0 + nd.n) / (1.0 + df.df)) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN nd
+WHERE (tf.tf / CAST(tf.n_words AS DOUBLE))
+      * ln((1.0 + nd.n) / (1.0 + df.df)) >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-score normalization — per-group (event_type) standardization as
+# TWO streaming passes: tiny moment partials → broadcast → vectorized
+# normalize.  The window-function formulation would hash-exchange the
+# whole fact table; this ships only #groups×3 numbers.
+
+def q_zscore(sf_dir: str):
+    import numpy as np
+    import ray
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "s": v, "ss": pc.multiply(v, v)})
+        return (t.group_by(["event_type"])
+                .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+                .rename_columns(["event_type", "n", "s", "ss"]))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    stats_parts = [p for p in ds.map_batches(
+        partials, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")]
+    stats = (pa.concat_tables(stats_parts).group_by("event_type")
+             .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")]))
+    keys = np.asarray(stats.column("event_type").to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    n = stats.column("n_sum").to_numpy(zero_copy_only=False)[order]
+    s = stats.column("s_sum").to_numpy(zero_copy_only=False)[order]
+    ss = stats.column("ss_sum").to_numpy(zero_copy_only=False)[order]
+    mean = s / n
+    sd = np.sqrt((ss - s * s / n) / (n - 1))
+    ref = ray.put((keys[order], mean, sd))
+
+    def normalize(b: pa.Table) -> pa.Table:
+        ks, mu, sg = ray.get(ref)
+        k = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        idx = np.searchsorted(ks, k)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b.column("event_id"),
+                         "znorm": pa.array((v - mu[idx]) / sg[idx])})
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+SQL_ZSCORE = """
+SELECT event_id,
+       (value - avg(value) OVER (PARTITION BY event_type))
+       / stddev_samp(value) OVER (PARTITION BY event_type) AS znorm
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cross join — cartesian product with a broadcast small side: the big
 # side streams, each batch tiles against the ray.put'ed table, nothing
 # shuffles.  (A big×big cartesian is a design error at scale; the
@@ -2614,6 +2790,9 @@ REGISTRY = {
     "dedup_jaccard_capped": (q_dedup_jaccard_capped,
                              SQL_DEDUP_JACCARD_CAPPED),
     "cross_join": (q_cross_join, SQL_CROSS_JOIN),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "tf_idf": (q_tf_idf, SQL_TF_IDF),
+    "zscore": (q_zscore, SQL_ZSCORE),
 }
 
 
