@@ -2477,6 +2477,107 @@ WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Pattern redaction — masking matched substrings (the PII-scrub shape:
+# emails, phone numbers, names) with Arrow's RE2 replace kernel; pure
+# per-batch map, compiled pattern, no Python rows.
+
+def q_redact(sf_dir: str):
+    pattern = r"\b(customer|key)\b"
+
+    def scrub(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "clean": pc.replace_substring_regex(
+                b.column("text"), pattern=pattern,
+                replacement="[MASK]")})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+
+
+SQL_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|key)\b', '[MASK]', 'g') AS clean
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs whose distinct-bigram
+# overlap with a benchmark set (here: doc_id % 101 = 0) reaches 40%.
+# The benchmark gram set is collected once (it is the SMALL side by
+# construction) and broadcast; candidate docs stream through one
+# shuffle-free pass — per-doc gram rows are block-local, the hit/total
+# counts are integer-exact, so the τ filter is 5·hits ≥ 2·total with
+# no float boundary.
+
+def q_decontaminate(sf_dir: str):
+    import numpy as np
+    import ray
+
+    from ..functions.dedup import distinct_gram_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = docs.map_batches(
+        lambda b: distinct_gram_rows(b, "doc_id"),
+        batch_format="pyarrow").materialize()
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 101 == 0))
+        return pa.table({"gram": pc.unique(t.column("gram"))})
+
+    bench_tbls = [bt for bt in grams.map_batches(
+        bench_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")]
+    bench = (pa.concat_tables(bench_tbls).column("gram")
+             .combine_chunks() if bench_tbls
+             else pa.array([], pa.int64()))
+    bench_sorted = np.unique(np.asarray(bench))
+    ref = ray.put(bench_sorted)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 101 != 0))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("gram").to_numpy(zero_copy_only=False)
+        hit = np.isin(h, bset)
+        uniq, inv, tot = np.unique(ids, return_inverse=True,
+                                   return_counts=True)
+        hits = np.bincount(inv, weights=hit).astype(np.int64)
+        keep = 5 * hits >= 2 * tot
+        return pa.table({"doc_id": pa.array(uniq[keep]),
+                         "hits": pa.array(hits[keep]),
+                         "total": pa.array(tot[keep])})
+
+    return grams.map_batches(flag, batch_format="pyarrow",
+                             batch_size=None)
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)),
+                    i -> w[i] || chr(31) || w[i+1]))) AS gram
+      FROM w WHERE len(w) >= 2),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0)
+SELECT doc_id,
+       count(*) FILTER (gram IN (SELECT gram FROM bench)) AS hits,
+       count(*) AS total
+FROM g WHERE doc_id % 101 <> 0
+GROUP BY doc_id
+HAVING 5 * count(*) FILTER (gram IN (SELECT gram FROM bench))
+       >= 2 * count(*)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unpivot (wide → long) — the inverse of `pivot`: each row explodes
 # into one row per measure column.  Pure per-batch reshape, no
 # shuffle, vectorized with numpy repeats/tiles.
@@ -2793,6 +2894,8 @@ REGISTRY = {
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "tf_idf": (q_tf_idf, SQL_TF_IDF),
     "zscore": (q_zscore, SQL_ZSCORE),
+    "redact": (q_redact, SQL_REDACT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
 
 

@@ -18,7 +18,7 @@ NEW_QUERIES = [
     "intersect_keys", "except_keys", "histogram", "percentile_cont",
     "regex_extract", "arg_max", "time_bucket",
     "dedup_jaccard_capped", "cross_join",
-    "unpivot", "tf_idf", "zscore",
+    "unpivot", "tf_idf", "zscore", "redact", "decontaminate",
 ]
 
 
