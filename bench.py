@@ -234,6 +234,37 @@ def _probe_task(_):
         _np.sort(a)
 
 
+def _bandwidth_probe(nprocs: int) -> float:
+    """Aggregate DRAM bandwidth (GB/s) at a given process count —
+    STREAM-triad style (a = b + s·c over arrays far larger than LLC).
+    The flagship is bandwidth-bound on this VM, so THIS probe (not the
+    part-compute sort probe) is the right scaling comparator: if the
+    machine's aggregate bandwidth only grows 1.2× from N to 4N local
+    processes, a bandwidth-bound pipeline cannot show more."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(nprocs) as p:
+        rates = p.map(_bandwidth_task, range(nprocs))
+    return sum(rates)
+
+
+def _bandwidth_task(_) -> float:
+    import time as _t
+
+    import numpy as _np
+    n = 16_000_000          # 3 × 128 MB float64 — far beyond LLC
+    b = _np.ones(n)
+    c = _np.ones(n)
+    a = _np.empty(n)
+    _np.add(b, c, out=a)    # warm-up: fault every page OUTSIDE timing
+    t0 = _t.perf_counter()
+    iters = 6
+    for _ in range(iters):
+        _np.add(b, c, out=a)        # 3 × 8 bytes moved per element
+    dt = _t.perf_counter() - t0
+    return iters * 3 * 8 * n / dt / 1e9
+
+
 def main_scaling(levels=(4, 16)) -> dict:
     """N vs 4N parallelism in fresh processes.  Levels default to 4 and
     16 because this sandbox VM's memory bandwidth saturates around 8-16
@@ -267,6 +298,9 @@ def main_scaling(levels=(4, 16)) -> dict:
     machine = [_machine_probe(c) for c in (small["num_cpus"],
                                            big["num_cpus"])]
     machine_speedup = machine[1] / machine[0]
+    bw = [_bandwidth_probe(c) for c in (small["num_cpus"],
+                                        big["num_cpus"])]
+    bw_speedup = bw[1] / bw[0]
     return {
         "metric": "scaling_efficiency",
         "value": round(speedup / ideal, 3),
@@ -282,6 +316,11 @@ def main_scaling(levels=(4, 16)) -> dict:
         "machine_speedup": round(machine_speedup, 3),
         "machine_efficiency": round(machine_speedup / ideal, 3),
         "normalized_efficiency": round(speedup / machine_speedup, 3),
+        # aggregate DRAM bandwidth at each level (GB/s) — the binding
+        # resource of this bandwidth-bound pipeline on this VM
+        "bandwidth_gbps": [round(x, 2) for x in bw],
+        "bandwidth_speedup": round(bw_speedup, 3),
+        "bandwidth_normalized_efficiency": round(speedup / bw_speedup, 3),
     }
 
 

@@ -173,15 +173,22 @@ def read_input(path: str, target_block_bytes: int = 128 * 1024 * 1024):
     Ray's default read splitting targets hundreds of small blocks,
     which multiplies shuffle overhead (#blocks × #partitions object
     transfers).  Aim for ~128 MiB in-memory blocks instead (file bytes
-    × ~3 decompression factor), never fewer than one per file."""
+    × ~3 decompression factor) — but also at least CPUs/2 blocks so
+    the shuffle's map side isn't starved of parallelism on small
+    inputs (measured on the 566 MB bench input at 16 CPUs: 5 blocks =
+    64 MB/s, 8 blocks = 80 MB/s).  At 100 TB the bytes term dominates
+    and both floors are irrelevant."""
     import glob as _glob
 
+    import ray
     import ray.data
 
     files = (_glob.glob(os.path.join(path, "*.parquet"))
              if os.path.isdir(path) else [path])
     file_bytes = sum(os.path.getsize(f) for f in files)
-    blocks = max(len(files),
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    blocks = max(len(files), cpus // 2,
                  int(np.ceil(file_bytes * 3 / target_block_bytes)))
     return ray.data.read_parquet(path, override_num_blocks=blocks)
 

@@ -732,12 +732,21 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
     else:
         reps = {}
 
+    rep_keys = np.sort(np.fromiter(reps.keys(), dtype=np.int64,
+                                   count=len(reps)))
+    rep_vals = np.fromiter((reps[k] for k in rep_keys), dtype=np.int64,
+                           count=len(rep_keys))
+
     def assign_rep(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "rep_id": pa.array([reps.get(i, i) for i in ids],
-                               type=pa.int64())})
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out = ids.copy()
+        if len(rep_keys):
+            pos = np.searchsorted(rep_keys, ids)
+            pos[pos == len(rep_keys)] = 0
+            hit = rep_keys[pos] == ids
+            out[hit] = rep_vals[pos[hit]]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "rep_id": pa.array(out, type=pa.int64())})
     return docs.map_batches(assign_rep, batch_format="pyarrow")
 
 
@@ -2658,18 +2667,16 @@ def q_tf_idf(sf_dir: str, min_tfidf: float = 0.05):
               .aggregate([("word_count", "sum")]))
     n_docs = pa.concat_tables(n_docs_parts).group_by(
         "doc_id").aggregate([]).num_rows
-    words_sorted = np.sort(np.asarray(
-        df_tbl.column("word").to_pylist(), dtype=object))
-    order = np.argsort(np.asarray(df_tbl.column("word").to_pylist(),
-                                  dtype=object))
-    dfs_sorted = df_tbl.column("word_count_sum").to_numpy(
-        zero_copy_only=False)[order]
-    ref = ray.put((words_sorted, dfs_sorted, n_docs))
+    ref = ray.put((df_tbl.column("word").combine_chunks(),
+                   df_tbl.column("word_count_sum").to_numpy(
+                       zero_copy_only=False),
+                   n_docs))
 
     def weigh(b: pa.Table) -> pa.Table:
         ws, dfs, nd = ray.get(ref)
-        w = np.asarray(b.column("word").to_pylist(), dtype=object)
-        idx = np.searchsorted(ws, w)
+        # vectorized dictionary lookup — no Python-object round trip
+        idx = pc.index_in(b.column("word"), value_set=ws).to_numpy(
+            zero_copy_only=False)
         tf_v = b.column("tf").to_numpy(zero_copy_only=False)
         nw = b.column("n_words").to_numpy(zero_copy_only=False)
         tfidf = (tf_v / nw) * np.log((1.0 + nd) / (1.0 + dfs[idx]))
@@ -2725,19 +2732,18 @@ def q_zscore(sf_dir: str):
             batch_format="pyarrow")]
     stats = (pa.concat_tables(stats_parts).group_by("event_type")
              .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")]))
-    keys = np.asarray(stats.column("event_type").to_pylist(), dtype=object)
-    order = np.argsort(keys)
-    n = stats.column("n_sum").to_numpy(zero_copy_only=False)[order]
-    s = stats.column("s_sum").to_numpy(zero_copy_only=False)[order]
-    ss = stats.column("ss_sum").to_numpy(zero_copy_only=False)[order]
+    n = stats.column("n_sum").to_numpy(zero_copy_only=False)
+    s = stats.column("s_sum").to_numpy(zero_copy_only=False)
+    ss = stats.column("ss_sum").to_numpy(zero_copy_only=False)
     mean = s / n
     sd = np.sqrt((ss - s * s / n) / (n - 1))
-    ref = ray.put((keys[order], mean, sd))
+    ref = ray.put((stats.column("event_type").combine_chunks(), mean, sd))
 
     def normalize(b: pa.Table) -> pa.Table:
         ks, mu, sg = ray.get(ref)
-        k = np.asarray(b.column("event_type").to_pylist(), dtype=object)
-        idx = np.searchsorted(ks, k)
+        # vectorized dictionary lookup — no Python-object round trip
+        idx = pc.index_in(b.column("event_type"), value_set=ks).to_numpy(
+            zero_copy_only=False)
         v = b.column("value").to_numpy(zero_copy_only=False)
         return pa.table({"event_id": b.column("event_id"),
                          "znorm": pa.array((v - mu[idx]) / sg[idx])})
