@@ -124,3 +124,54 @@ int64_t fsst_decode(const uint8_t *data, const int64_t *offs,
     }
     return o - out;
 }
+
+/* ------------------------------------------------------------------ */
+/* Front-coding kernels for codecs/prefix.py (DELTA_BYTE_ARRAY-style). */
+
+/* Split n concatenated strings into per-row shared-prefix lengths
+ * (vs the previous row) and the concatenated suffix bytes.
+ * p[0] = 0; suffix must hold offs[n]-offs[0] bytes (worst case);
+ * suf_offs[0] must be 0 on entry.  Returns total suffix bytes. */
+int64_t prefix_encode(const uint8_t *data, const int64_t *offs,
+                      int64_t n, int64_t *p, uint8_t *suffix,
+                      int64_t *suf_offs) {
+    uint8_t *o = suffix;
+    int64_t i;
+    for (i = 0; i < n; i++) {
+        const uint8_t *cur = data + offs[i];
+        int64_t len = offs[i + 1] - offs[i];
+        int64_t shared = 0;
+        if (i > 0) {
+            const uint8_t *prev = data + offs[i - 1];
+            int64_t maxcmp = offs[i] - offs[i - 1];
+            if (len < maxcmp) maxcmp = len;
+            while (shared < maxcmp && cur[shared] == prev[shared])
+                shared++;
+        }
+        p[i] = shared;
+        memcpy(o, cur + shared, len - shared);
+        o += len - shared;
+        suf_offs[i + 1] = o - suffix;
+    }
+    return o - suffix;
+}
+
+/* Rebuild the concatenated strings from prefix lengths + suffixes.
+ * out must hold sum(p[i] + suffix-len[i]) bytes; out_offs[0] must be 0
+ * on entry.  Returns total output bytes. */
+int64_t prefix_decode(const uint8_t *suffix, const int64_t *suf_offs,
+                      const int64_t *p, int64_t n, uint8_t *out,
+                      int64_t *out_offs) {
+    uint8_t *o = out;
+    int64_t i;
+    for (i = 0; i < n; i++) {
+        const uint8_t *prev_row = out + out_offs[i > 0 ? i - 1 : 0];
+        int64_t slen = suf_offs[i + 1] - suf_offs[i];
+        memcpy(o, prev_row, p[i]);       /* p[0] == 0: no-op on row 0 */
+        o += p[i];
+        memcpy(o, suffix + suf_offs[i], slen);
+        o += slen;
+        out_offs[i + 1] = o - out;
+    }
+    return o - out;
+}

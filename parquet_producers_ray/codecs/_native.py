@@ -68,6 +68,12 @@ def _load():
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [u8p, i64p, ctypes.c_int64, u8p, u8p,
                                 u8p, i64p]
+    lib.prefix_encode.restype = ctypes.c_int64
+    lib.prefix_encode.argtypes = [u8p, i64p, ctypes.c_int64, i64p, u8p,
+                                  i64p]
+    lib.prefix_decode.restype = ctypes.c_int64
+    lib.prefix_decode.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p,
+                                  i64p]
     _LIB = lib
     return lib
 
@@ -88,6 +94,35 @@ def fsst_encode(data: np.ndarray, offs: np.ndarray, sym_mat: np.ndarray,
         np.ascontiguousarray(sym_lens.astype(np.uint8)),
         len(sym_lens), out, out_offs)
     return out[:total], out_offs
+
+
+def prefix_encode(data: np.ndarray,
+                  offs: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+    """Front-coding split: returns (prefix_lens, suffix_bytes, suf_offs)."""
+    lib = _load()
+    n = len(offs) - 1
+    p = np.zeros(n, dtype=np.int64)
+    suffix = np.empty(int(offs[-1] - offs[0]), dtype=np.uint8)
+    suf_offs = np.zeros(n + 1, dtype=np.int64)
+    total = lib.prefix_encode(np.ascontiguousarray(data),
+                              np.ascontiguousarray(offs), n, p, suffix,
+                              suf_offs)
+    return p, suffix[:total], suf_offs
+
+
+def prefix_decode(suffix: np.ndarray, suf_offs: np.ndarray,
+                  p: np.ndarray, total: int) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+    """Front-coding rebuild: returns (out_bytes, out_offs)."""
+    lib = _load()
+    n = len(suf_offs) - 1
+    out = np.empty(int(total), dtype=np.uint8)
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    lib.prefix_decode(np.ascontiguousarray(suffix),
+                      np.ascontiguousarray(suf_offs),
+                      np.ascontiguousarray(p), n, out, out_offs)
+    return out, out_offs
 
 
 def fsst_decode(data: np.ndarray, offs: np.ndarray, sym_mat: np.ndarray,

@@ -12,10 +12,12 @@ literature, see PAPERS.md).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pyarrow as pa
 
-from . import bitpack, bss, delta, dictionary, for_, fsst, plain, rle
+from . import bitpack, bss, delta, dictionary, for_, fsst, plain, prefix, rle
 from .base import Encoded
 
 CODECS = {
@@ -26,13 +28,14 @@ CODECS = {
     for_.NAME: for_,
     delta.NAME: delta,
     fsst.NAME: fsst,
+    prefix.NAME: prefix,
     bss.NAME: bss,
 }
 
 # trial order is a mild prior; selection is purely by sampled size
 _CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, delta.NAME,
                     for_.NAME, bitpack.NAME,
-                    fsst.NAME, bss.NAME, plain.NAME]
+                    prefix.NAME, fsst.NAME, bss.NAME, plain.NAME]
 
 
 def candidates(typ: pa.DataType) -> list:
@@ -41,42 +44,139 @@ def candidates(typ: pa.DataType) -> list:
 
 
 def sample_array(arr: pa.Array, frac: float = 0.01, min_rows: int = 256,
-                 max_rows: int = 4096) -> pa.Array:
+                 max_rows: int = 4096, slices: int = 4) -> pa.Array:
+    """A few contiguous slices, evenly spaced — not row-by-row spaced
+    samples, which destroy the run/locality structure that RLE, delta
+    and front-coding exploit (BtrBlocks samples contiguous chunklets
+    for the same reason; see PAPERS.md)."""
+    parts = _sample_slices(arr, frac, min_rows, max_rows, slices)
+    return _concat(parts)
+
+
+_SAMPLE_BYTES = 1 << 20   # trial cost cap: ~1 MiB sampled per column
+
+
+def _sample_slices(arr: pa.Array, frac: float = 0.01, min_rows: int = 256,
+                   max_rows: int = 4096, slices: int = 4) -> list:
     n = len(arr)
     k = int(min(max(n * frac, min_rows), max_rows, n))
+    # wide rows (html payloads): cap the sampled BYTES too, or every
+    # trial encode pays megabytes per candidate codec
+    avg = arr.nbytes / n if n else 0
+    if avg > 0:
+        k = max(64, min(k, int(_SAMPLE_BYTES / avg)))
+    k = min(k, n)
     if k >= n:
-        return arr
-    idx = np.linspace(0, n - 1, k).astype(np.int64)
-    return arr.take(pa.array(idx))
+        return [arr]
+    per = max(1, k // slices)
+    starts = np.linspace(0, n - per, min(slices, max(1, k // per)))
+    return [arr.slice(int(s), per) for s in starts]
+
+
+def _concat(parts: list) -> pa.Array:
+    if len(parts) == 1:
+        p = parts[0]
+        return p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+    return pa.concat_arrays([p.combine_chunks() if isinstance(
+        p, pa.ChunkedArray) else p for p in parts])
+
+
+_ZSTD = pa.Codec("zstd")
+
+# prefer the simpler/faster codec when the fancier one saves < 3%
+_PLAIN_MARGIN = 1.03
+
+
+def stored_size(enc: Encoded) -> int:
+    """Size the segment store will actually pay: the codec buffers go
+    into a zstd-compressed Parquet segment file (stages/encode.py), so
+    the honest trial metric is post-zstd bytes, not raw Encoded bytes.
+    Pre-compressed payloads (FSST output) gain little from the outer
+    zstd while plain/front-coded payloads gain a lot — raw-size trials
+    systematically over-favour the former."""
+    return (sum(len(_ZSTD.compress(b)) for b in enc.buffers if len(b))
+            + len(json.dumps(enc.meta)))
 
 
 def select_codec(arr: pa.Array, allowed: list | None = None,
-                 state: dict | None = None) -> str:
-    """Pick the codec with the smallest encoded sample.  When `state`
-    is given, trained trial artifacts (the FSST symbol table) are
-    stashed there so the full-column encode never re-trains."""
-    s = sample_array(arr)
-    best_name, best_size = plain.NAME, None
+                 state: dict | None = None,
+                 metric: str = "stored") -> str:
+    """Pick the codec with the smallest PROJECTED full-column size.
+
+    Each candidate trial-encodes two nested contiguous samples (half
+    and full chunklet sets) and the sizes are extrapolated linearly to
+    the column's row count: est = size(s4) + marginal-bytes-per-row ×
+    remaining rows.  Two points separate each codec's fixed overhead
+    (dictionaries, symbol tables, framing) from its per-row cost, which
+    a single small sample conflates — RLE's runs and dict's table cost
+    almost nothing per extra row while FSST/plain pay linearly.
+
+    ``metric="stored"`` (default) sizes trials post-zstd — the segment
+    files are zstd Parquet, so that is the objective the ≤-reference
+    criterion actually measures; ``metric="raw"`` sizes the bare
+    Encoded buffers (useful when the store is uncompressed).  When
+    `state` is given, trained trial artifacts (the FSST symbol table)
+    are stashed there so the full-column encode never re-trains."""
+    n = len(arr)
+    parts = _sample_slices(arr)
+    s4 = _concat(parts)
+    s2 = _concat(parts[: max(1, len(parts) // 2)]) if len(parts) > 1 else None
+    cost = stored_size if metric == "stored" else (lambda e: e.nbytes)
+    # cheap pre-gate: dict/rle only pay off on repetitive values — skip
+    # their trials when the sample is mostly distinct (saves a hash
+    # build per string column)
+    skip: set = set()
+    try:
+        import pyarrow.compute as pc
+        if len(s4) >= 64 and (pa.types.is_string(arr.type)
+                              or pa.types.is_large_string(arr.type)
+                              or pa.types.is_binary(arr.type)
+                              or pa.types.is_large_binary(arr.type)):
+            probe = s4.slice(0, 256)
+            if pc.count_distinct(probe).as_py() > 0.6 * len(probe):
+                skip = {dictionary.NAME, rle.NAME}
+    except (pa.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+        pass
+    ests: dict[str, float] = {}
     for name in (allowed or candidates(arr.type)):
         codec = CODECS[name]
-        if not codec.applicable(arr.type):
+        if name in skip or not codec.applicable(arr.type):
             continue
         try:
             if name == fsst.NAME:
-                tbl = fsst.train_from_array(s)
-                size = fsst.encode(s, tbl).nbytes
+                tbl = fsst.train_from_array(s4)
+                size4 = cost(fsst.encode(s4, tbl))
+                size2 = (cost(fsst.encode(s2, tbl))
+                         if s2 is not None else None)
                 if state is not None:
                     state["fsst_table"] = tbl
+            elif name == prefix.NAME:
+                # raw-suffix-only trial: skips an FSST retrain per sample
+                size4 = cost(prefix.encode(s4, trial=True))
+                size2 = (cost(prefix.encode(s2, trial=True))
+                         if s2 is not None else None)
             else:
-                size = codec.encode(s).nbytes
+                size4 = cost(codec.encode(s4))
+                size2 = (cost(codec.encode(s2))
+                         if s2 is not None else None)
         except (ValueError, pa.ArrowInvalid,
                 pa.lib.ArrowNotImplementedError):
             # a codec that can't handle this type/content simply loses
             # the trial; plain always works
             continue
-        if best_size is None or size < best_size:
-            best_name, best_size = name, size
-    return best_name
+        if size2 is None or len(s4) == len(s2):
+            ests[name] = float(size4)
+        else:
+            per_row = max(0.0, (size4 - size2) / (len(s4) - len(s2)))
+            ests[name] = size4 + per_row * (n - len(s4))
+    if not ests:
+        return plain.NAME
+    best = min(ests, key=ests.get)  # type: ignore[arg-type]
+    if (plain.NAME in ests and best != plain.NAME
+            and ests[plain.NAME] <= _PLAIN_MARGIN * ests[best]):
+        # within noise of plain: take the zero-cost decode
+        return plain.NAME
+    return best
 
 
 def encode_auto(arr: pa.Array, allowed: list | None = None) -> Encoded:

@@ -88,19 +88,11 @@ class SymbolTable:
     def __init__(self, symbols: list):
         self.symbols = symbols
         self.lookup = {s: bytes([i]) for i, s in enumerate(symbols)}
-        ordered = sorted(symbols, key=len, reverse=True)
-        pat = b"|".join(re.escape(s) for s in ordered) if ordered else b""
-        pat = (pat + b"|" if pat else b"") + b"[\\s\\S]"
-        self._pat = re.compile(pat)
-        lut = self.lookup
-        esc = bytes([ESCAPE])
-
-        def repl(m, _lut=lut, _esc=esc):
-            s = m.group(0)
-            c = _lut.get(s)
-            return c if c is not None else _esc + s
-
-        self._repl = repl
+        # the regex tokenizer only serves the pure-Python fallback
+        # (encode_one); compiling it costs ~10 ms per table, so defer
+        # until actually needed (the cc kernel path never does)
+        self._pat_c = None
+        self._repl_c = None
         # decode tables
         nsym = len(symbols)
         self.sym_len = np.zeros(max(nsym, 1), dtype=np.int64)
@@ -133,6 +125,29 @@ class SymbolTable:
                     parent[j] = p
                     break
         self.m_parent = parent
+
+    @property
+    def _pat(self):
+        if self._pat_c is None:
+            ordered = sorted(self.symbols, key=len, reverse=True)
+            pat = (b"|".join(re.escape(s) for s in ordered)
+                   if ordered else b"")
+            pat = (pat + b"|" if pat else b"") + b"[\\s\\S]"
+            self._pat_c = re.compile(pat)
+        return self._pat_c
+
+    @property
+    def _repl(self):
+        if self._repl_c is None:
+            lut, esc = self.lookup, bytes([ESCAPE])
+
+            def repl(m, _lut=lut, _esc=esc):
+                s = m.group(0)
+                c = _lut.get(s)
+                return c if c is not None else _esc + s
+
+            self._repl_c = repl
+        return self._repl_c
 
     def encode_one(self, b: bytes) -> bytes:
         return self._pat.sub(self._repl, b)

@@ -19,6 +19,7 @@ import pyarrow as pa
 from ..codecs import CODECS, Encoded, select_codec
 from ..codecs import fsst as fsst_codec
 from ..codecs import plain as plain_codec
+from ..codecs import prefix as prefix_codec
 
 SEGMENT_SCHEMA = pa.schema([
     pa.field("column", pa.string(), nullable=False),
@@ -50,6 +51,11 @@ def encode_table(table: pa.Table, allowed: list | None = None,
                     if fsst_tables is not None:
                         fsst_tables[name] = tbl
                 enc = fsst_codec.encode(arr, tbl)
+            elif codec_name == prefix_codec.NAME:
+                # reuse the selector's sample-trained table for the
+                # FSST-suffix candidate — never retrain per column
+                enc = prefix_codec.encode(
+                    arr, fsst_table=sel_state.get("fsst_table"))
             else:
                 enc = CODECS[codec_name].encode(arr)
         except (ValueError, pa.ArrowInvalid,
@@ -145,6 +151,9 @@ def _encode_pinned(table: pa.Table, choices: dict,
                     tbl = fsst_codec.train_from_array(arr)
                     fsst_tables[name] = tbl
                 enc = fsst_codec.encode(arr, tbl)
+            elif codec_name == prefix_codec.NAME:
+                enc = prefix_codec.encode(
+                    arr, fsst_table=fsst_tables.get(name))
             else:
                 enc = CODECS[codec_name].encode(arr)
         except (ValueError, pa.ArrowInvalid,

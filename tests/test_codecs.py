@@ -87,11 +87,30 @@ def test_auto_roundtrip(colname):
 
 def test_auto_picks_sensible_codecs():
     assert encode_auto(FIXTURE_ARRAYS["lang_skewed"]).codec in ("dict", "rle")
-    assert encode_auto(FIXTURE_ARRAYS["sorted_keys"]).codec == "rle"
+    # selection metric is POST-zstd stored bytes (segment files are
+    # zstd Parquet): front-coded duplicate keys beat RLE there, and
+    # both beat everything else
+    assert encode_auto(FIXTURE_ARRAYS["sorted_keys"]).codec in ("rle",
+                                                                "prefix")
     # evenly-spaced sorted timestamps: delta (tiny increments) beats
     # frame-of-reference (wide range)
     assert encode_auto(FIXTURE_ARRAYS["timestamps"]).codec == "delta"
     assert encode_auto(FIXTURE_ARRAYS["big_ints"]).codec == "delta"
+    # sorted url-shaped strings: front coding wins over FSST/plain
+    urls = pa.array(sorted("https://www.example%d.com/p/%d.html"
+                           % (i % 37, i) for i in range(20000)))
+    assert encode_auto(urls).codec == "prefix"
+
+
+def test_prefix_beats_fsst_stored_on_sorted_urls():
+    # the reason the codec exists: url-sorted partitions (the flagship
+    # sort key) front-code far below FSST, measured at what the store
+    # pays (post-zstd)
+    from parquet_producers_ray.codecs import fsst, prefix
+    from parquet_producers_ray.codecs.auto import stored_size
+    urls = pa.array(sorted("https://www.example%d.com/p/%d/x%d.html"
+                           % (i % 53, i // 53, i) for i in range(20000)))
+    assert stored_size(prefix.encode(urls)) < stored_size(fsst.encode(urls))
 
 
 def test_bss_beats_plain_on_floats_and_embeddings():
