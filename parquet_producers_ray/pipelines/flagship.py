@@ -122,7 +122,11 @@ class BucketEncoder:
         enc_bytes = int(sum(
             len(b) for row in seg.column("buffers").to_pylist() for b in row))
         tmp = data_path + ".tmp"
-        pq.write_table(seg, tmp, compression=self.compression)
+        # one row group per column row: a column-pruned read
+        # (decode_pipeline(columns=...), lookup()) skips the html/text
+        # payload bytes entirely via row-group statistics on `column`
+        pq.write_table(seg, tmp, compression=self.compression,
+                       row_group_size=1)
         os.replace(tmp, data_path)
         payload = {
             "part": part,
@@ -248,8 +252,21 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
     one sorted, encoded, manifest-covered Parquet per bucket.
     """
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        # bucket membership is a pure function of (key, num_buckets):
+        # a resumed run MUST reuse the original partition count or the
+        # completed-partition row counts stop matching
+        if num_buckets is None:
+            num_buckets = int(prev["num_buckets"])
     if num_buckets is None:
         num_buckets = pick_num_buckets(ds.size_bytes() or 0)
+    tmp_meta = f"{meta_path}.{os.getpid()}.tmp"
+    with open(tmp_meta, "w") as f:
+        json.dump({"num_buckets": int(num_buckets), "key": key}, f)
+    os.replace(tmp_meta, meta_path)
     if concurrency is None:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
@@ -268,19 +285,80 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
                              "allowed": allowed, "resume": resume}))
 
 
-def decode_pipeline(out_dir: str):
-    """Stream the encoded partitions back to original rows."""
+def decode_pipeline(out_dir: str, columns: list | None = None):
+    """Stream the encoded partitions back to original rows.
+
+    ``columns`` prunes at the READ: each stored column is its own
+    Parquet row group, so a filter on the segment's ``column`` field
+    skips the html/text payload bytes entirely — a 2-column decode of
+    a 5-column store reads ~the 2 columns' bytes, not the file."""
     import ray.data
 
     files = mf.list_partition_files(out_dir)
+    flt = ([("column", "in", sorted(columns))]
+           if columns is not None else None)
 
     def _decode(batch: pa.Table) -> pa.Table:
-        tables = [decode_segment(pq.read_table(p))
+        tables = [decode_segment(pq.read_table(p, filters=flt), columns)
                   for p in batch.column("path").to_pylist()]
         return pa.concat_tables(tables)
 
     return (ray.data.from_items([{"path": p} for p in files])
             .map_batches(_decode, batch_format="pyarrow", batch_size=1))
+
+
+def lookup(out_dir: str, values: list, columns: list | None = None
+           ) -> pa.Table:
+    """Point lookup by sort key with partition AND column pruning.
+
+    The bucket id is a pure function of the key (`add_bucket`), so the
+    owning partition of each key is computed directly — no index, no
+    scan: |distinct buckets| segment files are opened out of the whole
+    store, and within each file only the requested columns' row groups
+    are read.  Driver-side by design: point lookups touch KBs; at
+    10^12-doc scale this is the client read path the per-partition
+    manifests + deterministic bucketing exist to make O(keys), while
+    full-table work goes through :func:`decode_pipeline`.
+    """
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        num_buckets, key = int(meta["num_buckets"]), meta["key"]
+    else:
+        # store written before _meta.json existed: the highest
+        # partition id bounds the bucket count from below; exact
+        # whenever the top bucket was non-empty (overwhelmingly likely
+        # at web-scale row counts)
+        files = mf.list_partition_files(out_dir)
+        if not files:
+            raise FileNotFoundError(f"no partitions under {out_dir}")
+        num_buckets = max(mf.partition_id(p) for p in files) + 1
+        key = "url"
+    import pyarrow.compute as pc
+    probe = pa.table({key: pa.array(values)})
+    buckets = add_bucket(probe, num_buckets, key).column("_bucket")
+    need = (None if columns is None
+            else sorted(set(columns) | {key}))
+    flt = [("column", "in", need)] if need is not None else None
+    out = []
+    for part in sorted(set(buckets.to_pylist())):
+        data_path, _ = mf.partition_paths(out_dir, part)
+        if not os.path.exists(data_path):
+            continue
+        tbl = decode_segment(pq.read_table(data_path, filters=flt), need)
+        mask = pc.is_in(tbl.column(key),
+                        value_set=probe.column(key).cast(
+                            tbl.schema.field(key).type))
+        out.append(tbl.filter(mask))
+    if out:
+        return pa.concat_tables(out)
+    # no partition held any requested key: empty table, right schema
+    files = mf.list_partition_files(out_dir)
+    if not files:
+        raise FileNotFoundError(f"no partitions under {out_dir}")
+    seg = pq.read_table(files[0], filters=flt)
+    return decode_segment(seg, need).schema.empty_table()
 
 
 DECODE_METRICS_SCHEMA = pa.schema([

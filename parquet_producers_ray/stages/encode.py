@@ -69,18 +69,28 @@ def encode_table(table: pa.Table, allowed: list | None = None,
     return seg, choices
 
 
-def decode_segment(seg: pa.Table) -> pa.Table:
-    """Inverse of :func:`encode_table` — bit-identical reconstruction."""
+def decode_segment(seg: pa.Table, columns: list | None = None) -> pa.Table:
+    """Inverse of :func:`encode_table` — bit-identical reconstruction.
+
+    ``columns`` restricts the output (and the decode work) to a subset;
+    a segment that was already read column-pruned (Parquet row-group
+    filters on the ``column`` field — each column row is its own row
+    group) decodes only what it carries either way."""
     from ..codecs import decode as decode_one
     meta = seg.schema.metadata or {}
     schema = pa.ipc.read_schema(pa.py_buffer(meta[b"source_schema"])) \
         if b"source_schema" in meta else None
+    if schema is not None and columns is not None:
+        schema = pa.schema([schema.field(i) for i in range(len(schema))
+                            if schema.field(i).name in columns])
     if seg.num_rows == 0:
         # an empty block may still carry segment-schema metadata
         return schema.empty_table() if schema is not None \
             else pa.table({})
     cols = {}
     for row in seg.to_pylist():
+        if columns is not None and row["column"] not in columns:
+            continue
         enc = Encoded.from_row(row)
         cols[row["column"]] = decode_one(enc)
     if schema is None:

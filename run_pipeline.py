@@ -8,6 +8,10 @@ Subcommands:
   decode-verify <encoded_dir> <input>      Decode everything back and
       assert row-count parity (bit-identity is covered per partition by
       the codec layer and tests).
+  lookup <encoded_dir> <key> [<key> ...] [--columns a,b]
+      Point lookup: partition-pruned (bucket id is a pure function of
+      the key) and column-pruned (row-group-per-column store); prints
+      the matching rows as JSON lines.
   mirror-bootstrap <input> <root>          Versioned incremental mirror v1.
   mirror-delta <root> <delta_parquet> <based_on_version>
       Apply one delta wave; prints partitions rewritten/linked.
@@ -42,6 +46,10 @@ def main() -> None:
     d = sub.add_parser("decode-verify")
     d.add_argument("encoded")
     d.add_argument("input")
+    lk = sub.add_parser("lookup")
+    lk.add_argument("encoded")
+    lk.add_argument("keys", nargs="+")
+    lk.add_argument("--columns", default=None)
     mb = sub.add_parser("mirror-bootstrap")
     mb.add_argument("input")
     mb.add_argument("root")
@@ -50,7 +58,8 @@ def main() -> None:
     md.add_argument("delta")
     md.add_argument("based_on", type=int)
     args = ap.parse_args()
-    _init()
+    if args.cmd != "lookup":
+        _init()   # lookup is a pure client read — no Ray session
 
     if args.cmd == "encode":
         from parquet_producers_ray.pipelines.flagship import (
@@ -66,6 +75,15 @@ def main() -> None:
         n_in = read_input(args.input).count()
         assert n_dec == n_in, (n_dec, n_in)
         print(json.dumps({"rows": n_dec, "match": True}))
+    elif args.cmd == "lookup":
+        from parquet_producers_ray.pipelines.flagship import lookup
+        cols = args.columns.split(",") if args.columns else None
+        tbl = lookup(args.encoded, args.keys, columns=cols)
+        for row in tbl.to_pylist():
+            print(json.dumps({k: (v if not isinstance(v, bytes)
+                                  else v.decode("utf-8", "replace"))
+                              for k, v in row.items()},
+                             default=str))
     elif args.cmd == "mirror-bootstrap":
         import numpy as np
         import pyarrow as pa

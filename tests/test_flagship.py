@@ -175,3 +175,58 @@ def test_interrupted_run_resume_bit_identical(encoded_dir, table, tmp_path):
         dp_b, _ = mf.partition_paths(crashed, part)
         with open(dp_a, "rb") as fa, open(dp_b, "rb") as fb:
             assert fa.read() == fb.read(), part
+
+
+def test_decode_column_pruned(encoded_dir, table):
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    ds = F.decode_pipeline(out + "/enc", columns=["url", "lang"])
+    got = ds.take_all()
+    assert len(got) == ROWS
+    assert set(got[0].keys()) == {"url", "lang"}
+    want = {r["url"]: r["lang"] for r in
+            table.select(["url", "lang"]).to_pylist()}
+    for r in got:
+        assert want[r["url"]] == r["lang"]
+    # the store really is row-group-per-column, so the pruned read can
+    # skip the html/text payload bytes at the Parquet layer
+    f = mf.list_partition_files(out + "/enc")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups == len(table.column_names)
+
+
+def test_lookup_partition_pruned(encoded_dir, table):
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    urls = table.column("url").to_pylist()[::700]  # a handful, spread out
+    got = F.lookup(out + "/enc", urls)
+    assert got.num_rows == len(urls)
+    by_url = {r["url"]: r for r in got.to_pylist()}
+    src = {r["url"]: r for r in table.to_pylist() if r["url"] in set(urls)}
+    assert by_url == src
+    # column-pruned lookup
+    got2 = F.lookup(out + "/enc", urls, columns=["text"])
+    assert set(got2.column_names) == {"url", "text"}
+    assert {r["url"]: r["text"] for r in got2.to_pylist()} == \
+        {u: src[u]["text"] for u in urls}
+    # absent keys: empty result, correct schema
+    none = F.lookup(out + "/enc", ["https://nosuch.example/x"])
+    assert none.num_rows == 0
+    assert none.schema.equals(table.schema)
+
+
+def test_resume_reuses_meta_num_buckets(encoded_dir):
+    import ray.data as rd
+
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    # resume WITHOUT passing num_buckets: _meta.json pins it to the
+    # original 8 (a different count would orphan completed partitions)
+    man = F.encode_pipeline(
+        rd.read_parquet(os.path.join(out, "input.parquet")), out + "/enc")
+    s = F.summarize(man)
+    assert s["partitions"] == 8
+    assert s["skipped_partitions"] == 8
