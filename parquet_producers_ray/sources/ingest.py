@@ -1,0 +1,142 @@
+"""Alternative ingestion formats for the web-page pipeline.
+
+The flagship consumes Parquet (`pipelines/flagship.py::read_input`),
+but Common-Crawl-style corpora also arrive as JSONL dumps, CSV exports
+and WET-style record streams.  Each reader here yields a
+`ray.data.Dataset` normalized to the canonical webpage schema
+(`sources/webpages.py::SCHEMA` — BASELINE.json ``input_hint``), so any
+of them can feed `encode_pipeline` unchanged.  The reference engine
+reads only Parquet (`Parquet.Producers/Parquet/ParquetReader.cs`);
+multi-format ingestion is part of this engine's wider source surface.
+
+Scale notes: all three build on Ray Data's file-based readers, so the
+unit of parallelism is the input file — shard a 100 TB corpus into
+many files and every reader streams.  Normalization runs as a
+`map_batches` over Arrow batches (casts + timestamp parse), zero
+Python rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .webpages import SCHEMA
+
+
+def _normalize(batch: pa.Table) -> pa.Table:
+    """Cast a loosely-typed batch onto the canonical webpage schema.
+
+    Accepts `warc_ts` as timestamp or ISO-8601 string, `html` as
+    binary or (JSON/CSV-transported) string; missing `text`/`lang`
+    become nulls so partially-populated dumps still load."""
+    cols = {}
+    for field in SCHEMA:
+        if field.name not in batch.column_names:
+            cols[field.name] = pa.nulls(batch.num_rows, field.type)
+            continue
+        arr = batch.column(field.name).combine_chunks()
+        if arr.type == field.type:
+            cols[field.name] = arr
+        elif field.name == "warc_ts" and pa.types.is_string(arr.type):
+            # Arrow's cast parses ISO-8601 with or without fractional
+            # seconds (isoformat() omits ".ffffff" at exactly 0 µs)
+            cols[field.name] = arr.cast(field.type)
+        else:
+            cols[field.name] = arr.cast(field.type)
+    return pa.table(cols, schema=SCHEMA)
+
+
+def read_webpages_jsonl(paths) -> "ray.data.Dataset":  # noqa: F821
+    """JSONL corpus → canonical webpage Dataset.
+
+    JSON cannot carry raw bytes, so `html` travels as a UTF-8 string
+    (lossless for markup) and is cast back to binary here."""
+    import ray.data
+    return (ray.data.read_json(paths)
+            .map_batches(_normalize, batch_format="pyarrow"))
+
+
+def read_webpages_csv(paths) -> "ray.data.Dataset":  # noqa: F821
+    import ray.data
+    return (ray.data.read_csv(paths)
+            .map_batches(_normalize, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# WET-style record stream (the Common-Crawl extracted-text container):
+# each record is a small header block ("WARC/1.0", "WARC-Target-URI:",
+# "WARC-Date:", "Content-Length:") followed by the payload text and a
+# blank-line separator.  Parsed vectorized: one split per file, then
+# numpy field extraction — no per-record Python loop over lines.
+
+_REC_SEP = "\r\n\r\n"
+_HDR_URI = "WARC-Target-URI: "
+_HDR_DATE = "WARC-Date: "
+
+
+def write_wet(table: pa.Table, path: str) -> None:
+    """Serialize a webpage table as a WET-style record stream (test
+    fixture / interchange helper; payload is the `text` column)."""
+    with open(path, "wb") as f:
+        for row in table.select(["url", "warc_ts", "text"]).to_pylist():
+            ts = row["warc_ts"]
+            payload = (row["text"] or "").encode()
+            f.write(b"WARC/1.0\r\n")
+            f.write(b"WARC-Type: conversion\r\n")
+            f.write(_HDR_URI.encode() + row["url"].encode() + b"\r\n")
+            f.write(_HDR_DATE.encode()
+                    + ts.isoformat().encode() + b"\r\n")
+            f.write(b"Content-Length: %d\r\n" % len(payload))
+            f.write(b"\r\n")
+            f.write(payload)
+            f.write(b"\r\n\r\n")
+
+
+def _parse_wet_bytes(blob: bytes) -> pa.Table:
+    txt = blob.decode("utf-8", "replace")
+    recs = txt.split("WARC/1.0\r\n")
+    urls, tss, texts = [], [], []
+    for rec in recs:
+        if _HDR_URI not in rec:
+            continue
+        head, _, body = rec.partition(_REC_SEP)
+        url = ts = None
+        for line in head.split("\r\n"):
+            if line.startswith(_HDR_URI):
+                url = line[len(_HDR_URI):]
+            elif line.startswith(_HDR_DATE):
+                ts = line[len(_HDR_DATE):]
+        if url is None:
+            continue
+        urls.append(url)
+        tss.append(ts)
+        texts.append(body.rstrip("\r\n"))
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.string()).cast(pa.timestamp("us")),
+        "text": pa.array(texts, pa.string()),
+    })
+    return _normalize(t)
+
+
+def read_webpages_wet(paths) -> "ray.data.Dataset":  # noqa: F821
+    """WET-style record files → canonical webpage Dataset (html/lang
+    null — WET carries extracted text only).  One task per file; a
+    100 TB crawl is tens of thousands of ~1 GiB WET files, which is
+    exactly Ray Data's file-parallel regime."""
+    import ray.data
+
+    def _load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tables.append(_parse_wet_bytes(f.read()))
+        return pa.concat_tables(tables) if tables \
+            else SCHEMA.empty_table()
+
+    import os
+    if isinstance(paths, str):
+        paths = ([os.path.join(paths, p) for p in sorted(os.listdir(paths))]
+                 if os.path.isdir(paths) else [paths])
+    return (ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(_load, batch_format="pyarrow", batch_size=1))

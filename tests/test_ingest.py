@@ -1,0 +1,77 @@
+"""Multi-format ingestion: JSONL / CSV / WET-style readers all land on
+the canonical webpage schema and feed the flagship encode unchanged.
+The reference reads only Parquet (Parquet.Producers/Parquet/
+ParquetReader.cs); these readers widen the source surface.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pytest
+
+from parquet_producers_ray.sources import ingest as I
+from parquet_producers_ray.sources import webpages as W
+
+ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def table():
+    return W.generate_table(ROWS)
+
+
+@pytest.fixture(scope="module")
+def src_sorted(table):
+    return table.sort_by("url")
+
+
+def test_jsonl_roundtrip(ray_session, table, src_sorted, tmp_path_factory):
+    d = tmp_path_factory.mktemp("jsonl")
+    p = str(d / "a.jsonl")
+    with open(p, "w") as f:
+        for r in table.to_pylist():
+            r["html"] = r["html"].decode()
+            r["warc_ts"] = r["warc_ts"].isoformat()
+            f.write(json.dumps(r) + "\n")
+    got = pa.Table.from_pylist(I.read_webpages_jsonl(p).take_all(),
+                               schema=W.SCHEMA)
+    assert got.sort_by("url").equals(src_sorted)
+
+
+def test_csv_partial_columns(ray_session, table, src_sorted,
+                             tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv")
+    p = str(d / "a.csv")
+    pacsv.write_csv(table.select(["url", "warc_ts", "text", "lang"]), p)
+    got = pa.Table.from_pylist(I.read_webpages_csv(p).take_all(),
+                               schema=W.SCHEMA)
+    assert got.num_rows == ROWS
+    # absent html column loads as nulls; the rest round-trips
+    assert got.column("html").null_count == ROWS
+    gs = got.sort_by("url")
+    for c in ("url", "warc_ts", "text", "lang"):
+        assert gs.column(c).equals(src_sorted.column(c)), c
+
+
+def test_wet_roundtrip_and_encode(ray_session, table, src_sorted,
+                                  tmp_path_factory):
+    d = tmp_path_factory.mktemp("wet")
+    p = str(d / "a.wet")
+    I.write_wet(table, p)
+    ds = I.read_webpages_wet([p])
+    got = pa.Table.from_pylist(ds.take_all(), schema=W.SCHEMA)
+    gs = got.sort_by("url")
+    for c in ("url", "warc_ts", "text"):
+        assert gs.column(c).equals(src_sorted.column(c)), c
+    # and the normalized Dataset feeds the flagship encode directly
+    from parquet_producers_ray.pipelines import flagship as F
+    out = str(tmp_path_factory.mktemp("wetenc"))
+    man = F.encode_pipeline(I.read_webpages_wet([p]), out, num_buckets=2)
+    s = F.summarize(man)
+    assert s["rows"] == ROWS and s["partitions"] == 2
+    back = pa.Table.from_pylist(F.decode_pipeline(out).take_all(),
+                                schema=W.SCHEMA)
+    assert back.sort_by("url").column("text").equals(
+        src_sorted.column("text"))
