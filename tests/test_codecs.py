@@ -248,3 +248,33 @@ def test_bss_float_list_property(rows):
     dec = codecs.decode(enc)
     assert dec.type == arr.type
     assert arrays_bit_identical(dec, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=60)), max_size=80))
+def test_prefix_hypothesis_binary(vals):
+    from parquet_producers_ray.codecs import prefix
+    arr = pa.array(vals, type=pa.large_binary())
+    enc = prefix.encode(arr)
+    assert arrays_bit_identical(codecs.decode(enc), arr)
+
+
+def test_prefix_native_and_numpy_paths_agree(monkeypatch):
+    """cc kernel and NumPy fallback cross-decode each other's output
+    bit-identically (the fallback is the portable oracle)."""
+    from parquet_producers_ray.codecs import _native, prefix
+    rng = np.random.default_rng(7)
+    hosts = [f"https://h{i}.example/p/" for i in range(9)]
+    vals = sorted(hosts[int(rng.integers(0, 9))] + "x" * int(rng.integers(0, 30))
+                  + str(i) for i in range(500))
+    arr = pa.array(vals + ["", None], type=pa.string())
+    enc_native = prefix.encode(arr)
+    monkeypatch.setattr(_native, "_LIB", None)
+    monkeypatch.setattr(_native, "_TRIED", True)
+    enc_numpy = prefix.encode(arr)
+    # numpy decode of native encode
+    assert arrays_bit_identical(prefix.decode(enc_native), arr)
+    monkeypatch.setattr(_native, "_TRIED", False)
+    monkeypatch.setattr(_native, "_LIB", None)
+    # native decode of numpy encode
+    assert arrays_bit_identical(prefix.decode(enc_numpy), arr)
