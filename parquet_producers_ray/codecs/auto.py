@@ -17,7 +17,8 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from . import bitpack, bss, delta, dictionary, for_, fsst, plain, prefix, rle
+from . import (alp, bitpack, bss, delta, dictionary, for_, fsst, plain,
+               prefix, rle)
 from .base import Encoded
 
 CODECS = {
@@ -30,12 +31,14 @@ CODECS = {
     fsst.NAME: fsst,
     prefix.NAME: prefix,
     bss.NAME: bss,
+    alp.NAME: alp,
 }
 
 # trial order is a mild prior; selection is purely by sampled size
 _CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, delta.NAME,
                     for_.NAME, bitpack.NAME,
-                    prefix.NAME, fsst.NAME, bss.NAME, plain.NAME]
+                    prefix.NAME, fsst.NAME, alp.NAME, bss.NAME,
+                    plain.NAME]
 
 
 def candidates(typ: pa.DataType) -> list:

@@ -2825,6 +2825,95 @@ FROM orders GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ntile — equi-depth bucketing per key (the train/val/test-split and
+# per-user quantile-bucket move).  Same contract as window_cumsum: ONE
+# hash exchange on the partition key, per-block sort, then the bucket
+# index is a closed-form vectorized function of (rank, count) — DuckDB
+# ntile semantics: the first cnt % n buckets get the extra row.
+
+def q_ntile(sf_dir: str, n_tiles: int = 4):
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    _enable_hash_shuffle(ds)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        m = len(uid)
+        starts = np.zeros(m, dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(starts) - 1
+        seg_start = np.flatnonzero(starts)
+        seg_len = np.diff(np.concatenate((seg_start, [m])))
+        rank = np.arange(m) - seg_start[seg_id]          # 0-based in key
+        cnt = seg_len[seg_id]
+        q, r = cnt // n_tiles, cnt % n_tiles
+        big = r * (q + 1)                                 # rows in fat tiles
+        tile = np.where(rank < big, rank // np.maximum(q + 1, 1),
+                        r + (rank - big) // np.maximum(q, 1)) + 1
+        tile = np.minimum(tile, n_tiles)                  # cnt < n edge
+        return pa.table({"event_id": b.column("event_id"),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_NTILE = """
+SELECT event_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# mode — most frequent value per group, tie-broken to the smallest
+# value so both engines are deterministic.  Two exchanges but both are
+# DISTINCT-PAIR-sized, never data-sized: per-block partial counts
+# (#lang × #source rows per block) → grouped sum → per-lang argmax in a
+# tiny map_groups.
+
+def q_mode(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"]).aggregate([("source",
+                                                          "count")])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "source"]).sum("source_count"))
+
+    def pick(g: pa.Table) -> pa.Table:
+        cnt = g.column("sum(source_count)")
+        best = pc.max(cnt)
+        tied = g.filter(pc.equal(cnt, best))
+        return pa.table({
+            "lang": [g.column("lang")[0].as_py()],
+            "mode_source": [pc.min(tied.column("source")).as_py()],
+            "mode_count": pa.array([best.as_py()], pa.int64())})
+
+    return counts.groupby("lang").map_groups(pick, batch_format="pyarrow")
+
+
+SQL_MODE = """
+WITH c AS (SELECT lang, source, count(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+m AS (SELECT lang, max(cnt) AS mc FROM c GROUP BY 1)
+SELECT c.lang AS lang, min(c.source) AS mode_source,
+       max(c.cnt) AS mode_count
+FROM c JOIN m ON c.lang = m.lang AND c.cnt = m.mc
+GROUP BY c.lang
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -2902,6 +2991,8 @@ REGISTRY = {
     "zscore": (q_zscore, SQL_ZSCORE),
     "redact": (q_redact, SQL_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "ntile": (q_ntile, SQL_NTILE),
+    "mode": (q_mode, SQL_MODE),
 }
 
 

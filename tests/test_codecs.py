@@ -278,3 +278,29 @@ def test_prefix_native_and_numpy_paths_agree(monkeypatch):
     monkeypatch.setattr(_native, "_LIB", None)
     # native decode of numpy encode
     assert arrays_bit_identical(prefix.decode(enc_numpy), arr)
+
+
+def test_alp_decimal_columns():
+    """ALP rescales decimal-like floats to ints exactly (prices/rates);
+    non-decimal columns decline and NaN/-0.0 ride the patch list."""
+    from parquet_producers_ray.codecs import alp
+    from parquet_producers_ray.codecs.auto import stored_size
+    rng = np.random.default_rng(9)
+    prices = pa.array(np.round(rng.uniform(900.0, 105000.0, 20000), 2))
+    enc = alp.encode(prices)
+    assert enc.meta["e"] == 2 and enc.meta["np"] == 0
+    assert arrays_bit_identical(codecs.decode(enc), prices)
+    assert stored_size(enc) < stored_size(CODECS["plain"].encode(prices))
+    assert encode_auto(prices).codec == "alp"
+    # sprinkle of NaN / inf / -0.0: all patched, still bit-identical
+    vals = np.round(rng.uniform(0, 10, 1000), 2)
+    vals[::97] = np.nan
+    vals[1::97] = np.inf
+    vals[2::97] = -0.0
+    arr = pa.array(vals)
+    enc2 = alp.encode(arr)
+    assert enc2.meta["np"] > 0
+    assert arrays_bit_identical(codecs.decode(enc2), arr)
+    # true continuous floats: declines, auto falls through to bss/plain
+    with pytest.raises(ValueError):
+        alp.encode(pa.array(rng.standard_normal(500)))
