@@ -152,3 +152,143 @@ def connected_components(edges, num_partitions: int = 8,
             break
         prev_sum = cur_sum
     return labels.rename_columns(["node", "component"])
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the second iterative operator (web-graph authority scores;
+# the classic link-analysis formulation, Page et al. 1999, public
+# literature; the reference has no graph operators).  Fixed-iteration,
+# un-normalized variant:
+#
+#     rank⁰[n] = 1
+#     rankᵗ[n] = (1-d) + d · Σ_{(u,n) ∈ E} rankᵗ⁻¹[u] / outdeg[u]
+#
+# which a bounded chain of SQL CTEs reproduces exactly, so the operator
+# is oracle-checkable despite being iterative.  Physical shape per
+# iteration: the static edge table flows through a stateless map that
+# looks up (rank/outdeg) of each source — broadcast while the
+# node-sized rank table fits (`ray.put` once per round, vectorized
+# searchsorted), hash join past the threshold — with a PER-BLOCK
+# pre-aggregation of contributions by destination, so the one grouped
+# sum moves ≤ #distinct-dst rows per block, never edge-sized rows.
+# Dangling nodes (no in-edges) fall back to (1-d) via the seeded node
+# table.  Driver-side state: none (the rank table stays a Dataset).
+
+def pagerank(edges, iterations: int = 5, damping: float = 0.85,
+             num_partitions: int = 8,
+             broadcast_threshold: int = 64 << 20):
+    """edges: Ray Dataset with int64 columns (src, dst), directed.
+    Returns a Dataset (node, rank) over every node mentioned."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def ends(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([b.column("src").combine_chunks(),
+                                 b.column("dst").combine_chunks()])
+        return pa.table({"node": pc.unique(both)})
+
+    nodes = (edges.map_batches(ends, batch_format="pyarrow")
+             .groupby("node").count().drop_columns(["count()"])
+             .materialize())
+    if nodes.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.float64())}))
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["src"]).aggregate([("src", "count")])
+        return g.rename_columns(["node", "deg"])
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").sum("deg").materialize())
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("rank",
+                                  pa.array(np.ones(len(b)))),
+        batch_format="pyarrow").materialize()
+
+    def _table(ds) -> pa.Table:
+        return pa.concat_tables(list(
+            ds.iter_batches(batch_format="pyarrow")))
+
+    deg_t = _table(deg)
+    deg_nodes = deg_t.column("node").to_numpy(zero_copy_only=False)
+    deg_vals = deg_t.column("sum(deg)").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    order = np.argsort(deg_nodes)
+    deg_ref = ray.put((deg_nodes[order], deg_vals[order]))
+
+    base = 1.0 - damping
+    for _ in range(iterations):
+        small = (ranks.size_bytes() or 0) <= broadcast_threshold
+        if small:
+            t = _table(ranks)
+            rn = t.column("node").to_numpy(zero_copy_only=False)
+            rv = t.column("rank").to_numpy(zero_copy_only=False)
+            o = np.argsort(rn)
+            rank_ref = ray.put((rn[o], rv[o]))
+
+            def contrib(b: pa.Table, _rr=rank_ref, _dr=deg_ref) -> pa.Table:
+                rn, rv = ray.get(_rr)
+                dn, dv = ray.get(_dr)
+                src = b.column("src").to_numpy(zero_copy_only=False)
+                share = (rv[np.searchsorted(rn, src)]
+                         / dv[np.searchsorted(dn, src)])
+                t = pa.table({"node": b.column("dst"),
+                              "c": pa.array(share)})
+                return t.group_by(["node"]).aggregate([("c", "sum")]) \
+                    .rename_columns(["node", "c"])
+
+            parts = edges.map_batches(contrib, batch_format="pyarrow")
+            contribs = parts.groupby("node").aggregate(
+                Sum("c", alias_name="c"))
+            # node-sized update WITHOUT a Ray join (a native join costs
+            # seconds of fixed setup per call — fatal inside a loop):
+            # broadcast the contribution table, probe per nodes-block
+            ct = _table(contribs)
+            cn = ct.column("node").to_numpy(zero_copy_only=False)
+            cv = ct.column("c").to_numpy(zero_copy_only=False)
+            co = np.argsort(cn)
+            c_ref = ray.put((cn[co], cv[co]))
+
+            def upd(b: pa.Table, _cr=c_ref) -> pa.Table:
+                cn, cv = ray.get(_cr)
+                ns = b.column("node").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(cn, ns)
+                idx = np.minimum(idx, max(len(cn) - 1, 0))
+                found = (len(cn) > 0) & (cn[idx] == ns)
+                val = np.where(found, cv[idx], 0.0)
+                return pa.table({"node": b.column("node"),
+                                 "rank": pa.array(base + damping * val)})
+
+            ranks = nodes.map_batches(
+                upd, batch_format="pyarrow").materialize()
+            continue
+        else:
+            # at-scale path: rank table through Ray's hash join
+            rank_src = ranks.rename_columns(["src", "rank"])
+            deg_src = deg.rename_columns(["src", "deg_sum"])
+            parts = (edges.join(rank_src, join_type="inner",
+                                num_partitions=num_partitions,
+                                on=("src",))
+                     .join(deg_src, join_type="inner",
+                           num_partitions=num_partitions, on=("src",))
+                     .map_batches(lambda b: pa.table(
+                         {"node": b.column("dst"),
+                          "c": pc.divide(b.column("rank"),
+                                         pc.cast(b.column("deg_sum"),
+                                                 pa.float64()))}),
+                         batch_format="pyarrow"))
+        contribs = parts.groupby("node").aggregate(
+            Sum("c", alias_name="c"))
+        ranks = (nodes.join(contribs, join_type="left_outer",
+                            num_partitions=num_partitions, on=("node",))
+                 .map_batches(lambda b: pa.table(
+                     {"node": b.column("node"),
+                      "rank": pc.add(pa.scalar(base), pc.multiply(
+                          pa.scalar(damping),
+                          pc.coalesce(b.column("c"),
+                                      pa.scalar(0.0))))}),
+                     batch_format="pyarrow").materialize())
+    return ranks

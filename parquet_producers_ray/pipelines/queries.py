@@ -2914,6 +2914,59 @@ GROUP BY c.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank — second iterative operator (web-graph authority; the shape
+# dedup/curation pipelines use to weight domains).  Fixed 5 iterations
+# of the un-normalized recurrence rankᵗ = 0.15 + 0.85·Σ rankᵗ⁻¹/outdeg
+# over the deterministic doc graph (n → 2n, n → 3n), so a chain of five
+# unrolled SQL CTEs reproduces the exact same floats.  Ray side:
+# functions/graph.py::pagerank — static edge table, per-round broadcast
+# rank lookup + per-block pre-aggregated contributions; no Ray join in
+# the loop, no driver-side rank state.
+
+_PR_ITERS = 5
+
+
+def q_pagerank(sf_dir: str):
+    from ..functions.graph import pagerank
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks()
+        ids = ids.filter(pc.greater(ids, 0))
+        two = pc.multiply(ids, pa.scalar(2, pa.int64()))
+        three = pc.multiply(ids, pa.scalar(3, pa.int64()))
+        return pa.table({"src": pa.concat_arrays([ids, ids]),
+                         "dst": pa.concat_arrays([two, three])})
+
+    e = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    return pagerank(e, iterations=_PR_ITERS)
+
+
+def _pagerank_sql(iters: int) -> str:
+    head = """
+WITH e AS (
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT doc_id AS src, doc_id * 3 AS dst FROM documents WHERE doc_id > 0),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+p0 AS (SELECT node, 1.0::DOUBLE AS r FROM nodes)"""
+    step = """,
+p{i} AS (SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r / deg.d) AS c
+          FROM e JOIN p{j} p ON p.node = e.src
+                 JOIN deg ON deg.src = e.src
+          GROUP BY 1) s ON s.node = n.node)"""
+    body = "".join(step.format(i=i, j=i - 1) for i in range(1, iters + 1))
+    return head + body + f"\nSELECT node, r AS rank FROM p{iters}"
+
+
+SQL_PAGERANK = _pagerank_sql(_PR_ITERS)
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -2993,6 +3046,7 @@ REGISTRY = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "ntile": (q_ntile, SQL_NTILE),
     "mode": (q_mode, SQL_MODE),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
 }
 
 

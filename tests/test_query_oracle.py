@@ -19,7 +19,7 @@ NEW_QUERIES = [
     "regex_extract", "arg_max", "time_bucket",
     "dedup_jaccard_capped", "cross_join",
     "unpivot", "tf_idf", "zscore", "redact", "decontaminate",
-    "ntile", "mode",
+    "ntile", "mode", "pagerank",
 ]
 
 
