@@ -43,6 +43,8 @@ def main() -> None:
     e.add_argument("--buckets", type=int, default=None)
     e.add_argument("--key", default="url")
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "csv", "wet"])
     d = sub.add_parser("decode-verify")
     d.add_argument("encoded")
     d.add_argument("input")
@@ -64,7 +66,14 @@ def main() -> None:
     if args.cmd == "encode":
         from parquet_producers_ray.pipelines.flagship import (
             encode_pipeline, read_input, summarize)
-        ds = read_input(args.input)
+        if args.format == "parquet":
+            ds = read_input(args.input)
+        else:
+            from parquet_producers_ray.sources import ingest
+            reader = {"jsonl": ingest.read_webpages_jsonl,
+                      "csv": ingest.read_webpages_csv,
+                      "wet": ingest.read_webpages_wet}[args.format]
+            ds = reader(args.input)
         man = encode_pipeline(ds, args.out, num_buckets=args.buckets,
                               key=args.key, resume=not args.no_resume)
         print(json.dumps(summarize(man.materialize())))
