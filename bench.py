@@ -96,6 +96,16 @@ def run_flagship(input_path: str, out_dir: str,
     summary["decode_sec"] = round(dwall, 3)
     summary["decode_mbps"] = round(summary["input_bytes"] / dwall / 1e6, 2)
     assert n == summary["rows"], (n, summary["rows"])
+    # column-pruned decode: 2 of 5 columns (url+lang, the metadata
+    # pair) — row-group-per-column segments let the read skip the
+    # html/text payload bytes, so this should beat full decode by far
+    t0 = time.perf_counter()
+    n2 = decode_pipeline(out_dir, columns=["url", "lang"]).count()
+    pwall = time.perf_counter() - t0
+    summary["decode_pruned_sec"] = round(pwall, 3)
+    summary["decode_pruned_speedup"] = round(dwall / pwall, 2) \
+        if pwall > 0 else None
+    assert n2 == summary["rows"], (n2, summary["rows"])
     if skip_refwrite:   # scaling workers compare throughput only
         return summary
     # reference comparator: the reference's entire encoding story is a
