@@ -361,6 +361,46 @@ def lookup(out_dir: str, values: list, columns: list | None = None
     return decode_segment(seg, need).schema.empty_table()
 
 
+VERIFY_SCHEMA = pa.schema([
+    pa.field("part", pa.int64()),
+    pa.field("rows_ok", pa.bool_()),
+    pa.field("digest_ok", pa.bool_()),
+    pa.field("rows", pa.int64()),
+])
+
+
+def verify_store(out_dir: str):
+    """Integrity check of an encoded store: decode every partition and
+    compare (row count, sort-key digest) against its lineage manifest —
+    one Ray task per partition, so a 10^12-doc store verifies with the
+    same parallelism it encoded with.  Returns a Dataset with one
+    verdict row per partition."""
+    import ray.data
+
+    files = mf.list_partition_files(out_dir)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            part = mf.partition_id(p)
+            man = mf.read_manifest(
+                mf.partition_paths(out_dir, part)[1]) or {}
+            tbl = decode_segment(pq.read_table(p))
+            key = man.get("sort_key", "url")
+            dig = (mf.column_digest(tbl.column(key))
+                   if key in tbl.column_names else "")
+            out.append({
+                "part": part,
+                "rows_ok": tbl.num_rows == man.get("rows"),
+                "digest_ok": dig == man.get("key_digest"),
+                "rows": tbl.num_rows,
+            })
+        return pa.Table.from_pylist(out, schema=VERIFY_SCHEMA)
+
+    return (ray.data.from_items([{"path": p} for p in files])
+            .map_batches(_verify, batch_format="pyarrow", batch_size=1))
+
+
 DECODE_METRICS_SCHEMA = pa.schema([
     pa.field("part", pa.int64()),
     pa.field("rows", pa.int64()),

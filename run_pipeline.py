@@ -52,6 +52,10 @@ def main() -> None:
     lk.add_argument("encoded")
     lk.add_argument("keys", nargs="+")
     lk.add_argument("--columns", default=None)
+    vf = sub.add_parser("verify")
+    vf.add_argument("encoded")
+    inf = sub.add_parser("info")
+    inf.add_argument("encoded")
     mb = sub.add_parser("mirror-bootstrap")
     mb.add_argument("input")
     mb.add_argument("root")
@@ -60,8 +64,8 @@ def main() -> None:
     md.add_argument("delta")
     md.add_argument("based_on", type=int)
     args = ap.parse_args()
-    if args.cmd != "lookup":
-        _init()   # lookup is a pure client read — no Ray session
+    if args.cmd not in ("lookup", "info"):
+        _init()   # lookup/info are pure client reads — no Ray session
 
     if args.cmd == "encode":
         from parquet_producers_ray.pipelines.flagship import (
@@ -84,6 +88,29 @@ def main() -> None:
         n_in = read_input(args.input).count()
         assert n_dec == n_in, (n_dec, n_in)
         print(json.dumps({"rows": n_dec, "match": True}))
+    elif args.cmd == "verify":
+        from parquet_producers_ray.pipelines.flagship import verify_store
+        rows = verify_store(args.encoded).take_all()
+        bad = [r for r in rows if not (r["rows_ok"] and r["digest_ok"])]
+        print(json.dumps({"partitions": len(rows), "bad": len(bad),
+                          "ok": not bad,
+                          "bad_parts": [r["part"] for r in bad][:20]}))
+        raise SystemExit(0 if not bad else 1)
+    elif args.cmd == "info":
+        from parquet_producers_ray.engine import manifest as mf
+        mans = mf.list_manifests(args.encoded)
+        codec_hist: dict = {}
+        for m in mans:
+            for col, c in (m.get("codecs") or {}).items():
+                codec_hist.setdefault(col, {})
+                codec_hist[col][c] = codec_hist[col].get(c, 0) + 1
+        print(json.dumps({
+            "partitions": len(mans),
+            "rows": sum(m.get("rows", 0) for m in mans),
+            "input_bytes": sum(m.get("input_bytes", 0) for m in mans),
+            "stored_bytes": sum(m.get("data_size", 0) for m in mans),
+            "codecs": codec_hist,
+        }))
     elif args.cmd == "lookup":
         from parquet_producers_ray.pipelines.flagship import lookup
         cols = args.columns.split(",") if args.columns else None

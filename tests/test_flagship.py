@@ -230,3 +230,29 @@ def test_resume_reuses_meta_num_buckets(encoded_dir):
     s = F.summarize(man)
     assert s["partitions"] == 8
     assert s["skipped_partitions"] == 8
+
+
+def test_verify_store_detects_tampering(encoded_dir):
+    import json as _json
+
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    rows = F.verify_store(out + "/enc").take_all()
+    assert len(rows) == 8
+    assert all(r["rows_ok"] and r["digest_ok"] for r in rows)
+    # tamper one manifest's digest: exactly that partition flags
+    man_path = mf.partition_paths(out + "/enc", rows[0]["part"])[1]
+    with open(man_path) as f:
+        original = f.read()
+    man = _json.loads(original)
+    man["key_digest"] = "0" * 16
+    with open(man_path, "w") as f:
+        _json.dump(man, f)
+    try:
+        rows2 = F.verify_store(out + "/enc").take_all()
+        bad = [r for r in rows2 if not r["digest_ok"]]
+        assert [r["part"] for r in bad] == [rows[0]["part"]]
+    finally:
+        with open(man_path, "w") as f:
+            f.write(original)
