@@ -1,13 +1,17 @@
 """Sampling-based per-column codec auto-selection.
 
-For each column of a partition: take a deterministic evenly-spaced
-sample, trial-encode every applicable codec, pick the smallest, then
-encode the full column with the winner (falling back down the ranking
-on failure).  The choice is recorded in the partition's lineage
-manifest (engine/manifest.py).  The reference has no such layer — it
-defers to Parquet defaults (SURVEY.md §2.3); selection strategy follows
-standard practice (e.g. per-block scheme selection in BtrBlocks/FSST
-literature, see PAPERS.md).
+For each column of a partition: take a few deterministic CONTIGUOUS
+chunklet samples (run/locality structure preserved), trial-encode every
+applicable codec at two nested sample sizes, extrapolate each
+candidate's fixed-vs-marginal cost to the full column, and pick the
+smallest PROJECTED size — measured post-zstd, because the segment store
+is zstd Parquet (see ``select_codec``).  The full column is then
+encoded with the winner (falling back down the ranking on failure) and
+the choice is recorded in the partition's lineage manifest
+(engine/manifest.py).  The reference has no such layer — it defers to
+Parquet defaults (SURVEY.md §2.3); selection strategy follows standard
+practice (per-block scheme selection and chunklet sampling in the
+BtrBlocks/FSST literature, see PAPERS.md).
 """
 
 from __future__ import annotations

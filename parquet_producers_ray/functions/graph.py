@@ -188,6 +188,9 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
                                  b.column("dst").combine_chunks()])
         return pa.table({"node": pc.unique(both)})
 
+    # the static edge table is re-scanned every iteration: pin it in
+    # the object store once instead of re-reading the source each round
+    edges = edges.materialize()
     nodes = (edges.map_batches(ends, batch_format="pyarrow")
              .groupby("node").count().drop_columns(["count()"])
              .materialize())
