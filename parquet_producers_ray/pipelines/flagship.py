@@ -295,16 +295,43 @@ def decode_pipeline(out_dir: str, columns: list | None = None):
     import ray.data
 
     files = mf.list_partition_files(out_dir)
-    flt = ([("column", "in", sorted(columns))]
-           if columns is not None else None)
 
     def _decode(batch: pa.Table) -> pa.Table:
-        tables = [decode_segment(pq.read_table(p, filters=flt), columns)
+        tables = [decode_segment(_read_segment(p, columns), columns)
                   for p in batch.column("path").to_pylist()]
         return pa.concat_tables(tables)
 
     return (ray.data.from_items([{"path": p} for p in files])
             .map_batches(_decode, batch_format="pyarrow", batch_size=1))
+
+
+def _read_segment(path: str, columns: list | None) -> pa.Table:
+    """Column-pruned segment read: pick row groups directly from the
+    file metadata (each encoded column is its own row group; the
+    `column` field's min==max statistic names it exactly), which costs
+    one metadata parse instead of the dataset-API filter machinery —
+    tens of ms per file at scan fan-out."""
+    if columns is None:
+        return pq.read_table(path)
+    want = set(columns)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    col_idx = md.schema.names.index("column") \
+        if "column" in md.schema.names else 0
+    keep = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(col_idx).statistics
+        if st is None or st.min is None or st.min != st.max:
+            keep = None   # stats unusable → read everything
+            break
+        if st.min in want:
+            keep.append(g)
+    if keep is None:
+        return pq.read_table(path)
+    if not keep:
+        # preserve schema metadata for empty-subset decode
+        return pf.schema_arrow.empty_table()
+    return pf.read_row_groups(keep)
 
 
 def lookup(out_dir: str, values: list, columns: list | None = None
@@ -340,13 +367,12 @@ def lookup(out_dir: str, values: list, columns: list | None = None
     buckets = add_bucket(probe, num_buckets, key).column("_bucket")
     need = (None if columns is None
             else sorted(set(columns) | {key}))
-    flt = [("column", "in", need)] if need is not None else None
     out = []
     for part in sorted(set(buckets.to_pylist())):
         data_path, _ = mf.partition_paths(out_dir, part)
         if not os.path.exists(data_path):
             continue
-        tbl = decode_segment(pq.read_table(data_path, filters=flt), need)
+        tbl = decode_segment(_read_segment(data_path, need), need)
         mask = pc.is_in(tbl.column(key),
                         value_set=probe.column(key).cast(
                             tbl.schema.field(key).type))
@@ -357,8 +383,78 @@ def lookup(out_dir: str, values: list, columns: list | None = None
     files = mf.list_partition_files(out_dir)
     if not files:
         raise FileNotFoundError(f"no partitions under {out_dir}")
-    seg = pq.read_table(files[0], filters=flt)
+    seg = _read_segment(files[0], need)
     return decode_segment(seg, need).schema.empty_table()
+
+
+def recompress_pipeline(src_dir: str, out_dir: str,
+                        allowed: list | None = None, resume: bool = True):
+    """Codec migration: re-encode an existing store with the CURRENT
+    codec set (e.g. after new codecs land), partition-parallel with
+    ZERO shuffle — bucket membership and sort order are properties of
+    the stored partitions, so each one decodes, re-selects codecs and
+    rewrites independently; `_meta.json` carries over and completed
+    output partitions are skipped on resume.  Returns the manifests
+    Dataset (same shape as :func:`encode_pipeline`)."""
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    src_meta = os.path.join(src_dir, "_meta.json")
+    if os.path.exists(src_meta):
+        with open(src_meta) as f:
+            meta = json.load(f)
+    else:
+        meta = {"num_buckets": None, "key": "url"}
+    tmp_meta = f"{os.path.join(out_dir, '_meta.json')}.{os.getpid()}.tmp"
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(out_dir, "_meta.json"))
+    key = meta.get("key", "url")
+
+    files = mf.list_partition_files(src_dir)
+
+    def _recode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for p in batch.column("path").to_pylist():
+            part = mf.partition_id(p)
+            data_path, man_path = mf.partition_paths(out_dir, part)
+            group = decode_segment(pq.read_table(p))
+            if resume:
+                done = mf.completed_partition(out_dir, part)
+                if done is not None and done.get("rows") == group.num_rows:
+                    done = dict(done)
+                    done["skipped"] = True
+                    payloads.append(done)
+                    continue
+            t0 = time.perf_counter()
+            seg, choices = encode_table(group, allowed)
+            enc_bytes = int(sum(len(b) for row in
+                                seg.column("buffers").to_pylist()
+                                for b in row))
+            tmp = data_path + ".tmp"
+            pq.write_table(seg, tmp, compression="zstd",
+                           row_group_size=1)
+            os.replace(tmp, data_path)
+            payload = {
+                "part": part,
+                "rows": group.num_rows,
+                "input_bytes": int(group.nbytes),
+                "encoded_bytes": enc_bytes,
+                "data_size": os.path.getsize(data_path),
+                "codecs": choices,
+                "sort_key": key,
+                "key_digest": mf.column_digest(group.column(key))
+                if key in group.column_names else "",
+                "encode_sec": round(time.perf_counter() - t0, 4),
+                "file": os.path.basename(data_path),
+                "skipped": False,
+            }
+            mf.write_manifest(man_path, payload)
+            payloads.append(payload)
+        return _manifest_rows(payloads)
+
+    return (ray.data.from_items([{"path": p} for p in files])
+            .map_batches(_recode, batch_format="pyarrow", batch_size=1))
 
 
 VERIFY_SCHEMA = pa.schema([

@@ -54,6 +54,10 @@ def main() -> None:
     lk.add_argument("--columns", default=None)
     vf = sub.add_parser("verify")
     vf.add_argument("encoded")
+    rc = sub.add_parser("recompress")
+    rc.add_argument("src")
+    rc.add_argument("out")
+    rc.add_argument("--no-resume", action="store_true")
     inf = sub.add_parser("info")
     inf.add_argument("encoded")
     mb = sub.add_parser("mirror-bootstrap")
@@ -88,6 +92,12 @@ def main() -> None:
         n_in = read_input(args.input).count()
         assert n_dec == n_in, (n_dec, n_in)
         print(json.dumps({"rows": n_dec, "match": True}))
+    elif args.cmd == "recompress":
+        from parquet_producers_ray.pipelines.flagship import (
+            recompress_pipeline, summarize)
+        man = recompress_pipeline(args.src, args.out,
+                                  resume=not args.no_resume)
+        print(json.dumps(summarize(man.materialize())))
     elif args.cmd == "verify":
         from parquet_producers_ray.pipelines.flagship import verify_store
         rows = verify_store(args.encoded).take_all()

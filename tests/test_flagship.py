@@ -256,3 +256,22 @@ def test_verify_store_detects_tampering(encoded_dir):
     finally:
         with open(man_path, "w") as f:
             f.write(original)
+
+
+def test_recompress_preserves_data_and_resumes(encoded_dir, table,
+                                               tmp_path_factory):
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, _ = encoded_dir
+    dst = str(tmp_path_factory.mktemp("recmp")) + "/store"
+    s1 = F.summarize(F.recompress_pipeline(out + "/enc", dst))
+    assert s1["rows"] == ROWS and s1["skipped_partitions"] == 0
+    back = F.decode_pipeline(dst).take_all()
+    orig = table.sort_by("url").to_pylist()
+    assert sorted(back, key=lambda r: r["url"]) == orig
+    # second run: every partition skips
+    s2 = F.summarize(F.recompress_pipeline(out + "/enc", dst))
+    assert s2["skipped_partitions"] == s1["partitions"]
+    # the migrated store answers point lookups (meta carried over)
+    got = F.lookup(dst, [orig[0]["url"]])
+    assert got.num_rows == 1 and got.to_pylist()[0] == orig[0]
