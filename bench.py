@@ -106,6 +106,26 @@ def run_flagship(input_path: str, out_dir: str,
     summary["decode_pruned_speedup"] = round(dwall / pwall, 2) \
         if pwall > 0 else None
     assert n2 == summary["rows"], (n2, summary["rows"])
+    # wall times at bench scale are floored by one Ray task-wave
+    # (~4 MB partitions); the scale-independent signal is the fraction
+    # of stored bytes the pruned read actually touches
+    import pyarrow.parquet as _pq
+
+    from parquet_producers_ray.engine import manifest as _mf
+    tot = sel = 0
+    for p in _mf.list_partition_files(out_dir):
+        md = _pq.ParquetFile(p).metadata
+        ci = md.schema.names.index("column")
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            sz = sum(rg.column(c).total_compressed_size
+                     for c in range(rg.num_columns))
+            tot += sz
+            st = rg.column(ci).statistics
+            if st is not None and st.min in ("url", "lang"):
+                sel += sz
+    summary["decode_pruned_read_fraction"] = round(sel / tot, 4) \
+        if tot else None
     if skip_refwrite:   # scaling workers compare throughput only
         return summary
     # reference comparator: the reference's entire encoding story is a

@@ -13,14 +13,15 @@ repo has no encoding layer at all (defers to Parquet.Net defaults —
 ``Parquet.Producers/ParquetProducerPlatformOptions.cs:17``,
 SURVEY.md §2.3).
 
-Both directions are vectorized: prefix lengths are computed by a
-16-byte-chunk compare over all adjacent pairs at once (iterations ∝
-longest shared prefix / 16, each a NumPy gather), and decode
-reconstructs rows with a "last writer wins" running-maximum over a
-bounded row×byte matrix (chunked to ~16 MiB) instead of a sequential
-per-row loop.  Nulls ride the shared validity bitmap and participate in
-the chain as empty strings, so round-trip is bit-identical including
-nulls and empty values (`arrays_bit_identical`).
+The hot path is a pair of cc-compiled kernels (prefix_encode /
+prefix_decode in codecs/_fsst_kernel.c — sequential memcmp/memcpy
+loops, GB/s); the portable NumPy fallback computes prefix lengths by a
+16-byte-chunk compare over all adjacent pairs at once and decodes with
+a "last writer wins" running-maximum over a bounded row×byte matrix
+(cross-parity between both paths is property-tested).  Nulls ride the
+shared validity bitmap and participate in the chain as empty strings,
+so round-trip is bit-identical including nulls and empty values
+(`arrays_bit_identical`).
 """
 
 from __future__ import annotations
