@@ -38,6 +38,7 @@ import json
 import os
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -199,6 +200,68 @@ class RangedTable:
                         for j in range(len(t))]
                 tables.append(t.filter(pa.array(mask)))
         return pa.concat_tables(tables) if tables else None
+
+    def read_range(self, version: int, lo=None, hi=None):
+        """Key-RANGE scan with zone-map pruning: the per-partition
+        min/max bounds in the version manifest (written at encode time,
+        read driver-side with zero data I/O) select only partitions
+        whose range intersects [lo, hi]; the residual predicate is then
+        applied inside each read task.  `lo`/`hi` are inclusive sort-key
+        prefixes (scalars or tuples); None = unbounded.  Returns a Ray
+        Dataset over the surviving partitions — at a 10^12-row store a
+        narrow range launches O(matching partitions) tasks, not a scan.
+        This is the range-partitioned complement of the hash store's
+        pure-function point `lookup()` (pipelines/flagship.py)."""
+        import ray.data
+
+        m = self.manifest(version)
+        if m is None:
+            return None
+        lo_raw = (lo if isinstance(lo, tuple) else (lo,)) \
+            if lo is not None else None
+        hi_raw = (hi if isinstance(hi, tuple) else (hi,)) \
+            if hi is not None else None
+        lo_t = _norm_tuple(lo_raw) if lo_raw is not None else None
+        hi_t = _norm_tuple(hi_raw) if hi_raw is not None else None
+        files = []
+        for p in m["partitions"]:
+            npre_lo = len(lo_t) if lo_t is not None else 0
+            npre_hi = len(hi_t) if hi_t is not None else 0
+            if lo_t is not None and tuple(p["max"])[:npre_lo] < lo_t:
+                continue
+            if hi_t is not None and tuple(p["min"])[:npre_hi] > hi_t:
+                continue
+            files.append(os.path.join(self._vdir(version), p["file"]))
+        if not files:
+            return None
+        sort_cols = self.sort_cols
+
+        one_col = (lo_t is None or len(lo_t) == 1) and \
+            (hi_t is None or len(hi_t) == 1)
+
+        def residual(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            if lo_t is None and hi_t is None:
+                return t
+            if one_col:   # vectorized bounds on the leading sort column
+                col = t.column(sort_cols[0]).combine_chunks()
+                mask = pa.array(np.ones(t.num_rows, dtype=bool))
+                if lo_raw is not None:
+                    mask = pc.and_(mask, pc.greater_equal(
+                        col, pa.scalar(lo_raw[0], col.type)))
+                if hi_raw is not None:
+                    mask = pc.and_(mask, pc.less_equal(
+                        col, pa.scalar(hi_raw[0], col.type)))
+                return t.filter(mask)
+            keys = [_norm_tuple(_key_tuple(t, sort_cols, j))
+                    for j in range(t.num_rows)]
+            keep = [(lo_t is None or k[:len(lo_t)] >= lo_t) and
+                    (hi_t is None or k[:len(hi_t)] <= hi_t)
+                    for k in keys]
+            return t.filter(pa.array(keep))
+
+        return ray.data.read_parquet(files).map_batches(
+            residual, batch_format="pyarrow")
 
     def _write_fresh(self, new_version: int, new_vdir: str,
                      adds: pa.Table) -> dict:

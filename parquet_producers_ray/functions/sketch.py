@@ -193,3 +193,44 @@ def kmv_merge_estimate(group: pa.Table, k: int = 1024,
     out = {c: group.column(c).slice(0, 1) for c in key_cols}
     out[out_col] = pa.array([est], type=pa.int64())
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the join-pruning sketch: build once from the small
+# side's keys, broadcast (`ray.put`), and pre-filter the big side's
+# blocks BEFORE the join's hash exchange so non-matching rows never
+# cross the wire.  False positives only (the join itself stays exact);
+# never false negatives.
+
+def bloom_build(arr: pa.Array, bits_log2: int = 20) -> dict:
+    """Build a Bloom filter over a key column.  Two derived hash
+    functions (h1 + i*h2, the Kirsch–Mitzenmacher construction) over
+    the shared 64-bit column hash; k=4 probes.  2^20 bits = 128 KiB —
+    <1% false positives up to ~10^5 keys; size the exponent up with the
+    build side."""
+    m = np.uint64(1 << bits_log2)
+    h = _hash_values(arr)
+    h1 = h % m
+    h2 = (h >> np.uint64(33)) | np.uint64(1)   # odd → full-period stride
+    bits = np.zeros(int(m) >> 3, dtype=np.uint8)
+    for i in range(4):
+        pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return {"bits": bits, "m": int(m)}
+
+
+def bloom_maybe_contains(filt: dict, arr: pa.Array) -> np.ndarray:
+    """Vectorized membership probe → bool mask (True = possibly in the
+    build set; False = definitely absent)."""
+    m = np.uint64(filt["m"])
+    bits = filt["bits"]
+    h = _hash_values(arr)
+    h1 = h % m
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    out = np.ones(len(h), dtype=bool)
+    for i in range(4):
+        pos = (h1 + np.uint64(i) * h2) % m
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        out &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 != 0
+    return out

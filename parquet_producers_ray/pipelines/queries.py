@@ -2967,6 +2967,344 @@ p{i} AS (SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0) AS r
 SQL_PAGERANK = _pagerank_sql(_PR_ITERS)
 
 
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all four (flag × status) subtotal levels derived
+# from the finest distributed grid in one small task (same shape as
+# ROLLUP: the big table is aggregated ONCE; the cube spread touches
+# only #group-combination rows).
+
+def q_cube(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    finest = (_read(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity"])
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                         Count("l_quantity", alias_name="n")))
+
+    def levels(b: pa.Table) -> pa.Table:
+        out = [b.select(["l_returnflag", "l_linestatus", "sum_qty", "n"])]
+        for keep, drop in ((["l_returnflag"], "l_linestatus"),
+                           (["l_linestatus"], "l_returnflag")):
+            lvl = (b.group_by(keep)
+                   .aggregate([("sum_qty", "sum"), ("n", "sum")]))
+            cols = {keep[0]: lvl.column(keep[0]),
+                    drop: pa.nulls(lvl.num_rows, pa.string()),
+                    "sum_qty": lvl.column("sum_qty_sum"),
+                    "n": lvl.column("n_sum")}
+            out.append(pa.table(cols).select(
+                ["l_returnflag", "l_linestatus", "sum_qty", "n"]))
+        out.append(pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty": pa.array([pc.sum(b.column("sum_qty")).as_py()],
+                                pa.float64()),
+            "n": pa.array([pc.sum(b.column("n")).as_py()], pa.int64())}))
+        return pa.concat_tables(out)
+
+    return finest.repartition(1).map_batches(levels, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(l_quantity) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window lead / first_value — completes the window family beside
+# cumsum/lag: one hash exchange on the partition key, per-block sort,
+# vectorized segment-aware shifts (same contract as every PARTITION BY:
+# a key's history fits one partition).
+
+def q_window_lead(sf_dir: str):
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    _enable_hash_shuffle(ds)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "next_value": pa.array([], pa.float64()),
+                             "first_value": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(uid), dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(starts) - 1
+        nxt = np.empty_like(val)
+        nxt[:-1] = val[1:]
+        nxt[-1] = np.nan
+        ends = np.zeros(len(uid), dtype=bool)   # last row of each segment
+        ends[-1] = True
+        ends[:-1] = starts[1:]
+        nxt[ends] = np.nan
+        first = val[np.flatnonzero(starts)][seg_id]
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "next_value": pa.array(nxt, mask=np.isnan(nxt)),
+            "first_value": pa.array(first)})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_WINDOW_LEAD = """
+SELECT event_id,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER w AS first_value
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Moving average — frame-based window (ROWS BETWEEN 3 PRECEDING AND
+# CURRENT ROW) as padded-cumsum differences within user segments; the
+# only exchange is the hash repartition on user_id.
+
+def q_moving_avg(sf_dir: str, window: int = 4):
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    _enable_hash_shuffle(ds)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "mov_avg": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(starts) - 1
+        seg_start = np.flatnonzero(starts)[seg_id]
+        pos = np.arange(n) - seg_start
+        lookback = np.minimum(pos, window - 1)
+        padded = np.concatenate(([0.0], np.cumsum(val)))
+        wsum = padded[np.arange(1, n + 1)] - padded[np.arange(n) - lookback]
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "mov_avg": pa.array(wsum / (lookback + 1))})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_MOVING_AVG = """
+SELECT event_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS mov_avg
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dense rank — rank-by-VALUE decomposes into (distinct values → rank
+# table → broadcast lookup): the big table never shuffles at all.  The
+# distinct (flag, quantity) grid is pre-distincted per block, collected
+# (it is value-domain-sized, 3×50 here), densely ranked on the driver,
+# `ray.put` once, and every block joins via one vectorized index_in.
+# Contrast with ntile/topk_per_group, which need the group co-located.
+
+def q_dense_rank(sf_dir: str):
+    import numpy as np
+    import ray
+
+    src = _read(sf_dir, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"])
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return (b.select(["l_returnflag", "l_quantity"])
+                .group_by(["l_returnflag", "l_quantity"]).aggregate([]))
+
+    grid = pa.concat_tables(list(
+        src.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    grid = grid.sort_by([("l_returnflag", "ascending"),
+                         ("l_quantity", "descending")])
+    flag = np.asarray(grid.column("l_returnflag").to_pylist())
+    new_group = np.zeros(len(flag), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = flag[1:] != flag[:-1]
+    pos = np.arange(len(flag))
+    rank = pos - np.maximum.accumulate(np.where(new_group, pos, 0)) + 1
+    key = pc.binary_join_element_wise(
+        grid.column("l_returnflag").combine_chunks(),
+        pc.cast(grid.column("l_quantity"), pa.string()), "|")
+    rank_ref = ray.put(pa.table({"key": key,
+                                 "dr": pa.array(rank, pa.int64())}))
+
+    def assign(b: pa.Table) -> pa.Table:
+        rt = ray.get(rank_ref)
+        k = pc.binary_join_element_wise(
+            b.column("l_returnflag").combine_chunks(),
+            pc.cast(b.column("l_quantity"), pa.string()), "|")
+        idx = pc.index_in(k, value_set=rt.column("key").combine_chunks())
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "dr": pc.take(rt.column("dr").combine_chunks(), idx)})
+
+    return src.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DENSE_RANK = """
+SELECT l_orderkey, l_linenumber,
+       dense_rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity DESC) AS dr
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Host aggregation — the web-corpus rollup: parse the host out of a URL
+# with one RE2 capture (zero Python rows) and aggregate pages/bytes per
+# host.  URLs are derived deterministically from doc_id (the testdata
+# has no URL column), identically in the SQL, so the oracle checks the
+# whole parse+aggregate path.
+
+def q_host_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def parse(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b.column("doc_id").combine_chunks()
+        v = ids.to_numpy(zero_copy_only=False)
+        url = pc.binary_join_element_wise(
+            "https://Site",
+            pc.cast(pa.array(v % 37), pa.string()),
+            ".Example/p/", pc.cast(ids, pa.string()), "?ref=abc", "")
+        host = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(url, r"^https://(?P<host>[^/]+)/"), "host"))
+        return pa.table({"host": host, "doc_id": ids,
+                         "n_chars": b.column("n_chars")})
+
+    return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(parse, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count("doc_id", alias_name="n_pages"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
+SQL_HOST_AGG = """
+SELECT lower(regexp_extract(
+         'https://Site' || (doc_id % 37) || '.Example/p/' || doc_id
+           || '?ref=abc',
+         '^https://([^/]+)/', 1)) AS host,
+       count(doc_id) AS n_pages, sum(n_chars) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + canonical dedup — the crawl-curation move: strip
+# query/fragment, drop trailing slashes, lowercase, then keep one doc
+# per canonical URL (min doc_id) with the duplicate count.  Every step
+# is an Arrow kernel; the one exchange is on the canonical key and is
+# pre-deduped per block.
+
+def q_url_normalize(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    def canon(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b.column("doc_id").combine_chunks()
+        v = ids.to_numpy(zero_copy_only=False)
+        junk = pc.take(
+            pa.array(["", "?utm_source=feed", "#section-2", "/"]),
+            pa.array(v % 4))
+        url = pc.binary_join_element_wise(
+            "https://WWW.Site",
+            pc.cast(pa.array(v % 37), pa.string()),
+            ".Example/page/",
+            pc.cast(pa.array(v // 8), pa.string()),
+            junk, "")
+        norm = pc.utf8_lower(pc.utf8_rtrim(
+            pc.replace_substring_regex(url, r"[?#].*$", ""), "/"))
+        return pa.table({"norm_url": norm, "doc_id": ids})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(canon, batch_format="pyarrow")
+            .groupby("norm_url")
+            .aggregate(Count("doc_id", alias_name="n_dups"),
+                       Min("doc_id", alias_name="keeper")))
+
+
+SQL_URL_NORMALIZE = """
+SELECT lower(rtrim(regexp_replace(
+         'https://WWW.Site' || (doc_id % 37) || '.Example/page/'
+           || (doc_id // 8)
+           || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed'
+              WHEN 2 THEN '#section-2' ELSE '/' END,
+         '[?#].*$', ''), '/')) AS norm_url,
+       count(doc_id) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join — the scale pattern for selective joins: a Bloom
+# filter of the (filtered) build side's keys is broadcast once and
+# pre-filters the probe side INSIDE map_batches, so rows that cannot
+# match never enter the hash exchange (false positives are removed by
+# the exact join that follows; no false negatives).  With a 1.5%-
+# selective build side the exchange moves ~1.5% of the probe table.
+
+def q_bloom_join(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+    from ..functions.sketch import bloom_build, bloom_maybe_contains
+
+    cust = pa.concat_tables(list(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .iter_batches(batch_format="pyarrow")))
+    filt_ref = ray.put(bloom_build(cust.column("c_custkey").combine_chunks()))
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        f = ray.get(filt_ref)
+        mask = bloom_maybe_contains(f, b.column("o_custkey").combine_chunks())
+        return b.filter(pa.array(mask))
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_custkey", "o_orderkey", "o_totalprice",
+                     "o_orderpriority"])
+              .map_batches(prefilter, batch_format="pyarrow"))
+    nparts = _join_partitions(orders, cust_ds)
+    joined = orders.join(cust_ds, join_type="inner",
+                         num_partitions=nparts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Count("o_orderkey", alias_name="n_orders"),
+                       Sum("o_totalprice", alias_name="total_price")))
+
+
+SQL_BLOOM_JOIN = """
+SELECT o_orderpriority, count(o_orderkey) AS n_orders,
+       sum(o_totalprice) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -3047,6 +3385,13 @@ REGISTRY = {
     "ntile": (q_ntile, SQL_NTILE),
     "mode": (q_mode, SQL_MODE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "cube": (q_cube, SQL_CUBE),
+    "window_lead": (q_window_lead, SQL_WINDOW_LEAD),
+    "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
+    "host_agg": (q_host_agg, SQL_HOST_AGG),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
 }
 
 

@@ -556,3 +556,25 @@ def test_connected_components_matches_union_find(ray_session):
                                    broadcast_threshold=thresh)
         assert {r["node"]: r["component"] for r in res.take_all()} == \
             {1: 1, 2: 1, 3: 1}, thresh
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_producers_ray.functions.sketch import (bloom_build,
+                                                        bloom_maybe_contains)
+
+    keys = pa.array(np.arange(0, 60000, 3))
+    f = bloom_build(keys)
+    probe = np.arange(120000)
+    mask = bloom_maybe_contains(f, pa.array(probe))
+    member = (probe % 3 == 0) & (probe < 60000)
+    assert mask[member].all()            # never a false negative
+    assert mask[~member].mean() < 0.01   # <1% false positives at 2^20 bits
+
+    s = pa.array([f"url-{i}" for i in range(5000)])
+    f2 = bloom_build(s)
+    m2 = bloom_maybe_contains(f2, pa.array([f"url-{i}" for i in range(10000)]))
+    assert m2[:5000].all()
+    assert m2[5000:].mean() < 0.01

@@ -20,6 +20,8 @@ NEW_QUERIES = [
     "dedup_jaccard_capped", "cross_join",
     "unpivot", "tf_idf", "zscore", "redact", "decontaminate",
     "ntile", "mode", "pagerank",
+    "cube", "window_lead", "moving_avg", "dense_rank",
+    "host_agg", "url_normalize", "bloom_join",
 ]
 
 
