@@ -3305,6 +3305,127 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end curation — the composed training-data pipeline as ONE
+# streaming Dataset: language filter → quality scoring + thresholds →
+# exact dedup (content digest, min-id keeper).  Every stage is a batch
+# transform; the only exchange is the digest groupby (8-byte keys).
+# This is the "user of the reference switches engines and runs their
+# whole pipeline" shape, oracle-checked end to end.
+
+def q_curate(sf_dir: str, min_tokens: int = 30, min_stop: float = 0.02):
+    import numpy as np
+
+    from ..functions.text import fnv1a_hash, quality_scores
+
+    def score_and_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("lang"), "en"))
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "_digest": pa.array([], pa.int64())})
+        t = quality_scores(b)
+        keep = pc.and_(
+            pc.greater_equal(t.column("n_tokens"),
+                             pa.scalar(min_tokens, pa.int64())),
+            pc.greater_equal(t.column("stopword_ratio"),
+                             pa.scalar(min_stop, pa.float64())))
+        b = b.filter(keep)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": t.filter(keep).column("n_tokens"),
+            "_digest": pa.array(
+                fnv1a_hash(b.column("text")).astype(np.int64))})
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.sort_by("doc_id")
+        out = g.slice(0, 1).drop_columns(["_digest"])
+        return out.append_column(
+            "n_copies", pa.array([g.num_rows], pa.int64()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return (ds.map_batches(score_and_filter, batch_format="pyarrow")
+            .groupby("_digest")
+            .map_groups(keep_first, batch_format="pyarrow"))
+
+
+SQL_CURATE = """
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','is','and','of','to','in','that','it')))
+           / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)
+           AS sr
+  FROM documents WHERE lang = 'en'),
+f AS (SELECT * FROM q WHERE n_tokens >= 30 AND sr >= 0.02)
+SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+       count(*) AS n_copies
+FROM f GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Model scoring — the batched-inference shape: a callable CLASS on an
+# actor pool loads its "model" ONCE in __init__ (here a fixed logistic
+# head over the quality features — deterministic, so the oracle can
+# replay it in SQL; a real classifier slots into the same stage) and
+# scores whole Arrow batches vectorized in __call__.
+
+class _QualityModel:
+    WEIGHTS = (0.01, -0.2, 1.5)   # n_tokens, mean_word_len, stopword_ratio
+    BIAS = -1.0
+
+    def __init__(self):
+        import numpy as np
+        # stands in for loading model weights from disk — once per actor
+        self.w = np.asarray(self.WEIGHTS, dtype=np.float64)
+        self.b = float(self.BIAS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.text import quality_scores
+        t = quality_scores(batch)
+        x = np.stack([
+            t.column("n_tokens").to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            t.column("mean_word_len").to_numpy(zero_copy_only=False),
+            t.column("stopword_ratio").to_numpy(zero_copy_only=False)],
+            axis=1)
+        z = x @ self.w + self.b
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "score": pa.array(1.0 / (1.0 + np.exp(-z)))})
+
+
+def q_model_score(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _QualityModel, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+
+SQL_MODEL_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','is','and','of','to','in','that','it')))
+             AS n_stop
+  FROM documents),
+f AS (
+  SELECT doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens,
+         (n_chars - (n_tokens - 1)) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+             AS mwl,
+         n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) AS sr
+  FROM t)
+SELECT doc_id,
+       1.0 / (1.0 + exp(-(0.01 * n_tokens - 0.2 * mwl + 1.5 * sr - 1.0)))
+           AS score
+FROM f
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -3392,6 +3513,8 @@ REGISTRY = {
     "host_agg": (q_host_agg, SQL_HOST_AGG),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
+    "curate": (q_curate, SQL_CURATE),
+    "model_score": (q_model_score, SQL_MODEL_SCORE),
 }
 
 

@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "ntile", "mode", "pagerank",
     "cube", "window_lead", "moving_avg", "dense_rank",
     "host_agg", "url_normalize", "bloom_join",
+    "curate", "model_score",
 ]
 
 
