@@ -69,6 +69,50 @@ def add_bucket(batch: pa.Table, num_buckets: int,
     return batch.append_column("_bucket", pa.array(buckets))
 
 
+def _pack_table(t: pa.Table) -> bytes:
+    """Arrow IPC stream + zstd: the shuffle-compression wire format."""
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _unpack_table(blob) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(blob)).read_all()
+
+
+def pack_buckets(batch: pa.Table, num_buckets: int,
+                 key: str = "url") -> pa.Table:
+    """Shuffle compression: reduce each input block to one zstd'd Arrow
+    IPC blob PER BUCKET before the hash exchange, so the all-to-all
+    ships ~¼ of the raw bytes (web text compresses ~4×; measured 3.95×
+    on the bench input at ~127 MB/s pack, ~550 MB/s unpack per core).
+    This is the map-side of every production shuffle (Spark compresses
+    shuffle files the same way) and the right trade when the exchange
+    crosses a NETWORK: idle CPU for wire bytes.  On THIS single-node
+    sandbox it is ~10% slower than raw rows — local plasma transfers
+    are memcpy-speed, so the byte cut buys nothing (A/B in
+    BASELINE.md) — hence ``encode_pipeline`` defaults to raw and
+    exposes this as the multi-node knob."""
+    batch = add_bucket(batch, num_buckets, key)
+    batch = batch.sort_by("_bucket")
+    buckets = batch.column("_bucket").to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.diff(buckets)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(batch)]))
+    payload = batch.drop_columns(["_bucket"])
+    ids, blobs, nrows = [], [], []
+    for s, e in zip(starts, ends):
+        ids.append(int(buckets[s]))
+        blobs.append(_pack_table(payload.slice(s, e - s)))
+        nrows.append(int(e - s))
+    return pa.table({
+        "_bucket": pa.array(ids, pa.int64()),
+        "blob": pa.array(blobs, pa.large_binary()),
+        "blob_rows": pa.array(nrows, pa.int64())})
+
+
 class BucketEncoder:
     """Per-partition encode + persist, with manifest-based resume.
 
@@ -97,15 +141,21 @@ class BucketEncoder:
         bounds = np.flatnonzero(np.diff(buckets)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(batch)]))
+        packed = "blob" in batch.column_names
         rows = []
         for s, e in zip(starts, ends):
-            rows.extend(self._encode_group(batch.slice(s, e - s))
-                        .to_pylist())
+            part = int(buckets[s])
+            sl = batch.slice(s, e - s)
+            if packed:   # shuffle-compressed: unpack this bucket's blobs
+                group = pa.concat_tables(
+                    [_unpack_table(b)
+                     for b in sl.column("blob").to_pylist()])
+            else:
+                group = sl.drop_columns(["_bucket"])
+            rows.extend(self._encode_group(part, group).to_pylist())
         return pa.Table.from_pylist(rows, schema=MANIFEST_ROW_SCHEMA)
 
-    def _encode_group(self, group: pa.Table) -> pa.Table:
-        part = int(group.column("_bucket")[0].as_py())
-        group = group.drop_columns(["_bucket"])
+    def _encode_group(self, part: int, group: pa.Table) -> pa.Table:
         data_path, man_path = mf.partition_paths(self.out_dir, part)
 
         if self.resume:
@@ -242,7 +292,8 @@ def enable_hash_shuffle(ds):
 
 def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
                     key: str = "url", allowed: list | None = None,
-                    resume: bool = True, concurrency=None):
+                    resume: bool = True, concurrency=None,
+                    shuffle_compression: str | None = None):
     """Run the flagship encode; returns the manifests Dataset (small).
 
     Shape: stateless bucket-id map → ONE hash repartition on the
@@ -250,6 +301,14 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
     pure function of the data, so resume reproduces membership) →
     bounded actor-pool encode stage (stateful per actor) that persists
     one sorted, encoded, manifest-covered Parquet per bucket.
+
+    ``shuffle_compression="zstd"`` packs each block's per-bucket rows
+    into zstd'd Arrow IPC blobs BEFORE the exchange (see
+    :func:`pack_buckets`) — the right setting when the exchange
+    crosses a NETWORK (multi-node).  Default ``None`` ships raw rows:
+    measured on this single-node sandbox, packing is ~10% slower
+    because local plasma transfers are memcpy-speed and the 4× byte
+    cut only buys extra pack/unpack CPU (A/B in BASELINE.md).
     """
     os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "_meta.json")
@@ -273,8 +332,9 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
             if ray.is_initialized() else 4
         concurrency = (1, max(2, cpus))
     enable_hash_shuffle(ds)
+    mapper = pack_buckets if shuffle_compression else add_bucket
     return (ds
-            .map_batches(add_bucket, batch_format="pyarrow",
+            .map_batches(mapper, batch_format="pyarrow",
                          fn_kwargs={"num_buckets": num_buckets,
                                     "key": key})
             .repartition(num_blocks=num_buckets, keys=["_bucket"])

@@ -275,3 +275,28 @@ def test_recompress_preserves_data_and_resumes(encoded_dir, table,
     # the migrated store answers point lookups (meta carried over)
     got = F.lookup(dst, [orig[0]["url"]])
     assert got.num_rows == 1 and got.to_pylist()[0] == orig[0]
+
+
+def test_shuffle_compression_parity(encoded_dir, table, tmp_path):
+    """The zstd-packed exchange (multi-node wire format) must produce a
+    store identical to the raw-rows path: same partitions, same rows,
+    same decoded content."""
+    import ray.data as rd
+
+    from parquet_producers_ray.pipelines import flagship as F
+
+    out, summary = encoded_dir
+    src = os.path.join(out, "input.parquet")
+    packed = str(tmp_path / "packed")
+    man = F.encode_pipeline(rd.read_parquet(src), packed, num_buckets=8,
+                            shuffle_compression="zstd")
+    s2 = F.summarize(man)
+    assert s2["partitions"] == summary["partitions"]
+    assert s2["rows"] == summary["rows"]
+    # bucket membership is a pure function of the data: per-partition
+    # row counts match the raw-path store exactly
+    assert s2["stored_bytes"] == summary["stored_bytes"]
+    back = sorted(F.decode_pipeline(packed).take_all(),
+                  key=lambda r: r["url"])
+    orig = table.sort_by("url").to_pylist()
+    assert back == orig
