@@ -45,11 +45,18 @@ def main() -> None:
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--format", default="parquet",
                    choices=["parquet", "jsonl", "csv", "wet"])
+    e.add_argument("--exchange", default="storage",
+                   choices=["storage", "object_store"],
+                   help="all-to-all backend: storage spills (shuffle-"
+                        "service pattern; needs out_dir on shared "
+                        "storage multi-node) or Ray's object-store "
+                        "hash repartition")
     e.add_argument("--shuffle-compression", default=None,
                    choices=["zstd"],
-                   help="pack per-bucket rows into zstd'd Arrow IPC "
-                        "blobs before the exchange (use on multi-node "
-                        "clusters where the shuffle crosses a network)")
+                   help="object_store exchange only: pack per-bucket "
+                        "rows into zstd'd Arrow IPC blobs before the "
+                        "exchange (use on multi-node clusters where "
+                        "the shuffle crosses a network)")
     d = sub.add_parser("decode-verify")
     d.add_argument("encoded")
     d.add_argument("input")
@@ -89,7 +96,8 @@ def main() -> None:
             ds = reader(args.input)
         man = encode_pipeline(ds, args.out, num_buckets=args.buckets,
                               key=args.key, resume=not args.no_resume,
-                              shuffle_compression=args.shuffle_compression)
+                              shuffle_compression=args.shuffle_compression,
+                              exchange=args.exchange)
         print(json.dumps(summarize(man.materialize())))
     elif args.cmd == "decode-verify":
         from parquet_producers_ray.pipelines.flagship import (

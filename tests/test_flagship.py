@@ -277,26 +277,36 @@ def test_recompress_preserves_data_and_resumes(encoded_dir, table,
     assert got.num_rows == 1 and got.to_pylist()[0] == orig[0]
 
 
-def test_shuffle_compression_parity(encoded_dir, table, tmp_path):
-    """The zstd-packed exchange (multi-node wire format) must produce a
-    store identical to the raw-rows path: same partitions, same rows,
-    same decoded content."""
+@pytest.mark.parametrize("exchange,compression", [
+    ("object_store", None),
+    ("object_store", "zstd"),
+])
+def test_exchange_backend_parity(encoded_dir, table, tmp_path,
+                                 exchange, compression):
+    """Every exchange backend (storage spills — the default the
+    `encoded_dir` fixture used — object-store raw rows, object-store
+    zstd-packed blobs) must produce an identical store: same
+    partitions, same stored bytes, bit-identical decode."""
     import ray.data as rd
 
     from parquet_producers_ray.pipelines import flagship as F
 
     out, summary = encoded_dir
     src = os.path.join(out, "input.parquet")
-    packed = str(tmp_path / "packed")
-    man = F.encode_pipeline(rd.read_parquet(src), packed, num_buckets=8,
-                            shuffle_compression="zstd")
+    alt = str(tmp_path / f"{exchange}_{compression}")
+    man = F.encode_pipeline(rd.read_parquet(src), alt, num_buckets=8,
+                            exchange=exchange,
+                            shuffle_compression=compression)
     s2 = F.summarize(man)
     assert s2["partitions"] == summary["partitions"]
     assert s2["rows"] == summary["rows"]
     # bucket membership is a pure function of the data: per-partition
-    # row counts match the raw-path store exactly
+    # contents (hence encoded bytes) match across backends exactly
     assert s2["stored_bytes"] == summary["stored_bytes"]
-    back = sorted(F.decode_pipeline(packed).take_all(),
+    back = sorted(F.decode_pipeline(alt).take_all(),
                   key=lambda r: r["url"])
     orig = table.sort_by("url").to_pylist()
     assert back == orig
+    # the storage backend consumed and removed its spills
+    assert not os.path.exists(os.path.join(out + "/enc", "_shuffle")) or \
+        not os.listdir(os.path.join(out + "/enc", "_shuffle"))
