@@ -175,3 +175,20 @@ int64_t prefix_decode(const uint8_t *suffix, const int64_t *suf_offs,
     }
     return o - out;
 }
+
+/* Big-endian uint64 of each string's first <=8 bytes (zero padded).
+ * Comparing the resulting integers equals comparing the byte prefixes
+ * lexicographically — the order-preserving coarsening the storage
+ * sort's range router needs (stages/exchange.py). */
+void sortkey8(const uint8_t *data, const int64_t *offs, int64_t n,
+              uint64_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t s = offs[i];
+        int64_t len = offs[i + 1] - s;
+        if (len > 8) len = 8;
+        uint64_t k = 0;
+        for (int64_t j = 0; j < len; j++)
+            k |= ((uint64_t)data[s + j]) << (56 - 8 * j);
+        out[i] = k;
+    }
+}

@@ -74,6 +74,9 @@ def _load():
     lib.prefix_decode.restype = ctypes.c_int64
     lib.prefix_decode.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p,
                                   i64p]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.sortkey8.restype = None
+    lib.sortkey8.argtypes = [u8p, i64p, ctypes.c_int64, u64p]
     _LIB = lib
     return lib
 
@@ -138,3 +141,15 @@ def fsst_decode(data: np.ndarray, offs: np.ndarray, sym_mat: np.ndarray,
                     np.ascontiguousarray(sym_mat.reshape(-1)), lens8,
                     out, out_offs)
     return out[:total], out_offs
+
+
+def sortkey8(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Big-endian uint64 of each string's first <=8 bytes — an
+    order-preserving coarsening used by the storage sort's range
+    router (stages/exchange.py)."""
+    lib = _load()
+    n = len(offs) - 1
+    out = np.empty(n, dtype=np.uint64)
+    lib.sortkey8(np.ascontiguousarray(data), np.ascontiguousarray(offs),
+                 n, out)
+    return out

@@ -457,12 +457,18 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
         live_tk_set = _collect_tuples(after, tk)
         dead_tks = touched_tk_set - live_tk_set
 
+    # wide sorts run storage-backed (stages/exchange.py): sample-sort
+    # over spill files instead of the object-store all-to-all; falls
+    # back to ds.sort automatically on degenerate key distributions
+    from ..stages.exchange import storage_sort
+
     content_sort_cols = tk + sk + [SEQ_COL]
     content_desc = spec.target_sort_desc() + [False] * (len(sk) + 1)
-    new_content = new_content.sort(content_sort_cols, descending=content_desc)
-    mappings = mappings.sort(sk + tk + [SEQ_COL],
-                             descending=[False] * len(sk)
-                             + spec.target_sort_desc() + [False])
+    new_content = storage_sort(new_content, content_sort_cols,
+                               descending=content_desc)
+    mappings = storage_sort(mappings, sk + tk + [SEQ_COL],
+                            descending=[False] * len(sk)
+                            + spec.target_sort_desc() + [False])
 
     if new_tk_set is None:
         def flag(t: pa.Table) -> pa.Table:
@@ -480,8 +486,8 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                                    pa.array(m.astype(np.int8)))
 
     flagged = after.map_batches(flag, batch_format="pyarrow")
-    sorted_flagged = flagged.sort(
-        tk + sk + [SEQ_COL],
+    sorted_flagged = storage_sort(
+        flagged, tk + sk + [SEQ_COL],
         descending=spec.target_sort_desc()
         + [False] * (len(sk) + 1)).materialize()
     feed = label_feed_sorted(spec, sorted_flagged)
