@@ -811,19 +811,48 @@ def _jaccard_pairs_from_grams(grams):
     counts_ref = ray.put((doc_ids, doc_ns))
 
     # partial pair counts combine INSIDE the gram-partition task (the
-    # exactness-preserving τ=½ length prune plus an Arrow group_by);
-    # the pair exchange then ships ONLY (id_a, id_b, int32 inter) —
-    # the per-doc sizes rejoin after the final combine.
+    # exactness-preserving τ=½ length prune plus an Arrow group_by).
+    # When both ids fit 31/32 bits the pair is PACKED into one int64
+    # (id_a<<32 | id_b): the exchange ships 12 B/row instead of 20 and
+    # both group_bys hash a single fixed-width key — the dominant cost
+    # at sf0.1 was precisely this 26M-row pair exchange.  At 10^12-doc
+    # scale ids exceed 32 bits and the two-column path (below) is the
+    # fallback — same semantics, wider key.
+    packable = bool(len(doc_ids)) and int(doc_ids.max()) < 2**31 \
+        and int(doc_ids.min()) >= 0
+
+    def local_pairs_packed(block: pa.Table) -> pa.Table:
+        pr = gram_pair_rows(block, half_tau_prune=True)
+        ia = pr.column("id_a").to_numpy(zero_copy_only=False)
+        ib = pr.column("id_b").to_numpy(zero_copy_only=False)
+        pair = (ia << np.int64(32)) | ib
+        g = pa.table({"pair": pa.array(pair)}).group_by("pair") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "pair": g.column("pair"),
+            "inter": g.column("count_all").cast(pa.int32())})
+
+    def final_pairs_packed(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        g = block.group_by("pair").aggregate([("inter", "sum")])
+        ids_sorted, ns_sorted = ray.get(counts_ref)
+        inter = g.column("inter_sum").to_numpy(zero_copy_only=False)
+        pair = g.column("pair").to_numpy(zero_copy_only=False)
+        ia = pair >> np.int64(32)
+        ib = pair & np.int64(0xFFFFFFFF)
+        na = ns_sorted[np.searchsorted(ids_sorted, ia)]
+        nb = ns_sorted[np.searchsorted(ids_sorted, ib)]
+        m = 2 * inter >= na + nb - inter
+        return pa.table({"id_a": pa.array(ia[m]), "id_b": pa.array(ib[m])})
+
     def local_pairs(block: pa.Table) -> pa.Table:
         g = combine_pair_counts(gram_pair_rows(block, half_tau_prune=True))
         return pa.table({
             "id_a": g.column("id_a"),
             "id_b": g.column("id_b"),
             "inter": g.column("inter").cast(pa.int32())})
-
-    partial = (grams.repartition(32, keys=["gram"])
-               .map_batches(local_pairs, batch_format="pyarrow",
-                            batch_size=None))
 
     def final_pairs(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -839,9 +868,13 @@ def _jaccard_pairs_from_grams(grams):
         m = 2 * inter >= na + nb - inter
         return g.filter(pa.array(m)).select(["id_a", "id_b"])
 
-    return (partial.repartition(32, keys=["id_a", "id_b"])
-            .map_batches(final_pairs, batch_format="pyarrow",
-                         batch_size=None))
+    lp, fp = (local_pairs_packed, final_pairs_packed) if packable \
+        else (local_pairs, final_pairs)
+    pair_keys = ["pair"] if packable else ["id_a", "id_b"]
+    partial = (grams.repartition(32, keys=["gram"])
+               .map_batches(lp, batch_format="pyarrow", batch_size=None))
+    return (partial.repartition(32, keys=pair_keys)
+            .map_batches(fp, batch_format="pyarrow", batch_size=None))
 
 
 SQL_DEDUP_JACCARD = """
