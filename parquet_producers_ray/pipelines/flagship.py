@@ -314,11 +314,12 @@ def read_input(path: str, target_block_bytes: int = 128 * 1024 * 1024):
     Ray's default read splitting targets hundreds of small blocks,
     which multiplies shuffle overhead (#blocks × #partitions object
     transfers).  Aim for ~128 MiB in-memory blocks instead (file bytes
-    × ~3 decompression factor) — but also at least CPUs/2 blocks so
-    the shuffle's map side isn't starved of parallelism on small
-    inputs (measured on the 566 MB bench input at 16 CPUs: 5 blocks =
-    64 MB/s, 8 blocks = 80 MB/s).  At 100 TB the bytes term dominates
-    and both floors are irrelevant."""
+    × ~3 decompression factor) — but also at least one block per CPU
+    so the shuffle's map side isn't starved of parallelism on small
+    inputs (measured on the 566 MB bench input: at 16 CPUs 5 blocks =
+    64 MB/s vs 8 blocks = 80 MB/s; at 32 CPUs the spill stage is 2×
+    faster with 32 blocks than 16).  At 100 TB the bytes term
+    dominates and both floors are irrelevant."""
     import glob as _glob
 
     import ray
@@ -329,7 +330,7 @@ def read_input(path: str, target_block_bytes: int = 128 * 1024 * 1024):
     file_bytes = sum(os.path.getsize(f) for f in files)
     cpus = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
-    blocks = max(len(files), cpus // 2,
+    blocks = max(len(files), cpus,
                  int(np.ceil(file_bytes * 3 / target_block_bytes)))
     return ray.data.read_parquet(path, override_num_blocks=blocks)
 
