@@ -3459,6 +3459,299 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus n-gram counts — the language-model statistics pass (count every
+# word bigram across the corpus).  The classic web-scale shape: per-block
+# vectorized bigram construction (token offsets → take/take → one Arrow
+# binary_join_element_wise, zero Python rows) and a per-block partial
+# count, so the ONE exchange carries ≤ #distinct-bigrams rows per block
+# — vocabulary-sized, never corpus-sized.  At 10^12 docs the
+# low-frequency tail dominates the vocabulary; the min-count filter is
+# pushed after the grouped sum (it can't be applied earlier without
+# losing cross-block counts), which is exactly Google-ngrams semantics.
+
+def q_ngram_counts(sf_dir: str, min_count: int = 5):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(b.column("text"), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        base, end = offs[0], offs[-1]
+        if end == base:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        # every token position except the last of each document is the
+        # left half of one bigram
+        mask = np.ones(end - base, dtype=bool)
+        last = offs[1:] - 1                     # last token per doc
+        mask[last[last >= base] - base] = False
+        lefts = np.flatnonzero(mask) + base
+        vals = lst.values
+        grams = pc.binary_join_element_wise(
+            vals.take(pa.array(lefts)), vals.take(pa.array(lefts + 1)), " ")
+        t = pa.table({"ngram": grams,
+                      "one": pa.array(np.ones(len(grams), np.int64))})
+        t = t.group_by(["ngram"]).aggregate([("one", "sum")])
+        return t.rename_columns(["ngram", "cnt"])
+
+    ds = (_read(sf_dir, "documents", ["text"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("ngram")
+          .aggregate(Sum("cnt", alias_name="cnt")))
+    return ds.filter(expr=f"cnt >= {min_count}")
+
+
+SQL_NGRAM_COUNTS = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT t[g.i] || ' ' || t[g.i + 1] AS ngram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+)
+SELECT ngram, count(*) AS cnt FROM grams GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel — per-user ordered step completion (view → click → purchase,
+# each step's event strictly after the previous step's first
+# completion).  The product-analytics shape every event warehouse runs:
+# ONE hash exchange on user_id co-locates each user's history, then the
+# three step times are computed with masked segment-mins
+# (np.minimum.at over searchsorted user slots) — no Python row loop, no
+# per-step join.  At 100 TB the exchange carries raw events once;
+# a per-block pre-reduction to (user, type, min_ts) triples would cut
+# it to #users × #steps rows if the funnel used ANY-order semantics,
+# but strict sequencing needs the ordered history, the same contract
+# as the window family.
+
+def q_funnel(sf_dir: str):
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _enable_hash_shuffle(ds)
+
+    _MAX = np.iinfo(np.int64).max
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "steps": pa.array([], pa.int64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (b.column("ts").cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).view(np.int64))
+        users = np.unique(uid)
+        slot = np.searchsorted(users, uid)
+
+        def step_min(type_name: str, prev: np.ndarray) -> np.ndarray:
+            m = pc.equal(b.column("event_type"),
+                         type_name).to_numpy(zero_copy_only=False)
+            m &= ts > prev[slot]
+            out = np.full(len(users), _MAX)
+            np.minimum.at(out, slot[m], ts[m])
+            return out
+
+        t1 = step_min("view", np.full(len(users), np.iinfo(np.int64).min))
+        t2 = step_min("click", t1)
+        t3 = step_min("purchase", t2)
+        steps = ((t1 != _MAX).astype(np.int64) + (t2 != _MAX)
+                 + (t3 != _MAX))
+        return pa.table({"user_id": pa.array(users),
+                         "steps": pa.array(steps)})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-seen ISO week, counted once
+# per (cohort, week-offset) they were active in.  ONE user-keyed hash
+# exchange does everything: with each user's history co-located, the
+# per-block pass computes the user's cohort (segment min of the week
+# floor) AND their distinct active weeks locally, emitting
+# (cohort, offset) partial counts — so only cohort × offset rows cross
+# the final tiny exchange.  Weeks are epoch-day ints (Monday floors,
+# `floor_temporal(unit="week")` ≡ DuckDB `date_trunc('week')`), so both
+# engines hash identical scalars.
+
+def q_retention(sf_dir: str):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    _enable_hash_shuffle(ds)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        wday = (pc.floor_temporal(b.column("ts"), unit="week")
+                .cast(pa.date32()).cast(pa.int32())
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        users = np.unique(uid)
+        slot = np.searchsorted(users, uid)
+        cohort = np.full(len(users), np.iinfo(np.int64).max)
+        np.minimum.at(cohort, slot, wday)
+        pairs = np.unique(np.stack([slot, wday], axis=1), axis=0)
+        coh = cohort[pairs[:, 0]]
+        off = (pairs[:, 1] - coh) // 7
+        t = pa.table({"cohort_day": pa.array(coh),
+                      "week_offset": pa.array(off),
+                      "n_users": pa.array(np.ones(len(coh), np.int64))})
+        t = t.group_by(["cohort_day", "week_offset"]).aggregate(
+            [("n_users", "sum")])
+        return t.rename_columns(["cohort_day", "week_offset", "n_users"])
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(["cohort_day", "week_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+SQL_RETENTION = """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+SELECT CAST(datediff('day', DATE '1970-01-01', f.cohort) AS BIGINT)
+           AS cohort_day,
+       CAST(datediff('week', f.cohort, a.w) AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist — the remaining rank-family windows, same
+# ONE-exchange contract as ntile/window_cumsum: hash-partition on the
+# window key, per-block sort, then both statistics are closed-form
+# vectorized functions of (rank-in-segment, segment length).  The ORDER
+# BY includes the unique event_id so ranks are total and both engines
+# agree bit-for-bit (same int ÷ int double division on both sides).
+
+def q_percent_rank(sf_dir: str):
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    _enable_hash_shuffle(ds)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "prank": pa.array([], pa.float64()),
+                             "cdist": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("value", "ascending"),
+                       ("event_id", "ascending")])
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        m = len(uid)
+        starts = np.zeros(m, dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(starts) - 1
+        seg_start = np.flatnonzero(starts)
+        seg_len = np.diff(np.concatenate((seg_start, [m])))
+        rank = np.arange(m) - seg_start[seg_id]      # 0-based
+        cnt = seg_len[seg_id]
+        prank = np.where(cnt > 1, rank / np.maximum(cnt - 1, 1), 0.0)
+        cdist = (rank + 1) / cnt
+        return pa.table({"event_id": b.column("event_id"),
+                         "prank": pa.array(prank),
+                         "cdist": pa.array(cdist)})
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id,
+       percent_rank() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS prank,
+       cume_dist() OVER (PARTITION BY user_id
+                         ORDER BY value, event_id) AS cdist
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — term → document-frequency + ordered posting list,
+# the retrieval-index build (and the exact-Jaccard family's first
+# stage materialized as a user-facing product).  Per-block DISTINCT
+# (term, doc) pairs pre-shrink the ONE term-keyed exchange to
+# vocabulary × doc pairs; the posting list itself is emitted as an
+# ordered comma-joined string so the driver hash-compares scalars.
+# The df band filter [2, 50] is the standard index prune (hapaxes
+# carry no retrieval signal, stop-terms are query-time rejects) and
+# bounds every posting row — the same max_df cap that makes
+# dedup_jaccard_capped scale.
+
+def q_inverted_index(sf_dir: str, df_min: int = 2, df_max: int = 450):
+    import numpy as np
+
+    def pairs(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(b.column("text"), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        doc = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False),
+                        counts)
+        t = pa.table({"term": lst.flatten(), "doc_id": pa.array(doc)})
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    def build(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if not (df_min <= n <= df_max):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        posting = ",".join(str(i) for i in ids)
+        return pa.table({"term": g.column("term").slice(0, 1),
+                         "df": pa.array([n], pa.int64()),
+                         "postings": pa.array([posting], pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("term")
+            .map_groups(build, batch_format="pyarrow"))
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM toks GROUP BY term HAVING count(*) BETWEEN 2 AND 450
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -3548,6 +3841,11 @@ REGISTRY = {
     "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
     "curate": (q_curate, SQL_CURATE),
     "model_score": (q_model_score, SQL_MODEL_SCORE),
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "retention": (q_retention, SQL_RETENTION),
+    "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
 }
 
 

@@ -23,6 +23,8 @@ NEW_QUERIES = [
     "cube", "window_lead", "moving_avg", "dense_rank",
     "host_agg", "url_normalize", "bloom_join",
     "curate", "model_score",
+    "ngram_counts", "funnel", "retention", "percent_rank",
+    "inverted_index",
 ]
 
 
