@@ -680,14 +680,25 @@ FROM documents
 
 
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
-    """MinHash+LSH near-dup: shingle → minhash → band rows → bucket
-    groupby emits candidate pairs → exact Jaccard verify → union-find
-    clusters → (doc_id, rep_id).  Rows-only check (no SQL oracle)."""
-    import ray.data
+    """MinHash+LSH near-dup, distributed end to end: shingle → minhash
+    → band rows → bucket groupby emits candidate pairs → DISTRIBUTED
+    exact-Jaccard verify (a candidate-only shingle side-table hash-
+    joined to both pair endpoints, one vectorized sorted-intersect per
+    pair) → iterative connected components (functions/graph.py) →
+    (doc_id, rep_id).  Rows-only check (no SQL oracle).
 
-    from ..functions.dedup import (clusters_from_pairs, jaccard_pairs,
-                                   lsh_band_rows)
-    from ..functions.text import fnv1a_hash  # noqa: F401 (doc link)
+    Scale shape: the band exchange is corpus × bands rows; candidate
+    pairs, the shingle side-table and the two verify joins are all
+    CANDIDATE-sized (a small corpus fraction by LSH design); the only
+    driver-side state is the candidate ID membership array (broadcast
+    once via ray.put — past the broadcast threshold this becomes a
+    semi join, the same adaptive policy as the component label
+    lookup).  No driver-side pair loop, no driver doc scan."""
+    import numpy as np
+    import ray
+
+    from ..functions.dedup import _token_hashes, lsh_band_rows
+    from ..functions.graph import connected_components
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -695,47 +706,162 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
         lambda b: lsh_band_rows(b, "doc_id"), batch_format="pyarrow")
 
     def candidate_pairs(g: pa.Table) -> pa.Table:
-        import numpy as np
         ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
         i, j = np.triu_indices(len(ids), 1)
         return pa.table({"id_a": pa.array(ids[i], type=pa.int64()),
                          "id_b": pa.array(ids[j], type=pa.int64())})
 
+    def pair_distinct(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    _pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def norm_pairs(b: pa.Table) -> pa.Table:
+        # map_groups emits EMPTY-SCHEMA blocks for partitions with no
+        # groups; the downstream hash join requires every block to
+        # carry the key columns
+        if b.num_columns == 0:
+            return _pair_schema.empty_table()
+        return b.select(["id_a", "id_b"]).cast(_pair_schema)
+
+    # the same near-dup pair fires in many bands: distinct first, so
+    # the verify work is per-pair not per-(pair × band)
     pairs = (bands.groupby(["band", "band_hash"])
-             .map_groups(candidate_pairs, batch_format="pyarrow"))
-    cand = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
+             .map_groups(candidate_pairs, batch_format="pyarrow")
+             .groupby(["id_a", "id_b"])
+             .map_groups(pair_distinct, batch_format="pyarrow")
+             .map_batches(norm_pairs, batch_format="pyarrow")
+             .materialize())
 
-    if cand:
-        # verify with exact 2-gram Jaccard: fetch the candidate docs'
-        # shingle sets (candidates are a tiny fraction of the corpus)
-        import numpy as np
+    def self_rep(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "rep_id": b.column("doc_id")})
 
-        from ..functions.dedup import _token_hashes
-        need = sorted({i for p in cand for i in p})
-        shingles: dict = {}
-        need_arr = pa.array(need, type=pa.int64())
-        for batch in docs.iter_batches(batch_format="pyarrow"):
-            sub = batch.filter(pc.is_in(batch.column("doc_id"),
-                                        value_set=need_arr))
-            if len(sub) == 0:
-                continue
-            h, counts = _token_hashes(sub, "text", 2)
-            offs = np.zeros(len(counts) + 1, dtype=np.int64)
-            offs[1:] = np.cumsum(counts)
-            for k, i in enumerate(sub.column("doc_id").to_pylist()):
-                shingles[i] = set(h[offs[k]:offs[k + 1]].tolist())
-        verified = []
-        for a, b in sorted(cand):
-            verified.extend(jaccard_pairs(
-                np.array([a, b]), [shingles[a], shingles[b]], threshold))
-        reps = clusters_from_pairs(verified)
-    else:
-        reps = {}
+    if pairs.count() == 0:
+        return docs.map_batches(self_rep, batch_format="pyarrow")
 
-    rep_keys = np.sort(np.fromiter(reps.keys(), dtype=np.int64,
-                                   count=len(reps)))
-    rep_vals = np.fromiter((reps[k] for k in rep_keys), dtype=np.int64,
-                           count=len(rep_keys))
+    # candidate ID membership: bounded (≪ corpus), shipped ONCE
+    cand_ids = np.unique(np.concatenate([
+        np.asarray(pairs.unique("id_a"), dtype=np.int64),
+        np.asarray(pairs.unique("id_b"), dtype=np.int64)]))
+    cand_ref = ray.put(cand_ids)
+
+    def shingle_rows(b: pa.Table, _ref=cand_ref) -> pa.Table:
+        cand = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, ids)
+        pos[pos == len(cand)] = 0
+        sub = b.filter(pa.array(cand[pos] == ids))
+        if sub.num_rows == 0:
+            return pa.table({"did": pa.array([], pa.int64()),
+                             "grams": pa.array([], pa.large_binary())})
+        h, counts = _token_hashes(sub, "text", 2)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(counts)
+        packed = [np.unique(h[offs[k]:offs[k + 1]]).tobytes()
+                  for k in range(sub.num_rows)]
+        return pa.table({
+            "did": sub.column("doc_id").combine_chunks().cast(pa.int64()),
+            "grams": pa.array(packed, pa.large_binary())})
+
+    shingles = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    # Co-locate each pair with both endpoints' shingle sets as a
+    # shuffle-join-expressed-as-groupby (each pair row is emitted once
+    # per endpoint, unioned with the shingle rows, and grouped on the
+    # doc key): robust to empty hash partitions and candidate-sized on
+    # every exchange.
+    _enr = pa.schema([("key", pa.int64()), ("side", pa.int8()),
+                      ("id_a", pa.int64()), ("id_b", pa.int64()),
+                      ("grams", pa.large_binary())])
+
+    def pair_sides(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return _enr.empty_table()
+        a = b.column("id_a").combine_chunks()
+        bb = b.column("id_b").combine_chunks()
+        n = b.num_rows
+        return pa.table([
+            pa.concat_arrays([a, bb]),
+            pa.array(np.concatenate([np.zeros(n, np.int8),
+                                     np.ones(n, np.int8)])),
+            pa.concat_arrays([a, a]),
+            pa.concat_arrays([bb, bb]),
+            pa.nulls(2 * n, pa.large_binary())], schema=_enr)
+
+    def shingle_sides(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return _enr.empty_table()
+        n = b.num_rows
+        return pa.table([
+            b.column("did").combine_chunks(),
+            pa.array(np.full(n, 2, np.int8)),
+            pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
+            b.column("grams").combine_chunks()], schema=_enr)
+
+    _half = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("side", pa.int8()),
+                       ("grams", pa.large_binary())])
+
+    def attach(g: pa.Table) -> pa.Table:
+        # one group per doc key: its shingle row (side 2) donates grams
+        # to every pair row keyed here (side 0 = the id_a endpoint,
+        # side 1 = the id_b endpoint)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        sh_idx = np.flatnonzero(side == 2)
+        pair_rows = g.filter(pa.array(side != 2))
+        if len(sh_idx) == 0 or pair_rows.num_rows == 0:
+            return _half.empty_table()
+        grams_val = g.column("grams")[sh_idx[0]].as_py()
+        n = pair_rows.num_rows
+        return pa.table([
+            pair_rows.column("id_a").combine_chunks(),
+            pair_rows.column("id_b").combine_chunks(),
+            pair_rows.column("side").combine_chunks(),
+            pa.array([grams_val] * n, pa.large_binary())], schema=_half)
+
+    _edge = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        # one group per candidate pair: exactly one side-0 and one
+        # side-1 row carrying each endpoint's shingle set
+        if g.num_columns == 0 or g.num_rows < 2:
+            return _edge.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ia, ib = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+        if len(ia) == 0 or len(ib) == 0:
+            return _edge.empty_table()
+        a = np.frombuffer(g.column("grams")[ia[0]].as_py(),
+                          dtype=np.uint64)
+        c = np.frombuffer(g.column("grams")[ib[0]].as_py(),
+                          dtype=np.uint64)
+        inter = len(np.intersect1d(a, c, assume_unique=True))
+        union = len(a) + len(c) - inter
+        if union == 0 or inter / union < threshold:
+            return _edge.empty_table()
+        return pa.table([g.column("id_a").slice(0, 1).combine_chunks(),
+                         g.column("id_b").slice(0, 1).combine_chunks()],
+                        schema=_edge)
+
+    def norm_edges(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return _edge.empty_table()
+        return b.select(["src", "dst"]).cast(_edge)
+
+    edges = (pairs.map_batches(pair_sides, batch_format="pyarrow")
+             .union(shingles.map_batches(shingle_sides,
+                                         batch_format="pyarrow"))
+             .groupby("key")
+             .map_groups(attach, batch_format="pyarrow")
+             .groupby(["id_a", "id_b"])
+             .map_groups(verify_group, batch_format="pyarrow")
+             .map_batches(norm_edges, batch_format="pyarrow"))
+    # label table is dup-cluster-sized (bounded like the candidate
+    # set): fetched once and probed vectorized in the final map
+    lab = connected_components(edges).to_pandas()
+    order = np.argsort(lab["node"].to_numpy())
+    rep_keys = lab["node"].to_numpy()[order].astype(np.int64)
+    rep_vals = lab["component"].to_numpy()[order].astype(np.int64)
 
     def assign_rep(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
