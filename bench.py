@@ -201,6 +201,16 @@ def run_incremental(input_path: str) -> dict:
         lambda b: updates_with_type(b).append_column(
             UPD_SEQ_COL, pa.array(np.zeros(len(b), np.int64))),
         batch_format="pyarrow")
+    # feed-less bootstrap first (throwaway root): the documented
+    # initial-load path that skips the feed's second full-data sort
+    root_nf = root + "_nofeed"
+    shutil.rmtree(root_nf, ignore_errors=True)
+    mirror_nf = IncrementalMirror(root_nf, webpage_mirror_spec())
+    t0 = time.perf_counter()
+    mirror_nf.bootstrap(ups, 1, emit_feed=False)
+    boot_nf = time.perf_counter() - t0
+    shutil.rmtree(root_nf, ignore_errors=True)
+
     t0 = time.perf_counter()
     mirror.bootstrap(ups, 1)
     boot = time.perf_counter() - t0
@@ -216,6 +226,7 @@ def run_incremental(input_path: str) -> dict:
     inc = time.perf_counter() - t0
     return {
         "bootstrap_sec": round(boot, 3),
+        "bootstrap_nofeed_sec": round(boot_nf, 3),
         "delta_sec": round(inc, 3),
         "delta_rows": len(delta),
         "partitions_rewritten": res["content"]["rewritten"],

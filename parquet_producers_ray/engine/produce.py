@@ -363,11 +363,18 @@ def _assign_surrogate_ids(spec: StageSpec, adds, prev_content):
 
 
 def apply_updates(spec: StageSpec, source_updates, prev_content=None,
-                  prev_mappings=None, num_partitions: int = NUM_JOIN_PARTITIONS):
+                  prev_mappings=None, num_partitions: int = NUM_JOIN_PARTITIONS,
+                  emit_feed: bool = True):
     """One incremental version step (reference ``ParquetProduction.Update``,
     :52-91).  Returns (content, key_mappings, update_feed) Datasets:
     content sorted (tk, sk, _seq), mappings sorted (sk, tk, _seq), feed
-    sorted (tk, sk) with exact Add/Update/Delete labels."""
+    sorted (tk, sk) with exact Add/Update/Delete labels.
+
+    ``emit_feed=False`` skips feed labeling and returns an empty feed —
+    the documented 10^12-row bootstrap path, where labeling every first
+    row "Add" costs a second full-data sort that downstream consumers
+    don't need (they read the content table directly).  Incremental
+    steps keep feeds on: those are delta-sized and cheap."""
     import ray.data
 
     tk, vals = spec.target_key, spec.value_columns
@@ -469,6 +476,11 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     mappings = storage_sort(mappings, sk + tk + [SEQ_COL],
                             descending=[False] * len(sk)
                             + spec.target_sort_desc() + [False])
+
+    if not emit_feed:
+        import ray.data
+        return (new_content, mappings,
+                ray.data.from_arrow(spec.feed_schema().empty_table()))
 
     if new_tk_set is None:
         def flag(t: pa.Table) -> pa.Table:

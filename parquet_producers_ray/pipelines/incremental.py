@@ -104,21 +104,27 @@ class IncrementalMirror:
 
     # -- bootstrap ----------------------------------------------------------
 
-    def bootstrap(self, updates_ds, version: int = 1) -> None:
+    def bootstrap(self, updates_ds, version: int = 1,
+                  emit_feed: bool = True) -> None:
         """Initial load through the fully-tested apply_updates bootstrap
         path; content and mappings land sorted and are persisted as
         range manifests, the feed (everything Add/Update-labeled) as a
-        plain versioned parquet dir."""
+        plain versioned parquet dir.  ``emit_feed=False`` skips the
+        bootstrap feed (and its second full-data sort) — the 10^12-row
+        initial-load path where consumers read content directly; later
+        incremental waves still emit their delta-sized feeds."""
         from ..engine.produce import apply_updates
 
         if self.spec.preserver is not None:
             state = self._read_state()
             self.spec.preserver.next_id = int(state.get("next_id", 1))
         content, mappings, feed = apply_updates(self.spec, updates_ds,
-                                                None, None)
+                                                None, None,
+                                                emit_feed=emit_feed)
         self.content.write_full(content, version)
         self.mappings.write_full(mappings, version)
-        self._write_feed_ds(feed, version)
+        if emit_feed:
+            self._write_feed_ds(feed, version)
         if self.spec.preserver is not None:
             state["next_id"] = self.spec.preserver.next_id
             self._write_state(state)

@@ -75,6 +75,10 @@ def main() -> None:
     mb = sub.add_parser("mirror-bootstrap")
     mb.add_argument("input")
     mb.add_argument("root")
+    mb.add_argument("--no-feed", action="store_true",
+                    help="skip bootstrap feed emission (the 10^12-row "
+                         "initial-load path; consumers read content "
+                         "directly, later deltas still emit feeds)")
     md = sub.add_parser("mirror-delta")
     md.add_argument("root")
     md.add_argument("delta")
@@ -157,8 +161,9 @@ def main() -> None:
             lambda b: updates_with_type(b).append_column(
                 UPD_SEQ_COL, pa.array(np.zeros(len(b), np.int64))),
             batch_format="pyarrow")
-        mirror.bootstrap(ups, 1)
+        mirror.bootstrap(ups, 1, emit_feed=not args.no_feed)
         print(json.dumps({"version": 1,
+                          "feed": not args.no_feed,
                           "partitions": len(mirror.content.manifest(1)
                                             ["partitions"])}))
     elif args.cmd == "mirror-delta":

@@ -51,6 +51,44 @@ def test_bootstrap_matches_input(ray_session, tmp_path):
         assert tuple(a["max"]) < tuple(b["min"])
 
 
+def test_feedless_bootstrap_matches_and_deltas_still_feed(
+        ray_session, tmp_path):
+    """emit_feed=False bootstrap: content/mappings identical to the
+    feed path, no bootstrap feed dir written, and a later delta wave
+    still emits its (delta-sized) feed."""
+    import ray.data
+
+    base = generate_table(1000)
+    ups = updates_with_type(base)
+    ups = ups.append_column(UPD_SEQ_COL,
+                            pa.array(np.arange(len(ups), dtype=np.int64)))
+
+    m_feed = IncrementalMirror(str(tmp_path / "with_feed"),
+                               webpage_mirror_spec(), target_rows=300)
+    m_feed.bootstrap(ray.data.from_arrow(ups).repartition(4), 1)
+    m_nf = IncrementalMirror(str(tmp_path / "no_feed"),
+                             webpage_mirror_spec(), target_rows=300)
+    m_nf.bootstrap(ray.data.from_arrow(ups).repartition(4), 1,
+                   emit_feed=False)
+
+    got = _content_rows(m_nf, 1)
+    want = _content_rows(m_feed, 1)
+    assert got.column("url").equals(want.column("url"))
+    assert got.column("text").equals(want.column("text"))
+    assert m_feed.read_feed(1) is not None
+    assert m_nf.read_feed(1) is None
+
+    # a delta on the feed-less mirror still emits an exact feed
+    delta = base.slice(0, 10)
+    new_text = pa.array(["v2 " + t
+                         for t in delta.column("text").to_pylist()])
+    delta = delta.set_column(delta.column_names.index("text"), "text",
+                             new_text)
+    res = m_nf.apply(updates_with_type(delta), 1)
+    assert len(res["feed"]) == 10
+    assert set(res["feed"].column(TYPE_COL).to_pylist()) == {UPDATE}
+
+
 def test_delta_touches_only_intersecting_partitions(ray_session, tmp_path):
     base, mirror = _bootstrap(tmp_path)
     urls = base.column("url").to_pylist()
