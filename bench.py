@@ -201,7 +201,12 @@ def run_incremental(input_path: str) -> dict:
         lambda b: updates_with_type(b).append_column(
             UPD_SEQ_COL, pa.array(np.zeros(len(b), np.int64))),
         batch_format="pyarrow")
-    # feed-less bootstrap first (throwaway root): the documented
+    t0 = time.perf_counter()
+    mirror.bootstrap(ups, 1)
+    boot = time.perf_counter() - t0
+
+    # feed-less bootstrap (throwaway root, measured second so the
+    # labeled number stays comparable across sessions): the documented
     # initial-load path that skips the feed's second full-data sort
     root_nf = root + "_nofeed"
     shutil.rmtree(root_nf, ignore_errors=True)
@@ -210,10 +215,6 @@ def run_incremental(input_path: str) -> dict:
     mirror_nf.bootstrap(ups, 1, emit_feed=False)
     boot_nf = time.perf_counter() - t0
     shutil.rmtree(root_nf, ignore_errors=True)
-
-    t0 = time.perf_counter()
-    mirror.bootstrap(ups, 1)
-    boot = time.perf_counter() - t0
 
     # delta: first ~1% of shard 0, text modified
     delta = generate_shard(0, SHARD_ROWS).slice(0, BENCH_ROWS // 100)

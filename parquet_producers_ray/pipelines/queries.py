@@ -705,157 +705,152 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
     bands = docs.map_batches(
         lambda b: lsh_band_rows(b, "doc_id"), batch_format="pyarrow")
 
-    def candidate_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
-        i, j = np.triu_indices(len(ids), 1)
-        return pa.table({"id_a": pa.array(ids[i], type=pa.int64()),
-                         "id_b": pa.array(ids[j], type=pa.int64())})
-
-    def pair_distinct(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
     _pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
-    def norm_pairs(b: pa.Table) -> pa.Table:
-        # map_groups emits EMPTY-SCHEMA blocks for partitions with no
-        # groups; the downstream hash join requires every block to
-        # carry the key columns
-        if b.num_columns == 0:
+    def pairs_block(b: pa.Table) -> pa.Table:
+        # the block holds COMPLETE (band, band_hash) buckets: emit all
+        # within-bucket pairs.  Nearly every bucket is a singleton, so
+        # the per-bucket loop touches only the (rare) colliding ones.
+        if b.num_columns == 0 or b.num_rows == 0:
             return _pair_schema.empty_table()
-        return b.select(["id_a", "id_b"]).cast(_pair_schema)
+        b = b.sort_by([("band", "ascending"), ("band_hash", "ascending"),
+                       ("doc_id", "ascending")])
+        band = b.column("band").to_numpy(zero_copy_only=False)
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        first = np.ones(m, dtype=bool)
+        first[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.concatenate((seg_start, [m])))
+        out_a, out_b = [], []
+        for s, ln in zip(seg_start[seg_len > 1], seg_len[seg_len > 1]):
+            sub = ids[s:s + ln]
+            i, j = np.triu_indices(ln, 1)
+            out_a.append(sub[i])
+            out_b.append(sub[j])
+        if not out_a:
+            return _pair_schema.empty_table()
+        a = np.concatenate(out_a)
+        c = np.concatenate(out_b)
+        # same pair fires in several bands — block-local distinct
+        keep = np.unique(np.stack([a, c], axis=1), axis=0)
+        return pa.table([pa.array(keep[:, 0]), pa.array(keep[:, 1])],
+                        schema=_pair_schema)
 
-    # the same near-dup pair fires in many bands: distinct first, so
-    # the verify work is per-pair not per-(pair × band)
-    pairs = (bands.groupby(["band", "band_hash"])
-             .map_groups(candidate_pairs, batch_format="pyarrow")
-             .groupby(["id_a", "id_b"])
-             .map_groups(pair_distinct, batch_format="pyarrow")
-             .map_batches(norm_pairs, batch_format="pyarrow")
+    _enable_hash_shuffle(bands)
+    pairs = (bands.repartition(8, keys=["band", "band_hash"])
+             .map_batches(pairs_block, batch_format="pyarrow",
+                          batch_size=None)
              .materialize())
 
     def self_rep(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "rep_id": b.column("doc_id")})
 
-    if pairs.count() == 0:
+    # Candidate pairs are bounded (≪ corpus by LSH design) — the same
+    # bound that lets the membership set broadcast.  Collect them once:
+    # the cross-block distinct (the same pair fires in several bands)
+    # and the candidate ID set both come from this one fetch, saving a
+    # dedicated distinct exchange.
+    blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    pair_tbl = (pa.concat_tables(blocks).combine_chunks()
+                if blocks else _pair_schema.empty_table())
+    if pair_tbl.num_rows == 0:
         return docs.map_batches(self_rep, batch_format="pyarrow")
-
-    # candidate ID membership: bounded (≪ corpus), shipped ONCE
-    cand_ids = np.unique(np.concatenate([
-        np.asarray(pairs.unique("id_a"), dtype=np.int64),
-        np.asarray(pairs.unique("id_b"), dtype=np.int64)]))
+    uniq = np.unique(np.stack(
+        [pair_tbl.column("id_a").to_numpy(zero_copy_only=False),
+         pair_tbl.column("id_b").to_numpy(zero_copy_only=False)],
+        axis=1), axis=0)
+    pair_tbl = pa.table([pa.array(uniq[:, 0]), pa.array(uniq[:, 1])],
+                        schema=_pair_schema)
+    cand_ids = np.unique(uniq.reshape(-1))
     cand_ref = ray.put(cand_ids)
-
-    def shingle_rows(b: pa.Table, _ref=cand_ref) -> pa.Table:
-        cand = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(cand, ids)
-        pos[pos == len(cand)] = 0
-        sub = b.filter(pa.array(cand[pos] == ids))
-        if sub.num_rows == 0:
-            return pa.table({"did": pa.array([], pa.int64()),
-                             "grams": pa.array([], pa.large_binary())})
-        h, counts = _token_hashes(sub, "text", 2)
-        offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        offs[1:] = np.cumsum(counts)
-        packed = [np.unique(h[offs[k]:offs[k + 1]]).tobytes()
-                  for k in range(sub.num_rows)]
-        return pa.table({
-            "did": sub.column("doc_id").combine_chunks().cast(pa.int64()),
-            "grams": pa.array(packed, pa.large_binary())})
-
-    shingles = docs.map_batches(shingle_rows, batch_format="pyarrow")
-
-    # Co-locate each pair with both endpoints' shingle sets as a
-    # shuffle-join-expressed-as-groupby (each pair row is emitted once
-    # per endpoint, unioned with the shingle rows, and grouped on the
-    # doc key): robust to empty hash partitions and candidate-sized on
-    # every exchange.
-    _enr = pa.schema([("key", pa.int64()), ("side", pa.int8()),
-                      ("id_a", pa.int64()), ("id_b", pa.int64()),
-                      ("grams", pa.large_binary())])
-
-    def pair_sides(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0 or b.num_rows == 0:
-            return _enr.empty_table()
-        a = b.column("id_a").combine_chunks()
-        bb = b.column("id_b").combine_chunks()
-        n = b.num_rows
-        return pa.table([
-            pa.concat_arrays([a, bb]),
-            pa.array(np.concatenate([np.zeros(n, np.int8),
-                                     np.ones(n, np.int8)])),
-            pa.concat_arrays([a, a]),
-            pa.concat_arrays([bb, bb]),
-            pa.nulls(2 * n, pa.large_binary())], schema=_enr)
-
-    def shingle_sides(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0 or b.num_rows == 0:
-            return _enr.empty_table()
-        n = b.num_rows
-        return pa.table([
-            b.column("did").combine_chunks(),
-            pa.array(np.full(n, 2, np.int8)),
-            pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
-            b.column("grams").combine_chunks()], schema=_enr)
+    pairs_ref = ray.put((uniq[:, 0].copy(), uniq[:, 1].copy()))
 
     _half = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                        ("side", pa.int8()),
                        ("grams", pa.large_binary())])
 
-    def attach(g: pa.Table) -> pa.Table:
-        # one group per doc key: its shingle row (side 2) donates grams
-        # to every pair row keyed here (side 0 = the id_a endpoint,
-        # side 1 = the id_b endpoint)
-        side = g.column("side").to_numpy(zero_copy_only=False)
-        sh_idx = np.flatnonzero(side == 2)
-        pair_rows = g.filter(pa.array(side != 2))
-        if len(sh_idx) == 0 or pair_rows.num_rows == 0:
+    def half_rows(b: pa.Table, _cref=cand_ref,
+                  _pref=pairs_ref) -> pa.Table:
+        # One streaming pass over the corpus: candidate docs compute
+        # their exact shingle sets, and — because the (bounded) pair
+        # table is broadcast — each doc immediately emits its half of
+        # every pair it participates in.  No doc-keyed attach exchange
+        # at all; the only exchange left is the per-pair one below.
+        cand = _cref if isinstance(_cref, np.ndarray) else ray.get(_cref)
+        pa_arr, pb_arr = (_pref if isinstance(_pref, tuple)
+                          else ray.get(_pref))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, ids)
+        pos[pos == len(cand)] = 0
+        sub = b.filter(pa.array(cand[pos] == ids))
+        if sub.num_rows == 0:
             return _half.empty_table()
-        grams_val = g.column("grams")[sh_idx[0]].as_py()
-        n = pair_rows.num_rows
-        return pa.table([
-            pair_rows.column("id_a").combine_chunks(),
-            pair_rows.column("id_b").combine_chunks(),
-            pair_rows.column("side").combine_chunks(),
-            pa.array([grams_val] * n, pa.large_binary())], schema=_half)
+        h, counts = _token_hashes(sub, "text", 2)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(counts)
+        packed = pa.array(
+            [np.unique(h[offs[k]:offs[k + 1]]).tobytes()
+             for k in range(sub.num_rows)], pa.large_binary())
+        did = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(did)
+        did_s = did[order]
+
+        def emit(endpoint: np.ndarray, side_val: int):
+            p = np.searchsorted(did_s, endpoint)
+            p[p == len(did_s)] = 0
+            hit = did_s[p] == endpoint
+            donors = order[p[hit]]
+            return pa.table([
+                pa.array(pa_arr[hit]), pa.array(pb_arr[hit]),
+                pa.array(np.full(int(hit.sum()), side_val, np.int8)),
+                packed.take(pa.array(donors, pa.int64()))],
+                schema=_half)
+
+        return pa.concat_tables([emit(pa_arr, 0), emit(pb_arr, 1)])
+
+    half = docs.map_batches(half_rows, batch_format="pyarrow")
 
     _edge = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
-    def verify_group(g: pa.Table) -> pa.Table:
-        # one group per candidate pair: exactly one side-0 and one
-        # side-1 row carrying each endpoint's shingle set
-        if g.num_columns == 0 or g.num_rows < 2:
+    def verify_block(b: pa.Table) -> pa.Table:
+        # the block holds COMPLETE pair groups: sort so each pair's
+        # side-0/side-1 rows are adjacent, then one exact-Jaccard
+        # check per candidate pair (a candidate-sized numpy loop —
+        # the exact set intersection is irreducibly per-pair)
+        if b.num_columns == 0 or b.num_rows < 2:
             return _edge.empty_table()
-        side = g.column("side").to_numpy(zero_copy_only=False)
-        ia, ib = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
-        if len(ia) == 0 or len(ib) == 0:
-            return _edge.empty_table()
-        a = np.frombuffer(g.column("grams")[ia[0]].as_py(),
-                          dtype=np.uint64)
-        c = np.frombuffer(g.column("grams")[ib[0]].as_py(),
-                          dtype=np.uint64)
-        inter = len(np.intersect1d(a, c, assume_unique=True))
-        union = len(a) + len(c) - inter
-        if union == 0 or inter / union < threshold:
-            return _edge.empty_table()
-        return pa.table([g.column("id_a").slice(0, 1).combine_chunks(),
-                         g.column("id_b").slice(0, 1).combine_chunks()],
-                        schema=_edge)
+        b = b.sort_by([("id_a", "ascending"), ("id_b", "ascending"),
+                       ("side", "ascending")])
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)
+        side = b.column("side").to_numpy(zero_copy_only=False)
+        first = np.ones(len(ia), dtype=bool)
+        first[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        # complete pairs: a side-0 row directly followed by its side-1
+        lead = np.flatnonzero(first)
+        ok = (lead + 1 < len(ia)) & (side[lead] == 0)
+        ok &= np.where(lead + 1 < len(ia),
+                       side[np.minimum(lead + 1, len(ia) - 1)] == 1, False)
+        grams = b.column("grams").to_pylist()
+        src, dst = [], []
+        for k in lead[ok]:
+            a = np.frombuffer(grams[k], dtype=np.uint64)
+            c = np.frombuffer(grams[k + 1], dtype=np.uint64)
+            inter = len(np.intersect1d(a, c, assume_unique=True))
+            union = len(a) + len(c) - inter
+            if union > 0 and inter / union >= threshold:
+                src.append(ia[k])
+                dst.append(ib[k])
+        return pa.table([pa.array(src, pa.int64()),
+                         pa.array(dst, pa.int64())], schema=_edge)
 
-    def norm_edges(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0:
-            return _edge.empty_table()
-        return b.select(["src", "dst"]).cast(_edge)
-
-    edges = (pairs.map_batches(pair_sides, batch_format="pyarrow")
-             .union(shingles.map_batches(shingle_sides,
-                                         batch_format="pyarrow"))
-             .groupby("key")
-             .map_groups(attach, batch_format="pyarrow")
-             .groupby(["id_a", "id_b"])
-             .map_groups(verify_group, batch_format="pyarrow")
-             .map_batches(norm_edges, batch_format="pyarrow"))
+    _enable_hash_shuffle(half)
+    edges = (half.repartition(8, keys=["id_a", "id_b"])
+             .map_batches(verify_block, batch_format="pyarrow",
+                          batch_size=None))
     # label table is dup-cluster-sized (bounded like the candidate
     # set): fetched once and probed vectorized in the final map
     lab = connected_components(edges).to_pandas()
