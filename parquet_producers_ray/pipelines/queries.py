@@ -3873,6 +3873,136 @@ FROM toks GROUP BY term HAVING count(*) BETWEEN 2 AND 450
 """
 
 
+# ---------------------------------------------------------------------------
+# Median absolute deviation — robust per-group dispersion (the outlier
+# -resistant sibling of stats_agg's stddev).  Exact order statistics,
+# so it joins the quantiles/percentile_cont family: ONE grouped
+# exchange of raw rows, both medians interpolated exactly as DuckDB's
+# mad().  The documented scale path for this family is the mergeable
+# `approx_quantile` sketch.
+
+def q_mad(sf_dir: str):
+    import numpy as np
+
+    def mad_group(g: pa.Table) -> pa.Table:
+        v = g.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        med = np.quantile(v, 0.5)
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag").slice(0, 1),
+            "med_price": pa.array([float(med)]),
+            "mad_price": pa.array([float(np.quantile(np.abs(v - med),
+                                                     0.5))])})
+
+    return (_read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+            .groupby("l_returnflag")
+            .map_groups(mad_group, batch_format="pyarrow"))
+
+
+SQL_MAD = """
+SELECT l_returnflag,
+       median(l_extendedprice) AS med_price,
+       mad(l_extendedprice) AS mad_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence + PMI — document-level pointwise mutual
+# information over distinct term pairs (the collocation/embedding-prep
+# statistics pass).  Each document is ONE row, so its distinct-term
+# pairs are block-local by construction: per-block partial pair counts
+# make the one exchange vocabulary²-bounded (never corpus-sized), the
+# per-term doc counts are a second vocabulary-sized aggregate collected
+# and broadcast exactly like tf_idf's document-frequency table, and the
+# PMI itself is a closed-form vectorized map over the merged pair
+# counts.  At web vocabulary the pair grid needs the same df banding
+# the inverted index uses (stop-term removal bounds the quadratic).
+
+def q_co_occurrence(sf_dir: str, min_pairs: int = 5):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()          # parquet metadata only, no scan
+
+    def _doc_term_slices(b: pa.Table):
+        lst = pc.split_pattern(b.column("text"), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        vals = lst.flatten().to_numpy(zero_copy_only=False)
+        base = offs[0]
+        return [np.unique(vals[s - base:e - base])
+                for s, e in zip(offs[:-1], offs[1:]) if e > s]
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for u in _doc_term_slices(b):
+            if len(u) < 2:
+                continue
+            i, j = np.triu_indices(len(u), 1)
+            out_a.append(u[i])
+            out_b.append(u[j])
+        if not out_a:
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        t = pa.table({"term_a": pa.array(np.concatenate(out_a)),
+                      "term_b": pa.array(np.concatenate(out_b))})
+        return (t.group_by(["term_a", "term_b"])
+                .aggregate([("term_a", "count")])
+                .rename_columns(["term_a", "term_b", "n_ab"]))
+
+    def term_partials(b: pa.Table) -> pa.Table:
+        us = _doc_term_slices(b)
+        if not us:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"term": pa.array(np.concatenate(us))})
+        return (t.group_by(["term"]).aggregate([("term", "count")])
+                .rename_columns(["term", "c"]))
+
+    # vocabulary-sized doc-count table, collected once and probed
+    # vectorized (tf_idf's broadcast-df policy)
+    tc = (docs.map_batches(term_partials, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    order = np.argsort(tc["term"].to_numpy())
+    terms_sorted = tc["term"].to_numpy()[order]
+    counts_sorted = tc["c"].to_numpy()[order].astype(np.float64)
+
+    def pmi_map(b: pa.Table) -> pa.Table:
+        ta = b.column("term_a").to_numpy(zero_copy_only=False)
+        tb = b.column("term_b").to_numpy(zero_copy_only=False)
+        nab = b.column("n_ab").to_numpy(zero_copy_only=False)
+        ca = counts_sorted[np.searchsorted(terms_sorted, ta)]
+        cb = counts_sorted[np.searchsorted(terms_sorted, tb)]
+        pmi = np.log(float(n_docs) * nab / (ca * cb))
+        return b.append_column("pmi", pa.array(pmi))
+
+    return (docs.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["term_a", "term_b"])
+            .aggregate(Sum("n_ab", alias_name="n_ab"))
+            .filter(expr=f"n_ab >= {min_pairs}")
+            .map_batches(pmi_map, batch_format="pyarrow"))
+
+
+SQL_CO_OCCURRENCE = """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                  AS term FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+pc AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT term_a, term_b, n_ab,
+       ln(CAST(nd.n AS DOUBLE) * n_ab / (ca.c * cb.c)) AS pmi
+FROM pc, nd
+JOIN tc ca ON ca.term = pc.term_a
+JOIN tc cb ON cb.term = pc.term_b
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -3967,6 +4097,8 @@ REGISTRY = {
     "retention": (q_retention, SQL_RETENTION),
     "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "mad": (q_mad, SQL_MAD),
+    "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
 }
 
 

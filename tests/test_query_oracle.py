@@ -24,7 +24,7 @@ NEW_QUERIES = [
     "host_agg", "url_normalize", "bloom_join",
     "curate", "model_score",
     "ngram_counts", "funnel", "retention", "percent_rank",
-    "inverted_index",
+    "inverted_index", "mad", "co_occurrence",
 ]
 
 
