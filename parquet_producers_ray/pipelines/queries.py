@@ -4003,6 +4003,226 @@ JOIN tc cb ON cb.term = pc.term_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Shannon entropy — per-source language-distribution entropy (the
+# corpus-diversity / contamination monitor; information-theoretic
+# sibling of stats_agg's moments).  Per-block partial (source, lang)
+# counts shrink the ONE exchange to grid size (#sources × #langs, never
+# corpus-sized); each source's entropy is then a closed-form map over
+# its tiny grid slice.  Same partial/merge contract as u6_partial_avg.
+
+def q_entropy(sf_dir: str):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (pa.table({"source": b.column("source"),
+                          "lang": b.column("lang")})
+                .group_by(["source", "lang"])
+                .aggregate([("lang", "count")])
+                .rename_columns(["source", "lang", "n"]))
+
+    def ent(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = n / n.sum()
+        return pa.table({
+            "source": g.column("source").slice(0, 1),
+            "n_docs": pa.array([int(n.sum())], pa.int64()),
+            "lang_entropy": pa.array([float(-(p * np.log(p)).sum())])})
+
+    return (_read(sf_dir, "documents", ["source", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+            .groupby("source").map_groups(ent, batch_format="pyarrow"))
+
+
+SQL_ENTROPY = """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.source, CAST(t.tot AS BIGINT) AS n_docs,
+       -sum((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)))
+           AS lang_entropy
+FROM c JOIN t USING (source) GROUP BY c.source, t.tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the LM-training op that turns a document stream
+# into fixed-capacity training sequences (2048 "tokens" here), i.e. a
+# GLOBAL ORDERED PREFIX SUM, the one distributed primitive the window
+# family (whose scans are per-key) doesn't cover.  Classic two-phase
+# scan: (1) shuffle-free per-doc token counts + range-partition ids
+# from equal-width doc_id bounds (a production deployment samples
+# quantile bounds exactly like stages/exchange.py::storage_sort); the
+# per-range totals — P rows, nothing more — come to the driver for an
+# exclusive prefix, (2) ONE doc_id-keyed exchange co-locates each
+# range, which sorts locally and adds its broadcast base offset.  No
+# stage ever materializes the corpus; the driver holds P integers.
+
+def q_pack_sequences(sf_dir: str, capacity: int = 2048, parts: int = 16):
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(b.column("text"), " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.list_value_length(lst).cast(pa.int64())})
+
+    toks = docs.map_batches(tok, batch_format="pyarrow")
+
+    mm = _read(sf_dir, "documents", ["doc_id"]).aggregate(
+        Min("doc_id", alias_name="lo"), Max("doc_id", alias_name="hi"))
+    bounds = np.linspace(mm["lo"], mm["hi"], parts + 1)[1:-1]
+
+    def assign(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("_part", pa.array(
+            np.searchsorted(bounds, d, side="right").astype(np.int64)))
+
+    parted = toks.map_batches(assign, batch_format="pyarrow")
+    _enable_hash_shuffle(parted)
+
+    # per-range totals → driver-side exclusive prefix (P integers)
+    tot = parted.groupby("_part").aggregate(
+        Sum("n_tokens", alias_name="t")).to_pandas()
+    sums = np.zeros(parts, dtype=np.int64)
+    sums[tot["_part"].to_numpy()] = tot["t"].to_numpy()
+    base = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    def scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64())})
+        b = b.sort_by([("_part", "ascending"), ("doc_id", "ascending")])
+        part = b.column("_part").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        excl = np.cumsum(n) - n
+        starts = np.zeros(len(part), dtype=bool)
+        starts[0] = True
+        starts[1:] = part[1:] != part[:-1]
+        seg_base = excl[np.flatnonzero(starts)][np.cumsum(starts) - 1]
+        gexcl = base[part] + (excl - seg_base)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": b.column("n_tokens"),
+                         "seq_id": pa.array(gexcl // capacity)})
+
+    return (parted.repartition(parts, keys=["_part"])
+            .map_batches(scan, batch_format="pyarrow", batch_size=None))
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 2048 AS seq_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching — within-block Levenshtein pairs (the edit-distance
+# near-dup family exact-hash/minhash/simhash don't cover; catches
+# small character-level edits).  Standard blocked similarity join:
+# candidate pairs share the (lang, n_chars) blocking key, so ONE hash
+# exchange on the key makes all pairs partition-local; the distance is
+# a numpy DP vectorized ACROSS pairs (L² = 1024 vector steps over the
+# whole pair batch, never a Python loop per pair).  Equal-length
+# blocking means D[la][lb] lands on the DP diagonal.  At web scale the
+# blocking key is the standard quadratic bound (pairs exist only
+# inside a block) — the same max_df-style cap contract as
+# dedup_jaccard_capped, documented there.
+
+def q_fuzzy_pairs(sf_dir: str, prefix_len: int = 32):
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    _enable_hash_shuffle(ds)
+
+    def _pairs_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        b = b.sort_by([("lang", "ascending"), ("n_chars", "ascending"),
+                       ("doc_id", "ascending")])
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(ids), dtype=bool)
+        starts[0] = True
+        starts[1:] = (lang[1:] != lang[:-1]) | (nch[1:] != nch[:-1])
+        seg = np.flatnonzero(np.concatenate((starts, [True])))
+        ia, ib = [], []
+        for s, e in zip(seg[:-1], seg[1:]):   # loop over blocks, not rows
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            ia.append(i + s)
+            ib.append(j + s)
+        if not ia:
+            return empty
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        # char matrix: 'U<prefix>' truncation == SQL substr on the
+        # ASCII corpus; uint32 codepoint view, 0-padded
+        txt = np.asarray(b.column("text").to_numpy(zero_copy_only=False),
+                         dtype=f"U{prefix_len}")
+        mat = txt.view(np.uint32).reshape(len(txt), prefix_len)
+        ln = np.minimum(nch, prefix_len).astype(np.int64)
+        dist = _lev_pairs(mat[ia], mat[ib], ln[ia])
+        return pa.table({"doc_a": pa.array(ids[ia]),
+                         "doc_b": pa.array(ids[ib]),
+                         "dist": pa.array(dist)})
+
+    return (ds.repartition(16, keys=["lang", "n_chars"])
+            .map_batches(_pairs_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def _lev_pairs(a_mat, b_mat, length):
+    """Levenshtein over M equal-length pairs at once: the (L+1)²-cell
+    DP runs as L² numpy ops over the whole pair axis; each pair's
+    answer is read off the diagonal cell (l, l) when the row index
+    reaches its true length."""
+    import numpy as np
+
+    m, L = a_mat.shape
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (m, 1))
+    out = np.zeros(m, dtype=np.int64)
+    out[length == 0] = 0
+    cur = np.empty_like(prev)
+    for i in range(1, L + 1):
+        cur[:, 0] = i
+        ai = a_mat[:, i - 1:i]
+        cost = (ai != b_mat).astype(np.int32)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1])
+        hit = length == i
+        if hit.any():
+            out[hit] = cur[hit, i]
+        prev, cur = cur, prev
+    return out
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))
+            AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -4099,6 +4319,9 @@ REGISTRY = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "mad": (q_mad, SQL_MAD),
     "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
+    "entropy": (q_entropy, SQL_ENTROPY),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
 }
 
 
