@@ -684,21 +684,23 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
     → band rows → bucket groupby emits candidate pairs → DISTRIBUTED
     exact-Jaccard verify (a candidate-only shingle side-table hash-
     joined to both pair endpoints, one vectorized sorted-intersect per
-    pair) → iterative connected components (functions/graph.py) →
-    (doc_id, rep_id).  Rows-only check (no SQL oracle).
+    pair) → components of the verified edges → (doc_id, rep_id).
+    Rows-only check (no SQL oracle).
 
     Scale shape: the band exchange is corpus × bands rows; candidate
     pairs, the shingle side-table and the two verify joins are all
     CANDIDATE-sized (a small corpus fraction by LSH design); the only
-    driver-side state is the candidate ID membership array (broadcast
-    once via ray.put — past the broadcast threshold this becomes a
-    semi join, the same adaptive policy as the component label
-    lookup).  No driver-side pair loop, no driver doc scan."""
+    driver-side state is the candidate pair/ID tables (broadcast once
+    via ray.put — past the broadcast threshold these become semi
+    joins).  The verified edges are a subset of that already-collected
+    pair table, so their component fixpoint runs driver-side as a
+    vectorized hash-min loop; unbounded graphs use the distributed
+    functions/graph.connected_components instead (graph_components /
+    dedup_cluster).  No driver-side pair loop, no driver doc scan."""
     import numpy as np
     import ray
 
     from ..functions.dedup import _token_hashes, lsh_band_rows
-    from ..functions.graph import connected_components
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -851,12 +853,35 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
     edges = (half.repartition(8, keys=["id_a", "id_b"])
              .map_batches(verify_block, batch_format="pyarrow",
                           batch_size=None))
-    # label table is dup-cluster-sized (bounded like the candidate
-    # set): fetched once and probed vectorized in the final map
-    lab = connected_components(edges).to_pandas()
-    order = np.argsort(lab["node"].to_numpy())
-    rep_keys = lab["node"].to_numpy()[order].astype(np.int64)
-    rep_vals = lab["component"].to_numpy()[order].astype(np.int64)
+    # The verified edges are a SUBSET of the pair table this function
+    # already collected (candidate-bounded by LSH design), so the
+    # component fixpoint is driver-trivial: the same hash-min +
+    # pointer-jump recurrence as functions/graph.py, numpy-vectorized
+    # over the collected edge list — no extra label exchanges.  The
+    # distributed iterative path stays the operator of record for
+    # unbounded graphs (graph_components / dedup_cluster run it).
+    eb = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    if eb:
+        et = pa.concat_tables(eb)
+        src = et.column("src").to_numpy(zero_copy_only=False)
+        dst = et.column("dst").to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        lab = np.arange(len(nodes))
+        while True:
+            nxt = lab.copy()
+            np.minimum.at(nxt, di, lab[si])
+            np.minimum.at(nxt, si, lab[di])
+            nxt = np.minimum(nxt, nxt[nxt])     # pointer jump
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        rep_keys = nodes.astype(np.int64)       # sorted by np.unique
+        rep_vals = nodes[lab].astype(np.int64)
+    else:
+        rep_keys = np.empty(0, np.int64)
+        rep_vals = np.empty(0, np.int64)
 
     def assign_rep(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
