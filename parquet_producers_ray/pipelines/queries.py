@@ -4248,6 +4248,56 @@ FROM documents a JOIN documents b
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding quantization — symmetric per-vector int8 (the
+# storage/serving compression step for embedding tables: scale =
+# max|x|/127, q = round-half-away-from-zero(x/scale)).  Entirely
+# shuffle-free — one vectorized pass over the list column (segment max
+# / segment sum via np.reduceat on the flattened values).  The oracle
+# checks the quantized integers exactly through two integer digests
+# (sum and L1) plus the float scale, avoiding 128 output columns.
+
+def q_embed_quantize(sf_dir: str):
+    import numpy as np
+
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        vals = emb.flatten().to_numpy(zero_copy_only=False)
+        # float32 max first, THEN promote — matches SQL's
+        # list_max(FLOAT) / 127.0 double promotion exactly
+        maxabs = np.maximum.reduceat(np.abs(vals), offs[:-1])
+        scale = maxabs.astype(np.float64) / 127.0
+        x = vals.astype(np.float64) / np.repeat(scale, np.diff(offs))
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "scale": pa.array(scale),
+            "q_sum": pa.array(np.add.reduceat(q, offs[:-1])),
+            "q_l1": pa.array(np.add.reduceat(np.abs(q), offs[:-1]))})
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) / 127.0
+             AS scale
+  FROM embeddings)
+SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+       CAST(list_sum(list_transform(
+           embedding, x -> CAST(round(x / scale) AS BIGINT)))
+           AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(
+           embedding, x -> abs(CAST(round(x / scale) AS BIGINT))))
+           AS BIGINT) AS q_l1
+FROM s
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -4347,6 +4397,7 @@ REGISTRY = {
     "entropy": (q_entropy, SQL_ENTROPY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+    "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
 }
 
 

@@ -25,7 +25,7 @@ NEW_QUERIES = [
     "curate", "model_score",
     "ngram_counts", "funnel", "retention", "percent_rank",
     "inverted_index", "mad", "co_occurrence",
-    "entropy", "pack_sequences", "fuzzy_pairs",
+    "entropy", "pack_sequences", "fuzzy_pairs", "embed_quantize",
 ]
 
 
