@@ -4298,6 +4298,55 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted skew join — the hot-key JOIN treatment §9 promises next to
+# salted_agg's aggregation treatment: when one probe-side key is hot
+# enough to make a single join partition the straggler, replicate the
+# BUILD side S× (one copy per salt) and give every probe row a uniform
+# salt, then join on (key, salt) — the hot key's rows now spread over S
+# partitions.  Build-side inflation ×S is the standard price (S stays
+# small: 8 here); the salt columns never appear in the result, so the
+# oracle is the plain join.  Probe-side salting is row-position based —
+# cheap, deterministic within a block, and uniform, which is all the
+# split needs.
+
+def q_salted_join(sf_dir: str, salt: int = 8):
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def rep_build(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = b.take(pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                      salt)))
+        return t.append_column("_bsalt", pa.array(
+            np.tile(np.arange(salt, dtype=np.int64), n)))
+
+    def salt_probe(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return b.append_column("_psalt", pa.array(
+            (np.arange(n, dtype=np.int64) % salt)))
+
+    build = cust.map_batches(rep_build, batch_format="pyarrow")
+    probe = orders.map_batches(salt_probe, batch_format="pyarrow")
+    joined = probe.join(build, join_type="inner", num_partitions=8,
+                        on=("o_custkey", "_psalt"),
+                        right_on=("c_custkey", "_bsalt"))
+    return (joined.groupby("c_nationkey")
+            .aggregate(Count("o_custkey", alias_name="n_orders"),
+                       Sum("o_totalprice", alias_name="total_price")))
+
+
+SQL_SALTED_JOIN = """
+SELECT c_nationkey, count(*) AS n_orders,
+       sum(o_totalprice) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 REGISTRY = {
     "u1_projection": (q_u1_projection, SQL_U1),
     "u2_tokenize": (q_u2_tokenize, SQL_U2),
@@ -4398,6 +4447,7 @@ REGISTRY = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
 }
 
 
