@@ -57,6 +57,10 @@ def main() -> None:
                         "rows into zstd'd Arrow IPC blobs before the "
                         "exchange (use on multi-node clusters where "
                         "the shuffle crosses a network)")
+    e.add_argument("--zstd-level", type=int, default=9,
+                   help="segment-store zstd level (9 default: ~11%% "
+                        "smaller than zstd-3 for ~0.8 s/partition of "
+                        "off-critical-path CPU)")
     d = sub.add_parser("decode-verify")
     d.add_argument("encoded")
     d.add_argument("input")
@@ -101,7 +105,8 @@ def main() -> None:
         man = encode_pipeline(ds, args.out, num_buckets=args.buckets,
                               key=args.key, resume=not args.no_resume,
                               shuffle_compression=args.shuffle_compression,
-                              exchange=args.exchange)
+                              exchange=args.exchange,
+                              zstd_level=args.zstd_level)
         print(json.dumps(summarize(man.materialize())))
     elif args.cmd == "decode-verify":
         from parquet_producers_ray.pipelines.flagship import (
