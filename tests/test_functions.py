@@ -578,3 +578,41 @@ def test_bloom_filter_no_false_negatives_and_low_fp():
     m2 = bloom_maybe_contains(f2, pa.array([f"url-{i}" for i in range(10000)]))
     assert m2[:5000].all()
     assert m2[5000:].mean() < 0.01
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook O(len²) single-pair Levenshtein for cross-checking."""
+    la, lb = len(a), len(b)
+    row = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, row[0] = row[0], i
+        for j in range(1, lb + 1):
+            cur = min(row[j] + 1, row[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, row[j] = row[j], cur
+    return row[lb]
+
+
+def test_lev_pairs_matches_reference_dp():
+    """The pair-vectorized DP (queries._lev_pairs) must equal the
+    textbook per-pair DP on equal-length pairs (the query's blocking
+    key pins n_chars, so only equal-length pairs ever reach it)."""
+    import itertools
+
+    from parquet_producers_ray.pipelines.queries import _lev_pairs
+
+    rng = np.random.default_rng(11)
+    words = ["kitten", "mitten", "flaw", "lawn", "abcdefgh", "abcdxfgh",
+             "aaaa", "abab", "x", "y"]
+    words += ["".join(rng.choice(list("abc"), size=n))
+              for n in rng.integers(1, 9, size=30)]
+    pairs = [(x, y) for x, y in itertools.product(words, words)
+             if len(x) == len(y)]
+    L = 8
+    A = np.asarray([x for x, _ in pairs], dtype=f"U{L}")
+    B = np.asarray([y for _, y in pairs], dtype=f"U{L}")
+    ln = np.asarray([len(x) for x, _ in pairs], dtype=np.int64)
+    got = _lev_pairs(A.view(np.uint32).reshape(len(pairs), L),
+                     B.view(np.uint32).reshape(len(pairs), L), ln)
+    for k, (x, y) in enumerate(pairs):
+        assert got[k] == _lev_ref(x, y), (x, y, got[k])
