@@ -1247,6 +1247,25 @@ def q_media_features(sf_dir: str):
     return feats.select_columns(["doc_id", "width", "height", "n_bytes"])
 
 
+def q_media_resize(sf_dir: str, width: int = 64, height: int = 64):
+    """Image-resize plumbing (rows-only): synthesize the deterministic
+    binary image column, then the actor-pool ImageResizeStage emits a
+    nearest-neighbor-resampled blob per image (the thumbnail/normalize
+    step; the real resample kernel is the documented stub boundary —
+    the grid math itself is exact and unit-tested).  Output keeps the
+    resized dims + payload checksum so every value is deterministic."""
+    from ..stages.multimodal import ImageResizeStage, synthesize_image_column
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synthesize_image_column, batch_format="pyarrow"))
+    resized = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
+                             batch_size=64, concurrency=2,
+                             fn_constructor_kwargs={"width": width,
+                                                    "height": height})
+    return resized.select_columns(["doc_id", "width", "height",
+                                   "n_bytes", "checksum"])
+
+
 def q_audio_chunks(sf_dir: str):
     """Audio-chunking plumbing (rows-only): synthesize a deterministic
     binary audio column, then an actor-pool stage explodes each clip
@@ -4379,6 +4398,7 @@ REGISTRY = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, None),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "media_resize": (q_media_resize, None),
     "audio_chunks": (q_audio_chunks, None),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),

@@ -109,6 +109,63 @@ def synthesize_image_column(batch: pa.Table, text_col: str = "text",
     })
 
 
+class ImageResizeStage:
+    """Actor-pool stage: binary image column in, RESIZED binary image
+    column out (the thumbnail/normalize step every multimodal training
+    pipeline runs before feature extraction).  The fake format's
+    payload is treated as a row-major grayscale grid (zero-padded /
+    truncated to width×height) and resampled NEAREST-NEIGHBOR — fully
+    deterministic, so the plumbing is exactly unit-testable; a real
+    deployment swaps ``decoder``/the resample kernel for
+    PIL.Image.resize while keeping this actor/batch shape.  Emits the
+    resized blob plus its feature row (dims / bytes / checksum)."""
+
+    def __init__(self, width: int = 64, height: int = 64,
+                 binary_col: str = "image", id_col: str = "doc_id",
+                 decoder=None):
+        self.w = width
+        self.h = height
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.decoder = decoder or FakeImageCodec()
+
+    def _resize_one(self, blob: bytes) -> bytes:
+        magic, w, h, n = HEADER.unpack_from(blob)
+        if magic != MAGIC:
+            raise ValueError("not a FIMG blob")
+        raw = np.frombuffer(blob, np.uint8,
+                            count=min(n, w * h), offset=HEADER.size)
+        grid = np.zeros(w * h, np.uint8)
+        grid[:len(raw)] = raw
+        grid = grid.reshape(h, w)
+        ri = (np.arange(self.h) * h) // self.h
+        ci = (np.arange(self.w) * w) // self.w
+        out = grid[np.ix_(ri, ci)]
+        return FakeImageCodec.encode(self.w, self.h, out.tobytes())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, dims = [], [], {k: [] for k in FEATURE_SCHEMA.names}
+        for i, v in zip(batch.column(self.id_col).to_pylist(),
+                        batch.column(self.binary_col).to_pylist()):
+            ids.append(i)
+            if v is None:
+                blobs.append(None)
+                for k in FEATURE_SCHEMA.names:
+                    dims[k].append(None)
+                continue
+            rb = self._resize_one(v)
+            blobs.append(rb)
+            d = FakeImageCodec.decode(rb)
+            for k in FEATURE_SCHEMA.names:
+                dims[k].append(int(d[k]))
+        out = {self.id_col: pa.array(ids, batch.column(
+            self.id_col).type),
+            self.binary_col: pa.array(blobs, pa.large_binary())}
+        for k in FEATURE_SCHEMA.names:
+            out[k] = pa.array(dims[k], FEATURE_SCHEMA.field(k).type)
+        return pa.table(out)
+
+
 AUDIO_MAGIC = b"FAUD"
 AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
 

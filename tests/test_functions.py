@@ -616,3 +616,28 @@ def test_lev_pairs_matches_reference_dp():
                      B.view(np.uint32).reshape(len(pairs), L), ln)
     for k, (x, y) in enumerate(pairs):
         assert got[k] == _lev_ref(x, y), (x, y, got[k])
+
+
+def test_image_resize_stage_exact_grid():
+    """Nearest-neighbor resize on the fake format is exact: a 4x2
+    image downsampled to 2x1 picks pixels (0,0) and (0,2); payloads
+    shorter than width*height are zero-padded first."""
+    from parquet_producers_ray.stages.multimodal import (FakeImageCodec,
+                                                         ImageResizeStage)
+
+    # 4 wide x 2 high, payload row-major: [10 20 30 40 / 50 60 70 80]
+    blob = FakeImageCodec.encode(4, 2, bytes([10, 20, 30, 40,
+                                              50, 60, 70, 80]))
+    short = FakeImageCodec.encode(4, 2, bytes([10, 20]))  # zero-padded
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "image": pa.array([blob, short, None],
+                                    pa.large_binary())})
+    out = ImageResizeStage(width=2, height=1)(t)
+    d0 = FakeImageCodec.decode(out.column("image")[0].as_py())
+    assert (d0["width"], d0["height"]) == (2, 1)
+    got = out.column("image")[0].as_py()[-2:]
+    assert got == bytes([10, 30])          # cols 0 and 2 of row 0
+    got_short = out.column("image")[1].as_py()[-2:]
+    assert got_short == bytes([10, 0])     # padding shows through
+    assert out.column("image")[2].as_py() is None
+    assert out.column("checksum")[2].as_py() is None
