@@ -4106,7 +4106,8 @@ FROM c JOIN t USING (source) GROUP BY c.source, t.tot
 
 def q_pack_sequences(sf_dir: str, capacity: int = 2048, parts: int = 16):
     import numpy as np
-    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.scan import global_ordered_scan
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -4117,46 +4118,15 @@ def q_pack_sequences(sf_dir: str, capacity: int = 2048, parts: int = 16):
             "n_tokens": pc.list_value_length(lst).cast(pa.int64())})
 
     toks = docs.map_batches(tok, batch_format="pyarrow")
+    scanned = global_ordered_scan(toks, "doc_id", "n_tokens", parts)
 
-    mm = _read(sf_dir, "documents", ["doc_id"]).aggregate(
-        Min("doc_id", alias_name="lo"), Max("doc_id", alias_name="hi"))
-    bounds = np.linspace(mm["lo"], mm["hi"], parts + 1)[1:-1]
-
-    def assign(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return b.append_column("_part", pa.array(
-            np.searchsorted(bounds, d, side="right").astype(np.int64)))
-
-    parted = toks.map_batches(assign, batch_format="pyarrow")
-    _enable_hash_shuffle(parted)
-
-    # per-range totals → driver-side exclusive prefix (P integers)
-    tot = parted.groupby("_part").aggregate(
-        Sum("n_tokens", alias_name="t")).to_pandas()
-    sums = np.zeros(parts, dtype=np.int64)
-    sums[tot["_part"].to_numpy()] = tot["t"].to_numpy()
-    base = np.concatenate(([0], np.cumsum(sums)[:-1]))
-
-    def scan(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "seq_id": pa.array([], pa.int64())})
-        b = b.sort_by([("_part", "ascending"), ("doc_id", "ascending")])
-        part = b.column("_part").to_numpy(zero_copy_only=False)
-        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
-        excl = np.cumsum(n) - n
-        starts = np.zeros(len(part), dtype=bool)
-        starts[0] = True
-        starts[1:] = part[1:] != part[:-1]
-        seg_base = excl[np.flatnonzero(starts)][np.cumsum(starts) - 1]
-        gexcl = base[part] + (excl - seg_base)
+    def seq(b: pa.Table) -> pa.Table:
+        g = b.column("_excl").to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": b.column("doc_id"),
                          "n_tokens": b.column("n_tokens"),
-                         "seq_id": pa.array(gexcl // capacity)})
+                         "seq_id": pa.array(g // capacity)})
 
-    return (parted.repartition(parts, keys=["_part"])
-            .map_batches(scan, batch_format="pyarrow", batch_size=None))
+    return scanned.map_batches(seq, batch_format="pyarrow")
 
 
 SQL_PACK_SEQUENCES = """
