@@ -4140,6 +4140,39 @@ FROM t
 """
 
 
+def q_row_number_global(sf_dir: str):
+    """Global row numbering — ``row_number() OVER (ORDER BY doc_id)``
+    with NO partition key, i.e. the global-scan primitive applied to a
+    constant 1 (stages/scan.py::global_ordered_scan; pack_sequences is
+    the other consumer).  The per-key rank family (dense_rank /
+    percent_rank / ntile) can't express this: their exchanges are
+    keyed, this one is range-partitioned on the order column."""
+    from ..stages.scan import global_ordered_scan
+
+    def ones(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        ones, batch_format="pyarrow")
+    scanned = global_ordered_scan(ds, "doc_id", "one")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "rn": pc.add(b.column("_excl"), pa.scalar(1, pa.int64()))})
+
+    return scanned.map_batches(rn, batch_format="pyarrow")
+
+
+SQL_ROW_NUMBER_GLOBAL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy matching — within-block Levenshtein pairs (the edit-distance
 # near-dup family exact-hash/minhash/simhash don't cover; catches
@@ -4438,6 +4471,7 @@ REGISTRY = {
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
 }
 
 
