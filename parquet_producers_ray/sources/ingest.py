@@ -127,9 +127,13 @@ def read_webpages_wet(paths) -> "ray.data.Dataset":  # noqa: F821
     import ray.data
 
     def _load(batch: pa.Table) -> pa.Table:
+        import gzip
         tables = []
         for p in batch.column("path").to_pylist():
-            with open(p, "rb") as f:
+            # real Common-Crawl WET segments ship gzipped
+            # (*.warc.wet.gz) — decompress transparently by extension
+            opener = gzip.open if p.endswith(".gz") else open
+            with opener(p, "rb") as f:
                 tables.append(_parse_wet_bytes(f.read()))
         return pa.concat_tables(tables) if tables \
             else SCHEMA.empty_table()

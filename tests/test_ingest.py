@@ -75,3 +75,21 @@ def test_wet_roundtrip_and_encode(ray_session, table, src_sorted,
                                 schema=W.SCHEMA)
     assert back.sort_by("url").column("text").equals(
         src_sorted.column("text"))
+
+
+def test_wet_gzip_transparent(ray_session, table, src_sorted,
+                              tmp_path_factory):
+    """Real Common-Crawl WET segments ship as *.warc.wet.gz — the
+    reader must decompress by extension and produce identical rows."""
+    import gzip
+
+    d = tmp_path_factory.mktemp("wetgz")
+    plain = str(d / "a.wet")
+    I.write_wet(table, plain)
+    gz = str(d / "a.warc.wet.gz")
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    got = pa.Table.from_pylist(I.read_webpages_wet([gz]).take_all(),
+                               schema=W.SCHEMA).sort_by("url")
+    for c in ("url", "warc_ts", "text"):
+        assert got.column(c).equals(src_sorted.column(c)), c
