@@ -144,3 +144,111 @@ def read_webpages_wet(paths) -> "ray.data.Dataset":  # noqa: F821
                  if os.path.isdir(paths) else [paths])
     return (ray.data.from_items([{"path": p} for p in paths])
             .map_batches(_load, batch_format="pyarrow", batch_size=1))
+
+
+# ---------------------------------------------------------------------------
+# WARC-style response records (the raw-crawl container: WET's sibling
+# that CARRIES THE HTML).  Each record is a WARC header block
+# ("WARC/1.0", "WARC-Type: response", "WARC-Target-URI:", "WARC-Date:",
+# "Content-Length:") followed by an HTTP response (status line +
+# headers, blank line, body) — the html payload is the HTTP body,
+# length-delimited by Content-Length so binary bodies survive.  Like
+# the WET reader this is a per-file task (gzip transparent by
+# extension); `text`/`lang` load as nulls for a downstream extraction
+# stage to fill, which is exactly the real division of labour between
+# a crawl and its text-extraction pass.
+
+_WARC_TYPE = "WARC-Type: "
+_HDR_CLEN = "Content-Length: "
+
+
+def write_warc(table: pa.Table, path: str) -> None:
+    """Serialize (url, warc_ts, html) as WARC-style response records
+    (test fixture / interchange helper)."""
+    with open(path, "wb") as f:
+        for row in table.select(["url", "warc_ts", "html"]).to_pylist():
+            body = row["html"] or b""
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html\r\n\r\n") + body
+            f.write(b"WARC/1.0\r\n")
+            f.write(b"WARC-Type: response\r\n")
+            f.write(_HDR_URI.encode() + row["url"].encode() + b"\r\n")
+            f.write(_HDR_DATE.encode()
+                    + row["warc_ts"].isoformat().encode() + b"\r\n")
+            f.write(_HDR_CLEN.encode()
+                    + str(len(http)).encode() + b"\r\n")
+            f.write(b"\r\n")
+            f.write(http)
+            f.write(b"\r\n\r\n")
+
+
+def _parse_warc_bytes(blob: bytes) -> pa.Table:
+    """Length-delimited scan: headers decode as latin-1 (byte-exact),
+    bodies stay raw bytes — html is NOT assumed to be valid UTF-8."""
+    urls, tss, bodies = [], [], []
+    pos = 0
+    magic = b"WARC/1.0\r\n"
+    n = len(blob)
+    while True:
+        start = blob.find(magic, pos)
+        if start < 0:
+            break
+        head_end = blob.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        head = blob[start + len(magic):head_end].decode("latin-1")
+        url = ts = None
+        clen = -1
+        rtype = ""
+        for line in head.split("\r\n"):
+            if line.startswith(_HDR_URI):
+                url = line[len(_HDR_URI):]
+            elif line.startswith(_HDR_DATE):
+                ts = line[len(_HDR_DATE):]
+            elif line.startswith(_HDR_CLEN):
+                clen = int(line[len(_HDR_CLEN):])
+            elif line.startswith(_WARC_TYPE):
+                rtype = line[len(_WARC_TYPE):]
+        content_start = head_end + 4
+        pos = (content_start + clen) if clen >= 0 else content_start
+        pos = min(pos, n)
+        if url is None or clen < 0 or rtype != "response":
+            continue
+        content = blob[content_start:content_start + clen]
+        # body = HTTP payload after the response headers
+        sep = content.find(b"\r\n\r\n")
+        body = content[sep + 4:] if sep >= 0 else content
+        urls.append(url)
+        tss.append(ts)
+        bodies.append(body)
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.string()).cast(pa.timestamp("us")),
+        "html": pa.array(bodies, pa.large_binary()),
+    })
+    return _normalize(t)
+
+
+def read_webpages_warc(paths) -> "ray.data.Dataset":  # noqa: F821
+    """WARC-style response files → canonical webpage Dataset (html
+    populated, text/lang null until an extraction stage fills them).
+    One task per file, gzip transparent (*.warc.gz)."""
+    import gzip
+    import os
+
+    import ray.data
+
+    def _load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("path").to_pylist():
+            opener = gzip.open if p.endswith(".gz") else open
+            with opener(p, "rb") as f:
+                tables.append(_parse_warc_bytes(f.read()))
+        return pa.concat_tables(tables) if tables \
+            else SCHEMA.empty_table()
+
+    if isinstance(paths, str):
+        paths = ([os.path.join(paths, p) for p in sorted(os.listdir(paths))]
+                 if os.path.isdir(paths) else [paths])
+    return (ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(_load, batch_format="pyarrow", batch_size=1))

@@ -44,7 +44,7 @@ def main() -> None:
     e.add_argument("--key", default="url")
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "csv", "wet"])
+                   choices=["parquet", "jsonl", "csv", "wet", "warc"])
     e.add_argument("--exchange", default="storage",
                    choices=["storage", "object_store"],
                    help="all-to-all backend: storage spills (shuffle-"
@@ -100,7 +100,8 @@ def main() -> None:
             from parquet_producers_ray.sources import ingest
             reader = {"jsonl": ingest.read_webpages_jsonl,
                       "csv": ingest.read_webpages_csv,
-                      "wet": ingest.read_webpages_wet}[args.format]
+                      "wet": ingest.read_webpages_wet,
+                      "warc": ingest.read_webpages_warc}[args.format]
             ds = reader(args.input)
         man = encode_pipeline(ds, args.out, num_buckets=args.buckets,
                               key=args.key, resume=not args.no_resume,

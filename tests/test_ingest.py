@@ -93,3 +93,31 @@ def test_wet_gzip_transparent(ray_session, table, src_sorted,
                                schema=W.SCHEMA).sort_by("url")
     for c in ("url", "warc_ts", "text"):
         assert got.column(c).equals(src_sorted.column(c)), c
+
+
+def test_warc_roundtrip_html_bytes(ray_session, table, src_sorted,
+                                   tmp_path_factory):
+    """WARC response records carry the raw html BYTES (not valid UTF-8
+    necessarily); the reader must round-trip them exactly and leave
+    text/lang null for the extraction stage."""
+    import gzip
+
+    d = tmp_path_factory.mktemp("warc")
+    # make one body non-UTF-8 to prove byte-exactness
+    html = table.column("html").to_pylist()
+    html[0] = b"\xff\xfe<raw>" + bytes(range(256))
+    t2 = table.set_column(table.column_names.index("html"), "html",
+                          pa.array(html, pa.large_binary()))
+    p = str(d / "a.warc")
+    I.write_warc(t2, p)
+    gz = str(d / "a.warc.gz")
+    with open(p, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    for src in (p, gz):
+        got = pa.Table.from_pylist(I.read_webpages_warc([src]).take_all(),
+                                   schema=W.SCHEMA).sort_by("url")
+        want = t2.sort_by("url")
+        assert got.column("url").equals(want.column("url"))
+        assert got.column("html").equals(want.column("html"))
+        assert got.column("warc_ts").equals(want.column("warc_ts"))
+        assert got.column("text").null_count == got.num_rows
