@@ -233,3 +233,27 @@ def winnow_fingerprints(batch: pa.Table, id_col: str = "doc_id",
         "pos": pa.array(sel - offs[:-1][doc_of[sel]], type=pa.int64()),
         "fp": pa.array(h[sel].view(np.int64)),
     })
+
+
+def extract_text_from_html(html: pa.Array) -> pa.Array:
+    """Html → visible text, fully vectorized (three RE2 passes + a
+    whitespace collapse — the WARC-body → `text` extraction stage; a
+    production pipeline swaps in a DOM-aware extractor behind the same
+    column-in/column-out signature).  RE2 has no backreferences, so
+    script and style blocks are removed in separate passes.  Bytes
+    decode as UTF-8; invalid sequences fall back to a per-batch lossy
+    decode (crawl bodies are not guaranteed valid UTF-8)."""
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        try:
+            html = html.cast(pa.string())
+        except pa.ArrowInvalid:
+            html = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in html.to_pylist()], pa.string())
+    s = pc.replace_substring_regex(
+        html, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = pc.replace_substring_regex(
+        s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = pc.replace_substring_regex(s, r"<[^>]*>", " ")
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.utf8_trim_whitespace(s)

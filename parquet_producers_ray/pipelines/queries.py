@@ -4174,6 +4174,49 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Html → text extraction — the WARC-ingest companion stage (a crawl
+# delivers html bodies; the `text` column is PRODUCED by this pass).
+# Shuffle-free; the kernel is three RE2 passes + a whitespace collapse
+# (functions/text.py::extract_text_from_html), and because BOTH Arrow
+# and DuckDB delegate regexes to RE2 the oracle checks the extracted
+# strings exactly: the SQL builds the identical synthetic html and
+# applies the identical regex chain.
+
+def q_html_extract(sf_dir: str):
+    from ..functions.text import extract_text_from_html
+
+    def fn(b: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            pa.scalar("<html><head><title>t</title>"
+                      "<script>var x=1;</script></head><body><p>"),
+            b.column("text").cast(pa.string()),
+            pa.scalar("</p><style>.p{}</style></body></html>"), "")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "extracted": extract_text_from_html(html)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_HTML_EXTRACT = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>t</title><script>var x=1;</script>'
+         || '</head><body><p>' || text
+         || '</p><style>.p{}</style></body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS extracted
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy matching — within-block Levenshtein pairs (the edit-distance
 # near-dup family exact-hash/minhash/simhash don't cover; catches
 # small character-level edits).  Standard blocked similarity join:
@@ -4472,6 +4515,7 @@ REGISTRY = {
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
 }
 
 

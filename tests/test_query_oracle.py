@@ -26,7 +26,7 @@ NEW_QUERIES = [
     "ngram_counts", "funnel", "retention", "percent_rank",
     "inverted_index", "mad", "co_occurrence",
     "entropy", "pack_sequences", "fuzzy_pairs", "embed_quantize",
-    "salted_join", "row_number_global",
+    "salted_join", "row_number_global", "html_extract",
 ]
 
 
