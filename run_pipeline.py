@@ -87,6 +87,21 @@ def main() -> None:
     md.add_argument("root")
     md.add_argument("delta")
     md.add_argument("based_on", type=int)
+    ce = sub.add_parser(
+        "curate-encode",
+        help="raw crawl -> curated encoded store: extract text from "
+             "html, fill lang by marker language-ID, quality-filter, "
+             "exact-dedup, flagship encode")
+    ce.add_argument("input")
+    ce.add_argument("out")
+    ce.add_argument("--format", default="warc",
+                    choices=["parquet", "jsonl", "csv", "wet", "warc"])
+    ce.add_argument("--buckets", type=int, default=None)
+    ce.add_argument("--min-tokens", type=int, default=30)
+    ce.add_argument("--min-stop", type=float, default=0.0)
+    ce.add_argument("--langs", default=None,
+                    help="comma-separated allow-list, e.g. en,de")
+    ce.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
     if args.cmd not in ("lookup", "info"):
         _init()   # lookup/info are pure client reads — no Ray session
@@ -108,6 +123,26 @@ def main() -> None:
                               shuffle_compression=args.shuffle_compression,
                               exchange=args.exchange,
                               zstd_level=args.zstd_level)
+        print(json.dumps(summarize(man.materialize())))
+    elif args.cmd == "curate-encode":
+        from parquet_producers_ray.pipelines.curation import (
+            curate_encode_pipeline)
+        from parquet_producers_ray.pipelines.flagship import (
+            read_input, summarize)
+        if args.format == "parquet":
+            ds = read_input(args.input)
+        else:
+            from parquet_producers_ray.sources import ingest
+            reader = {"jsonl": ingest.read_webpages_jsonl,
+                      "csv": ingest.read_webpages_csv,
+                      "wet": ingest.read_webpages_wet,
+                      "warc": ingest.read_webpages_warc}[args.format]
+            ds = reader(args.input)
+        man = curate_encode_pipeline(
+            ds, args.out, min_tokens=args.min_tokens,
+            min_stop=args.min_stop,
+            langs=args.langs.split(",") if args.langs else None,
+            num_buckets=args.buckets, resume=not args.no_resume)
         print(json.dumps(summarize(man.materialize())))
     elif args.cmd == "decode-verify":
         from parquet_producers_ray.pipelines.flagship import (

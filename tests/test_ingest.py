@@ -121,3 +121,48 @@ def test_warc_roundtrip_html_bytes(ray_session, table, src_sorted,
         assert got.column("html").equals(want.column("html"))
         assert got.column("warc_ts").equals(want.column("warc_ts"))
         assert got.column("text").null_count == got.num_rows
+
+
+def test_curate_encode_from_warc(ray_session, table, tmp_path_factory):
+    """End-to-end: WARC (html only) → extraction → quality filter →
+    exact dedup → encoded store.  Injected duplicate html collapses to
+    the smallest url; every stored text is the html extraction."""
+    import numpy as np
+
+    from parquet_producers_ray.functions.text import extract_text_from_html
+    from parquet_producers_ray.pipelines import flagship as F
+    from parquet_producers_ray.pipelines.curation import (
+        curate_encode_pipeline)
+
+    d = tmp_path_factory.mktemp("curate")
+    # duplicate row 0's html under a LARGER url so the keeper is row 0
+    html = table.column("html").to_pylist()
+    urls = table.column("url").to_pylist()
+    html.append(html[0])
+    urls.append("https://zzz.example/dup")
+    t2 = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(
+            table.column("warc_ts").to_pylist()
+            + [table.column("warc_ts")[0].as_py()], pa.timestamp("us")),
+        "html": pa.array(html, pa.large_binary()),
+    })
+    p = str(d / "crawl.warc")
+    I.write_warc(t2, p)
+
+    out = str(tmp_path_factory.mktemp("curstore"))
+    man = curate_encode_pipeline(I.read_webpages_warc([p]), out,
+                                 min_tokens=5, num_buckets=2)
+    s = F.summarize(man)
+    back = pa.Table.from_pylist(F.decode_pipeline(out).take_all(),
+                                schema=W.SCHEMA)
+    # dup collapsed: the zzz url must not survive, row count <= input
+    assert "https://zzz.example/dup" not in back.column("url").to_pylist()
+    assert s["rows"] == back.num_rows <= table.num_rows
+    # every stored text equals the extraction of its html
+    want = extract_text_from_html(back.column("html").combine_chunks())
+    assert back.column("text").combine_chunks().equals(want)
+    # quality floor holds
+    ntok = np.array([len(t.split()) for t in
+                     back.column("text").to_pylist()])
+    assert (ntok >= 5).all()
