@@ -1287,11 +1287,17 @@ def q_video_frames(sf_dir: str):
     the frame bytes are reproducible substrings of the payload."""
     from ..stages.multimodal import frame_sample, synthesize_image_column
 
+    def sample_as_text(b: pa.Table) -> pa.Table:
+        out = frame_sample(b, binary_col="image")
+        # corpus text is ASCII by construction (see SQL comment), so
+        # the byte frames cast losslessly to the oracle's VARCHAR
+        return out.set_column(
+            out.schema.get_field_index("frame_bytes"), "frame_bytes",
+            pc.cast(out.column("frame_bytes"), pa.string()))
+
     ds = (_read(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(synthesize_image_column, batch_format="pyarrow"))
-    return ds.map_batches(
-        lambda b: frame_sample(b, binary_col="image"),
-        batch_format="pyarrow")
+    return ds.map_batches(sample_as_text, batch_format="pyarrow")
 
 
 # the synthetic corpus is pure ASCII (verified octet_length == length
@@ -1414,7 +1420,8 @@ def q_salted_agg(sf_dir: str):
 
 
 SQL_SALTED_AGG = """
-SELECT source, sum(n_chars) AS total_chars, count(n_chars) AS n_docs
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(n_chars) AS n_docs
 FROM documents GROUP BY source
 """
 

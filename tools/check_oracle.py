@@ -72,6 +72,18 @@ def main():
         want = canon(con.execute(sqls[name]).fetchdf())
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
+        # the driver hash-compares raw values, so an int64 column vs a
+        # float64 oracle column is a FAIL there even when values match
+        # numerically (round-1 salted_agg lesson) — flag kind mismatches
+        ok_kinds = ok_cols and all(
+            got[c].dtype.kind == want[c].dtype.kind
+            or {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u"}
+            for c in got.columns)
+        if ok_cols and not ok_kinds:
+            bad = [f"{c}:{got[c].dtype}!={want[c].dtype}"
+                   for c in got.columns
+                   if got[c].dtype.kind != want[c].dtype.kind]
+            print(f"{name:24s} DTYPE-MISMATCH {bad}")
         ok_vals = False
         if ok_rows and ok_cols:
             try:
@@ -81,7 +93,8 @@ def main():
             except AssertionError as e:
                 msg = str(e).splitlines()[0]
                 print(f"{name:24s} VALUE-MISMATCH {msg}")
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        status = "OK" if (ok_rows and ok_cols and ok_vals
+                          and ok_kinds) else "FAIL"
         if status == "FAIL":
             failures.append(name)
             print(f"{name:24s} {status} rows {len(got)}/{len(want)} "
