@@ -586,8 +586,11 @@ FROM (SELECT *, greatest(c_de / n, c_en / n, c_es / n, c_fr / n) AS best
 
 
 def q_text_fingerprint(sf_dir: str):
-    """Deterministic 64-bit FNV-1a document fingerprint (rows-only
-    check: not expressible in ANSI SQL)."""
+    """Deterministic 64-bit FNV-1a document fingerprint.  The oracle
+    replays the exact byte fold in DuckDB (HUGEINT xor/multiply mod
+    2^64 via ``list_reduce`` — the corpus is pure ASCII so
+    ``ascii(char)`` IS the byte), so the hash itself is value-checked,
+    not just row counts."""
     from ..functions.text import fingerprints
 
     def fn(b: pa.Table) -> pa.Table:
@@ -598,14 +601,76 @@ def q_text_fingerprint(sf_dir: str):
         fn, batch_format="pyarrow")
 
 
+# FNV-1a over a string's bytes as a DuckDB expression: fold
+# (h XOR byte) * prime mod 2^64 in HUGEINT (128-bit) arithmetic, then
+# reinterpret as two's-complement BIGINT to match the int64 view the
+# Ray side stores.  Exactly the kernel in functions/text.py:fnv1a_hash.
+_SQL_FNV1A = """list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      CASE WHEN {s} = '' THEN [] ELSE
+        list_transform(string_split({s}, ''),
+                       c -> CAST(ascii(c) AS HUGEINT)) END),
+    (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)"""
+
+_SQL_U64_AS_I64 = ("CAST(CASE WHEN {u} >= 9223372036854775808 "
+                   "THEN {u} - 18446744073709551616 ELSE {u} END AS BIGINT)")
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id, {_SQL_U64_AS_I64.format(u='fp')} AS fingerprint
+FROM (SELECT doc_id, {_SQL_FNV1A.format(s='text')} AS fp FROM documents)
+"""
+
+
 def q_text_winnow(sf_dir: str):
     """Winnowing rolling-hash fingerprints (2/(w+1)-density local
-    signatures; rows-only — rolling-hash selection is not expressible
-    in ANSI SQL; position-robustness is asserted in unit tests)."""
+    signatures).  Oracle-checked: the k-gram polynomial hash has the
+    closed form Σ byte[p+j]·B^(7-j) mod 2^64, which the SQL evaluates
+    per position with precomputed power constants, and the
+    rightmost-minimum window selection is two grouped joins."""
     from ..functions.text import winnow_fingerprints
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         winnow_fingerprints, batch_format="pyarrow")
+
+
+# the 8-gram rolling hash h = fold(h*B + byte) over uint64 equals
+# Σ byte[p+j] * B^(7-j) mod 2^64; constants below are B^(7-j) mod 2^64
+# for B = 1099511628211 (functions/text.py:WINNOW_BASE)
+_WINNOW_POW = [14218562807570617051, 15895002104753931833,
+               913917546033277539, 11527715348014283921,
+               624165263380053675, 956575116354345,
+               1099511628211, 1]
+_WINNOW_TERMS = " + ".join(
+    f"CAST(ascii(substr(text, p + {j + 1}, 1)) AS HUGEINT) * {c}"
+    for j, c in enumerate(_WINNOW_POW))
+
+SQL_TEXT_WINNOW = f"""
+WITH g AS (
+  SELECT doc_id, p, ({_WINNOW_TERMS}) % 18446744073709551616 AS h
+  FROM documents
+  CROSS JOIN unnest(range(octet_length(encode(text)) - 7)) AS t(p)
+),
+win AS (
+  SELECT doc_id, ws
+  FROM documents
+  CROSS JOIN unnest(range(octet_length(encode(text)) - 10)) AS t(ws)
+),
+mn AS (
+  SELECT w.doc_id, w.ws, min(g.h) AS mh
+  FROM win w JOIN g ON g.doc_id = w.doc_id
+                   AND g.p BETWEEN w.ws AND w.ws + 3
+  GROUP BY w.doc_id, w.ws
+),
+pick AS (
+  SELECT m.doc_id, max(g.p) AS pos
+  FROM mn m JOIN g ON g.doc_id = m.doc_id AND g.h = m.mh
+                  AND g.p BETWEEN m.ws AND m.ws + 3
+  GROUP BY m.doc_id, m.ws
+)
+SELECT DISTINCT p.doc_id, p.pos,
+       {_SQL_U64_AS_I64.format(u='g.h')} AS fp
+FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.p = p.pos
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -679,13 +744,19 @@ FROM documents
 """
 
 
-def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
+def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
+                    emit: str = "pairs"):
     """MinHash+LSH near-dup, distributed end to end: shingle → minhash
     → band rows → bucket groupby emits candidate pairs → DISTRIBUTED
     exact-Jaccard verify (a candidate-only shingle side-table hash-
     joined to both pair endpoints, one vectorized sorted-intersect per
-    pair) → components of the verified edges → (doc_id, rep_id).
-    Rows-only check (no SQL oracle).
+    pair).  ``emit="pairs"`` (default) returns the VERIFIED pair set
+    (id_a, id_b) — oracle-checked against an exact all-pairs bigram
+    Jaccard in SQL, which is equal whenever the LSH bands catch every
+    pair at or above τ (true on the test corpora; a missed borderline
+    pair would surface as a row-count diff, which is exactly what the
+    gate should catch).  ``emit="reps"`` additionally runs connected
+    components over the verified edges → (doc_id, rep_id).
 
     Scale shape: the band exchange is corpus × bands rows; candidate
     pairs, the shingle side-table and the two verify joins are all
@@ -759,6 +830,9 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
     pair_tbl = (pa.concat_tables(blocks).combine_chunks()
                 if blocks else _pair_schema.empty_table())
     if pair_tbl.num_rows == 0:
+        if emit == "pairs":
+            import ray.data
+            return ray.data.from_arrow(_pair_schema.empty_table())
         return docs.map_batches(self_rep, batch_format="pyarrow")
     uniq = np.unique(np.stack(
         [pair_tbl.column("id_a").to_numpy(zero_copy_only=False),
@@ -843,16 +917,24 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
             c = np.frombuffer(grams[k + 1], dtype=np.uint64)
             inter = len(np.intersect1d(a, c, assume_unique=True))
             union = len(a) + len(c) - inter
-            if union > 0 and inter / union >= threshold:
+            # integer cross-multiply: exact τ compare, bit-identical
+            # to the oracle's 10·inter ≥ 7·union at the default τ
+            if union > 0 and t_den * inter >= t_num * union:
                 src.append(ia[k])
                 dst.append(ib[k])
         return pa.table([pa.array(src, pa.int64()),
                          pa.array(dst, pa.int64())], schema=_edge)
 
+    from fractions import Fraction
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
+
     _enable_hash_shuffle(half)
     edges = (half.repartition(8, keys=["id_a", "id_b"])
              .map_batches(verify_block, batch_format="pyarrow",
                           batch_size=None))
+    if emit == "pairs":
+        return edges.rename_columns(["id_a", "id_b"])
     # The verified edges are a SUBSET of the pair table this function
     # already collected (candidate-bounded by LSH design), so the
     # component fixpoint is driver-trivial: the same hash-min +
@@ -897,8 +979,11 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """64-bit SimHash signatures (rows-only: exact-collision buckets
-    are the near-dup candidates at scale)."""
+    """64-bit SimHash signatures (exact-collision buckets are the
+    near-dup candidates at scale).  Oracle-checked bit-for-bit: the
+    SQL recomputes every token's FNV-1a hash with the HUGEINT fold and
+    replays the per-bit majority vote (2·ones > n_tokens) over
+    tokens × 64 bit rows."""
     from ..functions.dedup import simhash
 
     def fn(b: pa.Table) -> pa.Table:
@@ -908,6 +993,46 @@ def q_dedup_simhash(sf_dir: str):
             "simhash": pa.array(simhash(b).astype(np.int64))})
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# power(2, bit) is exact in DOUBLE for every bit ≤ 63 (powers of two
+# are representable), so the HUGEINT cast is exact
+SQL_DEDUP_SIMHASH = f"""
+WITH th AS (
+  SELECT doc_id, {_SQL_FNV1A.format(s='t')} AS h
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents)
+),
+votes AS (
+  SELECT doc_id, bit,
+         CASE WHEN 2 * sum((h // CAST(power(2, bit) AS HUGEINT)) % 2)
+                  > count(*)
+              THEN CAST(power(2, bit) AS HUGEINT) ELSE 0 END AS bv
+  FROM th CROSS JOIN unnest(range(64)) AS b(bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id, {_SQL_U64_AS_I64.format(u='s')} AS simhash
+FROM (SELECT doc_id, CAST(sum(bv) AS HUGEINT) AS s
+      FROM votes GROUP BY doc_id)
+"""
+
+
+# exact all-pairs bigram Jaccard at τ = 7/10 (integer cross-multiply,
+# the same rational the Ray-side verify uses); the LSH candidates are
+# a recall filter over exactly this pair set
+SQL_DEDUP_MINHASH = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || chr(31) || w[i+1])) AS g
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.g, b.g))
+      >= 7 * len(list_distinct(a.g || b.g))
+"""
 
 
 def q_dedup_jaccard(sf_dir: str):
@@ -1188,15 +1313,18 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
-              n_centroids: int = 16, nprobe: int = 8):
-    """IVF approximate top-k (the ANN scale path): deterministic
-    k-means coarse quantizer over a sample → every vector routes to its
-    nearest centroid → ONE hash exchange on ``bucket`` builds the
-    inverted lists → each list is scored only against the queries whose
-    ``nprobe`` nearest centroids include it.  Sub-linear in corpus size
-    (brute force is the `ann_topk` baseline); rows-only check — results
-    are approximate by design (recall vs brute force is asserted in
-    tests/test_functions.py)."""
+              n_centroids: int = 16, nprobe: int | None = None):
+    """IVF top-k (the ANN scale path): deterministic k-means coarse
+    quantizer over a sample → every vector routes to its nearest
+    centroid → ONE hash exchange on ``bucket`` builds the inverted
+    lists → each list is scored only against the queries whose
+    ``nprobe`` nearest centroids include it.  Sub-linear in corpus
+    size when ``nprobe`` < ``n_centroids`` (recall vs brute force at
+    nprobe=8 is asserted in tests/test_functions.py).  The default
+    ``nprobe=None`` probes EVERY list, which exercises the full IVF
+    machinery (assignment, bucket exchange, per-list scoring, global
+    merge) while being exactly the brute-force answer — so the driver
+    value-checks it against the same SQL top-k oracle as ann_topk."""
     import ray
 
     from ..functions.similarity import (IVFTopK, embedding_matrix,
@@ -1227,11 +1355,27 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     cands = (binned.repartition(8, keys=["bucket"])
              .map_batches(IVFTopK, batch_format="pyarrow",
                           batch_size=None, concurrency=2,
-                          fn_constructor_args=(qref, cref, k, nprobe)))
+                          fn_constructor_args=(
+                              qref, cref, k,
+                              n_centroids if nprobe is None else nprobe)))
     cand_tbl = pa.concat_tables(
         [b for b in cands.iter_batches(batch_format="pyarrow")])
     import ray.data
     return ray.data.from_arrow(merge_topk(cand_tbl, k))
+
+
+# probe-all IVF is exactly brute-force top-k: the same oracle as
+# SQL_ANN_TOPK (ties broken sim DESC, vec_id ASC on both sides)
+SQL_ANN_IVF = """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 5) WHERE rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1248,13 +1392,41 @@ def q_media_features(sf_dir: str):
 
 
 def q_media_resize(sf_dir: str, width: int = 64, height: int = 64):
-    """Image-resize plumbing (rows-only): synthesize the deterministic
-    binary image column, then the actor-pool ImageResizeStage emits a
+    """Image-resize plumbing: synthesize the deterministic binary
+    image column, then the actor-pool ImageResizeStage emits a
     nearest-neighbor-resampled blob per image (the thumbnail/normalize
     step; the real resample kernel is the documented stub boundary —
-    the grid math itself is exact and unit-tested).  Output keeps the
-    resized dims + payload checksum so every value is deterministic."""
-    from ..stages.multimodal import ImageResizeStage, synthesize_image_column
+    the grid math itself is exact and unit-tested).  The output digests
+    the resized payload with a plain and a position-weighted byte sum,
+    both of which the SQL oracle recomputes from the source pixels via
+    the same nearest-neighbor index arithmetic — so the resample
+    grid itself is value-checked, not just the row count."""
+    import numpy as np
+
+    from ..stages.multimodal import (HEADER, ImageResizeStage,
+                                     synthesize_image_column)
+
+    n_px = width * height
+    header_size = HEADER.size    # plain int — the Struct can't pickle
+
+    def digest(b: pa.Table) -> pa.Table:
+        col = b.column("image").combine_chunks().cast(pa.large_binary())
+        offs = np.frombuffer(col.buffers()[1], np.int64,
+                             len(col) + 1, 8 * col.offset)
+        data = np.frombuffer(col.buffers()[2], np.uint8)
+        # every resized payload is exactly n_px bytes after the header
+        idx = (offs[:-1] + header_size)[:, None] \
+            + np.arange(n_px, dtype=np.int64)
+        px = data[idx].astype(np.int64)                 # (rows, n_px)
+        w = np.arange(1, n_px + 1, dtype=np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "width": b.column("width"),
+            "height": b.column("height"),
+            "n_bytes": b.column("n_bytes"),
+            "payload_sum": pa.array(px.sum(axis=1)),
+            "payload_wsum": pa.array((px * w).sum(axis=1)),
+        })
 
     ds = (_read(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(synthesize_image_column, batch_format="pyarrow"))
@@ -1262,21 +1434,66 @@ def q_media_resize(sf_dir: str, width: int = 64, height: int = 64):
                              batch_size=64, concurrency=2,
                              fn_constructor_kwargs={"width": width,
                                                     "height": height})
-    return resized.select_columns(["doc_id", "width", "height",
-                                   "n_bytes", "checksum"])
+    return resized.map_batches(digest, batch_format="pyarrow")
+
+
+# the resized byte at output cell (i,j) is source pixel
+# ((i*h)//64)*w + (j*w)//64 of the zero-padded row-major text-byte
+# grid (stages/multimodal.py:ImageResizeStage._resize_one) — the SQL
+# replays that index arithmetic per cell
+SQL_MEDIA_RESIZE = """
+WITH src AS (
+  SELECT doc_id, text,
+         doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+         octet_length(encode(text)) AS n
+  FROM documents),
+px AS (
+  SELECT doc_id, i * 64 + j + 1 AS wgt,
+         CASE WHEN ((i * h) // 64) * w + ((j * w) // 64) < least(n, w * h)
+              THEN ascii(substr(text,
+                   CAST(((i * h) // 64) * w + ((j * w) // 64) + 1
+                        AS BIGINT), 1))
+              ELSE 0 END AS byte
+  FROM src
+  CROSS JOIN unnest(range(64)) AS a(i)
+  CROSS JOIN unnest(range(64)) AS b(j))
+SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+       CAST(4096 AS BIGINT) AS n_bytes,
+       CAST(sum(byte) AS BIGINT) AS payload_sum,
+       CAST(sum(byte * wgt) AS BIGINT) AS payload_wsum
+FROM px GROUP BY doc_id
+"""
 
 
 def q_audio_chunks(sf_dir: str):
-    """Audio-chunking plumbing (rows-only): synthesize a deterministic
-    binary audio column, then an actor-pool stage explodes each clip
-    into 25 ms chunks with per-chunk RMS/peak features — the VAD /
-    segment-feature shape; decode is the documented stub boundary."""
+    """Audio-chunking plumbing: synthesize a deterministic binary
+    audio column (samples = (text_byte − 128) · 128 at 16 kHz), then an
+    actor-pool stage explodes each clip into 25 ms (400-sample) chunks
+    with per-chunk RMS/peak features — the VAD / segment-feature shape;
+    decode is the documented stub boundary.  Oracle-checked: the SQL
+    regenerates each sample from the text bytes and replays the
+    chunked RMS/peak aggregation exactly (integer sums of squares are
+    exact in float64, so rms is bit-stable)."""
     from ..stages.multimodal import AudioChunkStage, synthesize_audio_column
 
     ds = (_read(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(synthesize_audio_column, batch_format="pyarrow"))
     return ds.map_batches(AudioChunkStage, batch_format="pyarrow",
                           batch_size=64, concurrency=2)
+
+
+SQL_AUDIO_CHUNKS = """
+WITH s AS (
+  SELECT doc_id, p // 400 AS chunk,
+         (ascii(substr(text, CAST(p + 1 AS BIGINT), 1)) - 128) * 128 AS v
+  FROM documents
+  CROSS JOIN unnest(range(octet_length(encode(text)))) AS t(p))
+SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS rms,
+       CAST(max(abs(v)) AS DOUBLE) AS peak
+FROM s GROUP BY doc_id, chunk
+"""
 
 
 def q_video_frames(sf_dir: str):
@@ -4441,18 +4658,18 @@ REGISTRY = {
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
-    "text_fingerprint": (q_text_fingerprint, None),
-    "text_winnow": (q_text_winnow, None),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "ann_ivf": (q_ann_ivf, None),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    "media_resize": (q_media_resize, None),
-    "audio_chunks": (q_audio_chunks, None),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
     "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),

@@ -161,8 +161,15 @@ def test_dedup_queries_collapse_injected_duplicates(ray_session, tmp_path):
     exact = {r["doc_id"] for r in q_dedup_exact(str(tmp_path)).take_all()}
     assert exact == {1, 3, 4}   # doc 2 is an exact dup of doc 1
 
+    pairs = {(r["id_a"], r["id_b"])
+             for r in q_dedup_minhash(str(tmp_path)).take_all()}
+    assert (1, 2) in pairs      # exact dup pair verified
+    assert (1, 3) in pairs      # near dup pair verified
+    assert not any(4 in p for p in pairs)   # unrelated never pairs
+
     reps = {r["doc_id"]: r["rep_id"]
-            for r in q_dedup_minhash(str(tmp_path)).take_all()}
+            for r in q_dedup_minhash(str(tmp_path),
+                                     emit="reps").take_all()}
     assert reps[2] == 1         # exact dup clusters with 1
     assert reps[3] == 1         # near dup clusters with 1
     assert reps[4] == 4         # unrelated keeps itself
