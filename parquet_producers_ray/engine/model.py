@@ -130,6 +130,37 @@ class SurrogateIdPreserver:
     next_id: int = 1
 
 
+@dataclass
+class KeyValuePreserver:
+    """The reference's GENERAL ``PreserveKeyValues`` hook (F9,
+    ``ParquetProducerOptions.cs:16-28``; invoked at
+    ``ParquetProduction.cs:557,597,662``): user code receives a newly
+    produced value together with an example previous value stored under
+    the same target key and may copy ANY persistent field across —
+    created-at stamps, GUIDs, accumulated state — not just an id
+    counter (``SurrogateIdPreserver`` is the engine-allocated special
+    case).
+
+    Ray-native form is batch-level, not per-row: ``preserve(new_rows,
+    examples) -> pa.Table`` where
+
+    - ``new_rows`` is an Arrow table of the add rows' target-key +
+      value columns,
+    - ``examples`` is row-aligned (same length): for row i it carries
+      the previous version's value columns for the SAME target key
+      (the first row in stored (tk, sk, _seq) order), or an all-null
+      row when the target key has no previous example — the
+      reference's nullable second argument,
+    - the return value is the table of value columns to store (same
+      row count and value-column schema).
+
+    ``preserve`` must be a pure function of its inputs: it runs inside
+    ``map_batches`` tasks, once per Arrow batch, on any worker.
+    """
+
+    preserve: Callable[[pa.Table, pa.Table], pa.Table]
+
+
 def empty_updates_table(key_fields: list, value_fields: list) -> pa.Table:
     return pa.schema(list(key_fields) + list(value_fields)
                      + [pa.field(TYPE_COL, pa.int8())]).empty_table()

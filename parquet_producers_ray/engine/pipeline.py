@@ -57,6 +57,14 @@ def _content_part(content, up_spec: StageSpec, key_cols, val_cols,
     filtered = content.map_batches(
         _broadcast_filter([(key_cols, keyset, True)]),
         batch_format="pyarrow")
+    return _content_part_from(filtered, up_spec, key_cols, val_cols,
+                              feeder_idx)
+
+
+def _content_part_from(filtered, up_spec: StageSpec, key_cols, val_cols,
+                       feeder_idx: int):
+    """Rank an already key-filtered content stream — shared by the
+    broadcast-set and join formulations of read_sources."""
     sort_cols = up_spec.stored_sk + [SEQ_COL]
 
     def rank(g: pa.Table) -> pa.Table:
@@ -91,14 +99,32 @@ def _resolve_group_fn(key_cols, val_cols, schema: pa.Schema):
     return fn
 
 
-def read_sources(feeders: list, down_spec: StageSpec):
+def read_sources(feeders: list, down_spec: StageSpec,
+                 threshold: int | None = None):
     """feeders: list of (feed_ds|None, content_ds|None, upstream_spec).
     Returns the merged update Dataset for the downstream stage (columns
-    = downstream source schema + _type + _upd_seq)."""
+    = downstream source schema + _type + _upd_seq).
+
+    Waves up to ``threshold`` feed rows (default
+    produce.PRESERVE_JOIN_THRESHOLD) collect the affected key set on
+    the driver and broadcast it — the reference's delta cost model.
+    Larger waves switch to the semi-join formulation SURVEY §2 F10
+    maps out: affected keys stay a Dataset, content parts are
+    left_semi-joined to (affected ∖ feeder's own keys) — the driver
+    never holds a key."""
+    from .produce import PRESERVE_JOIN_THRESHOLD
+
     key_cols = down_spec.source_key
     val_cols = down_spec.source_value_columns
     out_schema = down_spec.updates_schema().append(
         pa.field(UPD_SEQ_COL, pa.int64()))
+
+    counts = [feed.count() if feed is not None else 0
+              for feed, _, _ in feeders]
+    if threshold is None:
+        threshold = PRESERVE_JOIN_THRESHOLD
+    if sum(counts) > threshold:
+        return _read_sources_join(feeders, down_spec, counts, out_schema)
 
     feed_keys = []
     for feed, _, _ in feeders:
@@ -117,6 +143,63 @@ def read_sources(feeders: list, down_spec: StageSpec):
             if missing:
                 parts.append(_content_part(content, up_spec, key_cols,
                                            val_cols, missing, i))
+    if not parts:
+        return _empty_ds(out_schema)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    return (merged.groupby(key_cols)
+            .map_groups(_resolve_group_fn(key_cols, val_cols, out_schema),
+                        batch_format="pyarrow"))
+
+
+def _read_sources_join(feeders: list, down_spec: StageSpec, counts: list,
+                       out_schema: pa.Schema, parts_n: int | None = None):
+    """Distributed read_sources: the same three-layer merge semantics
+    with Dataset joins instead of driver key sets."""
+    from .produce import (_distinct_key_ds, _exchange_partitions,
+                          _safe_join)
+
+    key_cols = down_spec.source_key
+    val_cols = down_spec.source_value_columns
+    if not any(counts):
+        return _empty_ds(out_schema)
+    if parts_n is None:
+        parts_n = _exchange_partitions(
+            *[d for feed, content, _ in feeders
+              for d in (feed, content)])
+
+    key_ds = [_distinct_key_ds(feed, key_cols, parts_n)
+              if feed is not None and counts[i] else None
+              for i, (feed, _, _) in enumerate(feeders)]
+    live = [k for k in key_ds if k is not None]
+    affected = live[0]
+    for k in live[1:]:
+        affected = affected.union(k)
+    if len(live) > 1:
+        affected = _distinct_key_ds(affected, key_cols, parts_n)
+    affected = affected.materialize()
+
+    parts = []
+    for i, (feed, content, up_spec) in enumerate(feeders):
+        if feed is not None and counts[i]:
+            parts.append(_feed_part(feed, key_cols, val_cols, i))
+        if content is not None:
+            missing = affected if key_ds[i] is None else _safe_join(
+                affected, key_ds[i], "left_anti", tuple(key_cols),
+                parts=parts_n).materialize()
+            if missing.count() == 0:
+                continue    # every affected key is in this feeder's feed
+            # materialized: a join operator embedded in the downstream
+            # union→groupby plan deadlocks the streaming executor on
+            # small clusters, and the result is delta-sized anyway
+            filtered = _safe_join(content, missing, "left_semi",
+                                  tuple(key_cols),
+                                  parts=parts_n).materialize()
+            if filtered.count() == 0:
+                continue    # feeder has no content for the missing keys
+            parts.append(_content_part_from(filtered, up_spec, key_cols,
+                                            val_cols, i))
     if not parts:
         return _empty_ds(out_schema)
     merged = parts[0]
@@ -197,7 +280,7 @@ class Producer:
 
     def _update_internal(self, source_updates, version: int) -> None:
         state = self.store.read_state(self.name)
-        if self.spec.preserver is not None:
+        if hasattr(self.spec.preserver, "next_id"):
             self.spec.preserver.next_id = int(state.get("next_id", 1))
         prev_c = self.store.open_read(self.name, "content", version)
         prev_m = self.store.open_read(self.name, "key_mappings", version)
@@ -206,7 +289,7 @@ class Producer:
         self.store.upload(self.name, "content", version + 1, content)
         self.store.upload(self.name, "key_mappings", version + 1, mappings)
         self.store.upload(self.name, "updates", version + 1, feed)
-        if self.spec.preserver is not None:
+        if hasattr(self.spec.preserver, "next_id"):
             state["next_id"] = self.spec.preserver.next_id
         state["version"] = version + 1
         self.store.write_state(self.name, state)

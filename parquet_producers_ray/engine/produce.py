@@ -217,6 +217,8 @@ def _tk_run_bounds(batch: pa.Table, tk: list) -> np.ndarray:
     (vectorized per column, no Python per row)."""
     n = len(batch)
     new = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new
     new[0] = True
     for c in tk:
         col = batch.column(c)
@@ -325,12 +327,229 @@ def _sorted_by_target_order(tks: set, descending: list) -> list:
     return out
 
 
-def _assign_surrogate_ids(spec: StageSpec, adds, prev_content):
+# Past this many delta rows the preserve/merge machinery stops
+# collecting key sets on the driver and switches to the distributed
+# join formulation (the broadcast→join switch functions/graph.py uses
+# is the in-repo precedent).  Below it, delta-sized driver sets are
+# both cheaper and deterministic-trivial.
+PRESERVE_JOIN_THRESHOLD = 200_000
+
+EX_PREFIX = "_ex_"          # example-value columns joined onto adds
+EX_MARKER = "_ex__has"      # true where the target key had a previous
+                            # example (the reference's non-null case)
+
+
+def _exchange_partitions(*datasets) -> int:
+    """Partition count for the engine's distributed joins/exchanges,
+    scaled to data volume (~256 MiB per partition) like
+    queries._join_partitions: Ray's join aggregator crashes when a
+    partition receives ZERO rows on one side (schema-less empty table),
+    so the count must stay well under the key cardinality — a non-issue
+    at real scale where every partition holds millions of keys."""
+    total = sum((ds.size_bytes() or 0) for ds in datasets
+                if ds is not None)
+    return max(2, min(NUM_JOIN_PARTITIONS,
+                      int(np.ceil(total / (256 << 20)))))
+
+
+def _safe_join(left, right, how: str, on: tuple, right_on=None,
+               parts: int = 2, small_rows: int = 10_000):
+    """Ray's hash join materializes each partition side from received
+    shards only — a partition with ZERO rows on one side becomes a
+    schema-less empty table and pyarrow's join raises ("No match ...
+    for key field reference").  Tiny sides therefore clamp to ONE
+    partition (everything hashes to it, so no side can be empty), and
+    an entirely empty side is resolved by join semantics without any
+    exchange.  ``left``/``right`` should be cheap to count (metadata
+    reads or materialized key tables)."""
+    lc, rc = left.count(), right.count()
+    if rc == 0:
+        if how == "left_anti":
+            return left
+        if how in ("left_semi", "inner"):
+            return left.limit(0)
+        raise ValueError(f"empty right side unsupported for {how}; "
+                         "resolve at the call site")
+    if lc == 0 and how in ("left_semi", "left_anti", "inner",
+                           "left_outer"):
+        return left
+    if min(lc, rc) < small_rows:
+        parts = 1
+    return left.join(right, how, num_partitions=parts, on=on,
+                     right_on=right_on)
+
+
+def _keyed_exchange_materialize(ds, build):
+    """Run ``build(ds)`` (which adds a keyed ``repartition``) and
+    materialize it with HASH_SHUFFLE enabled on the lineage's captured
+    DataContext, then RESTORE the previous strategy.  The context is
+    shared by every dataset derived from the same root, so leaving
+    HASH_SHUFFLE set leaks hash-based aggregation into later
+    groupby/sort stages on that lineage — which deadlocks the
+    streaming executor on small clusters (the CLAUDE.md quirk).
+    Scoping the flip to this one materialize keeps the exchange keyed
+    and the rest of the lineage on the default sort shuffle."""
+    from ..pipelines.flagship import enable_hash_shuffle
+
+    ctx = ds.context if hasattr(ds, "context") else None
+    prev = ctx.shuffle_strategy if ctx is not None else None
+    try:
+        enable_hash_shuffle(ds)
+        return build(ds).materialize()
+    finally:
+        if ctx is not None:
+            ctx.shuffle_strategy = prev
+
+
+def _distinct_key_ds(ds, cols: list, parts: int = NUM_JOIN_PARTITIONS):
+    """Distinct tuples over ``cols`` as a MATERIALIZED Dataset: one
+    keyed exchange + block-local Arrow group_by — never a driver-side
+    set.  Materialized here because the keyed repartition needs the
+    HASH_SHUFFLE strategy on THIS dataset's captured DataContext; a
+    downstream join would plan with the other side's context and
+    reject the repartition."""
+
+    def uniq(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        return b.group_by(cols).aggregate([]).select(cols)
+
+    d = ds.select_columns(cols).map_batches(uniq, batch_format="pyarrow")
+    return _keyed_exchange_materialize(
+        d, lambda x: x.repartition(parts, keys=cols).map_batches(
+            uniq, batch_format="pyarrow", batch_size=None))
+
+
+def _first_per_key(ds, tk: list, order_cols: list, keep: dict,
+                   parts: int = NUM_JOIN_PARTITIONS):
+    """One EXAMPLE row per target key — the first in ``order_cols``
+    order, i.e. the reference's "example of a previous value"
+    (ParquetProduction.cs:557; deterministic where the reference only
+    promises *an* example).  One keyed exchange co-locates each key,
+    then a block-local sort + run-bounds filter picks firsts — fully
+    vectorized, no per-key Python.  ``keep`` maps source column name →
+    output name."""
+    src_cols = tk + list(keep)
+    out_names = tk + [keep[c] for c in keep]
+
+    def first_fn(b: pa.Table) -> pa.Table:
+        b = b.select(src_cols + [c for c in order_cols
+                                 if c not in src_cols])
+        if len(b) == 0:
+            return b.select(src_cols).rename_columns(out_names)
+        b = b.sort_by([(c, "ascending") for c in tk + order_cols])
+        mask = _tk_run_bounds(b, tk)
+        return (b.filter(pa.array(mask)).select(src_cols)
+                .rename_columns(out_names))
+
+    # materialized for the same captured-DataContext reason as
+    # _distinct_key_ds — the result feeds joins on foreign lineages
+    return _keyed_exchange_materialize(
+        ds, lambda x: x.repartition(parts, keys=tk).map_batches(
+            first_fn, batch_format="pyarrow", batch_size=None))
+
+
+def _example_ds(spec: StageSpec, adds, prev_content, keep: dict,
+                small: bool, parts: int | None = None):
+    """Previous-version example rows (tk + renamed kept columns +
+    EX_MARKER) for every target key that ``adds`` touches and that
+    existed before.  ``small`` pre-filters with the broadcast key set;
+    otherwise a left_semi join keeps everything distributed."""
+    if parts is None:
+        parts = _exchange_partitions(adds, prev_content)
+    if small:
+        add_tks = _collect_tuples(adds, spec.target_key)
+        touched = prev_content.map_batches(
+            _broadcast_filter([(spec.target_key, add_tks, True)]),
+            batch_format="pyarrow")
+    else:
+        keys = _distinct_key_ds(adds, spec.target_key, parts)
+        touched = _safe_join(prev_content, keys, "left_semi",
+                             tuple(spec.target_key), parts=parts)
+    ex = _first_per_key(touched, spec.target_key,
+                        spec.stored_sk + [SEQ_COL], keep, parts)
+
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column(EX_MARKER, pa.array(
+            np.ones(len(b), dtype=bool)))
+
+    return ex.map_batches(mark, batch_format="pyarrow")
+
+
+def _apply_key_value_preserver(spec: StageSpec, adds, prev_content,
+                               threshold: int | None = None,
+                               parts: int | None = None):
+    """The GENERAL ``PreserveKeyValues`` hook (F9,
+    ParquetProducerOptions.cs:16-28; model.KeyValuePreserver): join one
+    example previous row per touched target key onto the add rows, call
+    the user's batch-level hook with row-aligned (new_rows, examples),
+    and store whatever value columns it returns."""
+    if threshold is None:
+        threshold = PRESERVE_JOIN_THRESHOLD
+    tk, vals = spec.target_key, spec.value_columns
+    hook = spec.preserver.preserve
+    n = adds.count()
+    if n == 0:
+        return adds
+    if parts is None:
+        parts = _exchange_partitions(adds, prev_content)
+    keep = {c: EX_PREFIX + c for c in vals}
+
+    def null_ex(b: pa.Table) -> pa.Table:
+        for c in vals:
+            b = b.append_column(
+                keep[c], pa.nulls(len(b), spec.out_schema.field(c).type))
+        return b.append_column(EX_MARKER, pa.array(
+            np.zeros(len(b), dtype=bool)))
+
+    ex = None if prev_content is None else _example_ds(
+        spec, adds, prev_content, keep,
+        small=n <= threshold, parts=parts).materialize()
+    if ex is None or ex.count() == 0:
+        # no previous examples at all — every hook call sees null
+        with_ex = adds.map_batches(null_ex, batch_format="pyarrow")
+    else:
+        with_ex = _safe_join(adds, ex, "left_outer", tuple(tk),
+                             parts=parts)
+
+    content_schema = spec.content_schema()
+    content_cols = content_schema.names
+
+    def call_hook(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return content_schema.empty_table()
+        import pyarrow.compute as pc
+        new_rows = b.select(tk + vals)
+        has = pc.fill_null(b.column(EX_MARKER), False)
+        examples = pa.table(
+            {c: b.column(keep[c]) for c in vals}
+            | {EX_MARKER: has})
+        out_vals = hook(new_rows, examples)
+        for c in vals:
+            b = b.set_column(b.column_names.index(c), c,
+                             out_vals.column(c))
+        return b.select(content_cols).cast(content_schema)
+
+    return with_ex.map_batches(call_hook,
+                               batch_format="pyarrow").materialize()
+
+
+def _assign_surrogate_ids(spec: StageSpec, adds, prev_content,
+                          threshold: int | None = None):
     """F9/U12 (`PreserveKeyValues`, ParquetProducerOptions.cs:16-28;
     goldens Tests:558-672): every add row's id column is copied from the
     previous version's content with the same target key, else allocated
     `next_id++` in target-key order (all same-tk rows share one id); a
-    key deleted and later re-added gets a fresh id."""
+    key deleted and later re-added gets a fresh id.
+
+    Deltas up to ``threshold`` rows use the broadcast-filter + driver
+    dict path; larger waves (and 10^12-row preserver bootstraps) switch
+    to the distributed formulation: semi-join for examples, sort +
+    per-block prefix-sum for new-id allocation — the driver holds one
+    integer per block, never a key set."""
+    if adds.count() > (PRESERVE_JOIN_THRESHOLD if threshold is None
+                       else threshold):
+        return _assign_surrogate_ids_join(spec, adds, prev_content)
     tk = spec.target_key
     idc = spec.preserver.id_column
     add_tks = _collect_tuples(adds, tk)
@@ -362,6 +581,89 @@ def _assign_surrogate_ids(spec: StageSpec, adds, prev_content):
     return adds.map_batches(set_ids, batch_format="pyarrow").materialize()
 
 
+def _assign_surrogate_ids_join(spec: StageSpec, adds, prev_content,
+                               parts: int | None = None):
+    """Distributed surrogate-id assignment for waves past the driver
+    threshold: example ids via semi-join + first-per-key, NEW ids via
+    the textbook prefix-sum allocation — distinct new keys are sorted
+    in target order, each sorted block's id range is
+    ``next_id + exclusive_prefix(block_row_counts)``, so ids are
+    identical to the sequential driver allocation while the driver
+    holds P integers."""
+    import ray
+    import ray.data
+
+    tk = spec.target_key
+    idc = spec.preserver.id_column
+    id_type = spec.out_schema.field(idc).type
+    ex_id = EX_PREFIX + idc
+    if parts is None:
+        parts = _exchange_partitions(adds, prev_content)
+
+    keys = _distinct_key_ds(adds, tk, parts)
+    if prev_content is not None:
+        ex = _example_ds(spec, adds, prev_content, {idc: ex_id},
+                         small=False, parts=parts).materialize()
+        prev_ids = ex.select_columns(tk + [ex_id]).rename_columns(
+            tk + [idc])
+        new_keys = _safe_join(keys, ex.select_columns(tk).materialize(),
+                              "left_anti", tuple(tk), parts=parts)
+    else:
+        prev_ids = None
+        new_keys = keys
+
+    sorted_keys = new_keys.sort(
+        tk, descending=spec.target_sort_desc()).materialize()
+    block_refs = sorted_keys.to_arrow_refs()   # in sorted order
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return len(t)
+
+    key_schema = pa.schema([spec.out_schema.field(c) for c in tk]
+                           + [pa.field(idc, id_type)])
+
+    @ray.remote
+    def _make_ids(t: pa.Table, base: int):
+        if len(t) == 0:     # empty sort blocks carry an empty schema
+            return key_schema.empty_table()
+        ids = pa.array(np.arange(base, base + len(t)), type=id_type)
+        return t.select(tk).append_column(idc, ids)
+
+    counts = ray.get([_count.remote(r) for r in block_refs])
+    if block_refs:
+        bases = np.concatenate(([0], np.cumsum(counts)[:-1])) \
+            + spec.preserver.next_id
+        id_refs = [_make_ids.remote(r, int(b))
+                   for r, b in zip(block_refs, bases)]
+        spec.preserver.next_id += int(sum(counts))
+        new_ids = ray.data.from_arrow_refs(id_refs)
+    else:
+        new_ids = ray.data.from_arrow(pa.schema(
+            [spec.out_schema.field(c) for c in tk]
+            + [pa.field(idc, id_type)]).empty_table())
+    all_ids = new_ids.union(prev_ids) if prev_ids is not None else new_ids
+
+    content_schema = spec.content_schema()
+    content_cols = content_schema.names
+    joined = _safe_join(adds.drop_columns([idc]),
+                        all_ids.materialize(), "inner", tuple(tk),
+                        parts=parts)
+    return joined.map_batches(
+        lambda b: b.select(content_cols).cast(content_schema),
+        batch_format="pyarrow").materialize()
+
+
+def _apply_preserver(spec: StageSpec, adds, prev_content):
+    """Dispatch F9: engine-allocated surrogate ids vs the general
+    user value-copy hook."""
+    from .model import KeyValuePreserver
+
+    if isinstance(spec.preserver, KeyValuePreserver):
+        return _apply_key_value_preserver(spec, adds, prev_content)
+    return _assign_surrogate_ids(spec, adds, prev_content)
+
+
 def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                   prev_mappings=None, num_partitions: int = NUM_JOIN_PARTITIONS,
                   emit_feed: bool = True):
@@ -385,7 +687,7 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     # grouped produce never re-executes.
     adds = produce_adds(spec, source_updates).materialize()
     if spec.preserver is not None:
-        adds = _assign_surrogate_ids(spec, adds, prev_content)
+        adds = _apply_preserver(spec, adds, prev_content)
 
     if prev_content is None or prev_mappings is None:
         # Bootstrap: everything is the delta, every target key is new.

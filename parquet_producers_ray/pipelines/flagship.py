@@ -15,7 +15,7 @@ Scale notes (100 TB / multi-node):
   handled separately by stages/skew.py for host-keyed aggregations);
 - ``num_buckets`` targets ~128 MiB of input per partition so a batch ×
   concurrency fits worker heaps and the object store streams/spills;
-- partition ids are pure functions of the data (crc32(url) % P), so a
+- partition ids are pure functions of the data (fnv1a(url) % P), so a
   resumed run reproduces the same membership and can skip completed
   partitions via their manifests;
 - output is many small immutable partition files, never one giant file.
@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -56,16 +55,13 @@ def add_bucket(batch: pa.Table, num_buckets: int,
         h ^= h >> np.uint64(31)
         buckets = (h % np.uint64(num_buckets)).astype(np.int64)
     else:
-        col = col.cast(pa.large_binary())
-        n = len(col)
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
-            col.offset: col.offset + n + 1]
-        data = col.buffers()[2]
-        mv = memoryview(data) if data is not None else memoryview(b"")
-        crc = zlib.crc32
-        buckets = np.fromiter(
-            (crc(mv[offs[i]:offs[i + 1]]) % num_buckets for i in range(n)),
-            dtype=np.int64, count=n)
+        # vectorized FNV-1a over the flat byte buffer (functions/text.py)
+        # — no per-row Python in the flagship's map side.  The bucket id
+        # stays a pure function of the key bytes, so resume and lookup()
+        # (both routed through add_bucket) reproduce membership.
+        from ..functions.text import fnv1a_hash
+        h = fnv1a_hash(col)
+        buckets = (h % np.uint64(num_buckets)).astype(np.int64)
     return batch.append_column("_bucket", pa.array(buckets))
 
 
@@ -397,7 +393,7 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
     """Run the flagship encode; returns the manifests Dataset (small).
 
     Shape: stateless bucket-id map → ONE url-keyed exchange (bucket =
-    crc32(url) % P is a pure function of the data, so resume
+    fnv1a(url) % P is a pure function of the data, so resume
     reproduces membership) → bounded encode stage that persists one
     sorted, encoded, manifest-covered Parquet per bucket.
 

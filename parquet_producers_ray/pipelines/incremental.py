@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..engine.model import (ADD, DELETE, SEQ_COL, TYPE_COL, UPD_SEQ_COL,
-                            UPDATE, StageSpec)
+                            UPDATE, KeyValuePreserver, StageSpec)
 from ..engine.produce import produce_adds
 from ..engine.ranged import RangedTable
 
@@ -115,7 +115,7 @@ class IncrementalMirror:
         incremental waves still emit their delta-sized feeds."""
         from ..engine.produce import apply_updates
 
-        if self.spec.preserver is not None:
+        if hasattr(self.spec.preserver, "next_id"):
             state = self._read_state()
             self.spec.preserver.next_id = int(state.get("next_id", 1))
         content, mappings, feed = apply_updates(self.spec, updates_ds,
@@ -125,7 +125,7 @@ class IncrementalMirror:
         self.mappings.write_full(mappings, version)
         if emit_feed:
             self._write_feed_ds(feed, version)
-        if self.spec.preserver is not None:
+        if hasattr(self.spec.preserver, "next_id"):
             state["next_id"] = self.spec.preserver.next_id
             self._write_state(state)
 
@@ -160,6 +160,40 @@ class IncrementalMirror:
         # version data is written — a crash mid-version then re-run
         # must reallocate the same ids (idempotent resume)
         return adds.set_column(adds.column_names.index(idc), idc, ids)
+
+    def _preserve_values(self, adds: pa.Table, version: int) -> pa.Table:
+        """General ``PreserveKeyValues`` hook (F9,
+        ParquetProducerOptions.cs:16-28) on the ranged store: example
+        previous values come from RANGE-PRUNED point lookups over the
+        prior version, row-aligned per add row, then the user batch
+        hook runs once over the whole (delta-sized) add table."""
+        from ..engine.produce import EX_MARKER
+
+        spec = self.spec
+        tk, vals = spec.target_key, spec.value_columns
+        add_tks = _collect(adds, tk)
+        prev = self.content.read_keys(version, add_tks)
+        examples: dict = {}
+        if prev is not None:
+            # prev is in stored (tk, sk, _seq) order → first per key
+            for *t, v in zip(*([prev.column(c).to_pylist() for c in tk]
+                               + [list(zip(*(prev.column(c).to_pylist()
+                                             for c in vals)))])):
+                examples.setdefault(tuple(t), v)
+        tups = list(zip(*(adds.column(c).to_pylist() for c in tk)))
+        has = [t in examples for t in tups]
+        ex_cols = {
+            c: pa.array([examples[t][i] if h else None
+                         for t, h in zip(tups, has)],
+                        type=spec.out_schema.field(c).type)
+            for i, c in enumerate(vals)}
+        ex_tbl = pa.table(ex_cols | {EX_MARKER: pa.array(has)})
+        out_vals = spec.preserver.preserve(adds.select(tk + vals), ex_tbl)
+        for c in vals:
+            adds = adds.set_column(adds.column_names.index(c), c,
+                                   out_vals.column(c).cast(
+                                       spec.out_schema.field(c).type))
+        return adds
 
     def _state_path(self) -> str:
         return os.path.join(self.root, "_state.json")
@@ -215,7 +249,9 @@ class IncrementalMirror:
             list(adds_ds.iter_batches(batch_format="pyarrow"))) \
             if adds_ds.count() else spec.content_schema().empty_table()
         if spec.preserver is not None and len(adds):
-            adds = self._preserve_ids(adds, version)
+            adds = self._preserve_values(adds, version) \
+                if isinstance(spec.preserver, KeyValuePreserver) \
+                else self._preserve_ids(adds, version)
 
         updated_sks = _collect(updates_tbl, raw_sk)
         prior = self.mappings.read_keys(version, updated_sks)
@@ -295,7 +331,7 @@ class IncrementalMirror:
         feed = feed.sort_by([(c, "ascending") for c in tk]
                             + [(UPD_SEQ_COL, "ascending")])
         self._write_feed_tbl(feed, version + 1)
-        if spec.preserver is not None:
+        if hasattr(spec.preserver, "next_id"):
             state = self._read_state()
             state["next_id"] = spec.preserver.next_id
             self._write_state(state)

@@ -30,9 +30,9 @@ Multi-node: spill_root must be shared storage (same contract as the
 flagship's `_shuffle/`); single-node it lives under /tmp.
 
 Reference anchor: the reference's external merge sort
-(``Parquet.Producers/SortingKeyValueSource.cs`` spooling sorted runs to
-temp streams) is the same move — sort via storage, not via memory
-fabric.
+(``Parquet.Producers/Parquet/MergeSorter.cs:8-93`` spooling sorted
+in-memory runs to temp Parquet, k-way merged on read) is the same
+move — sort via storage, not via memory fabric.
 """
 
 from __future__ import annotations

@@ -80,7 +80,15 @@ def stores(ray_session):
     return MemoryStore()
 
 
-def test_word_counting_dag(stores):
+@pytest.mark.parametrize("rs_threshold", [None, 0],
+                         ids=["driver-set", "join-path"])
+def test_word_counting_dag(stores, monkeypatch, rs_threshold):
+    # rs_threshold=0 forces EVERY read_sources merge through the
+    # distributed semi-join formulation (engine/pipeline.py:
+    # _read_sources_join); the goldens must be identical
+    if rs_threshold is not None:
+        import parquet_producers_ray.engine.produce as prod
+        monkeypatch.setattr(prod, "PRESERVE_JOIN_THRESHOLD", rs_threshold)
     store = stores
     phrases = Producer(store, text_spec("phrasesById"))
     books = Producer(store, text_spec("booksById"))
@@ -379,3 +387,158 @@ def test_empty_feed_cascade_through_parquet_store(ray_session, tmp_path):
     s1.update(updates_from_table(upd_table([])), 2)
     assert table_of(store, "s2", "content", 3, ["id", "phrase"]) == [
         (1, "a"), (2, "b")]
+
+
+def test_preserving_values_distributed_join_path(stores, monkeypatch):
+    """The PreservingValues golden again with the driver-set threshold
+    forced to 0 so EVERY wave runs the distributed formulation
+    (semi-join examples + sorted prefix-sum id allocation,
+    produce._assign_surrogate_ids_join).  Ids must equal the
+    sequential driver allocation exactly."""
+    import parquet_producers_ray.engine.produce as prod
+
+    monkeypatch.setattr(prod, "PRESERVE_JOIN_THRESHOLD", 0)
+    store = stores
+    spec = StageSpec(
+        name="wordsJ", produce=word_gen_produce,
+        source_key=["id"], target_key=["word"],
+        value_columns=["wid"], source_value_columns=["w"],
+        out_schema=pa.schema([pa.field("word", STR), pa.field("wid", INT)]),
+        source_schema=WORDS_SPEC_SCHEMA,
+        preserver=SurrogateIdPreserver(id_column="wid"))
+    words = Producer(store, spec)
+
+    def upd(rows, v):
+        words.update(updates_from_table(pa.Table.from_pylist(
+            rows, schema=pa.schema(list(WORDS_SPEC_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())]))), v)
+
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "budgie", TYPE_COL: UPDATE},
+         {"id": 2, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 2, "w": "cat", TYPE_COL: UPDATE},
+         {"id": 3, "w": "eagle", TYPE_COL: UPDATE},
+         {"id": 3, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 3, "w": "cat", TYPE_COL: UPDATE}], 0)
+    assert table_of(store, "wordsJ", "content", 1,
+                    ["word", "_sk_id", "wid"]) == [
+        ("budgie", 1, 1), ("cat", 2, 2), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 2, 3), ("dog", 3, 3), ("eagle", 3, 4)]
+
+    upd([{"id": 2, "w": "frog", TYPE_COL: UPDATE},
+         {"id": 2, "w": "eagle", TYPE_COL: UPDATE},
+         {"id": 2, "w": "ant", TYPE_COL: UPDATE}], 1)
+    assert table_of(store, "wordsJ", "content", 2,
+                    ["word", "_sk_id", "wid"]) == [
+        ("ant", 2, 5), ("budgie", 1, 1), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
+
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "frog", TYPE_COL: UPDATE}], 2)
+    # budgie re-added later -> FRESH id 7, same as the driver path
+    upd([{"id": 1, "w": "dog", TYPE_COL: UPDATE},
+         {"id": 1, "w": "budgie", TYPE_COL: UPDATE}], 3)
+    assert table_of(store, "wordsJ", "content", 4,
+                    ["word", "_sk_id", "wid"]) == [
+        ("ant", 2, 5), ("budgie", 1, 7), ("cat", 3, 2), ("dog", 1, 3),
+        ("dog", 3, 3), ("eagle", 2, 4), ("eagle", 3, 4), ("frog", 2, 6)]
+
+
+STAMP_SCHEMA = pa.schema([pa.field("id", INT), pa.field("w", STR),
+                          pa.field("st", STR)])
+
+
+def word_stamp_produce(key, values: pa.Table) -> pa.Table:
+    return pa.table({"word": values.column("w"),
+                     "st": values.column("st")})
+
+
+def keep_created_stamp(new_rows: pa.Table, examples: pa.Table) -> pa.Table:
+    """Copy the created-at stamp from the example previous value when
+    one exists — the reference's canonical hook usage
+    (ParquetProducerOptions.cs:20-27 Guid example)."""
+    import pyarrow.compute as pc
+
+    from parquet_producers_ray.engine.produce import EX_MARKER
+    has = examples.column(EX_MARKER)
+    st = pc.if_else(has, examples.column("st"), new_rows.column("st"))
+    return pa.table({"st": st})
+
+
+def _stamp_spec(name: str) -> StageSpec:
+    from parquet_producers_ray.engine.model import KeyValuePreserver
+    return StageSpec(
+        name=name, produce=word_stamp_produce,
+        source_key=["id"], target_key=["word"],
+        value_columns=["st"], source_value_columns=["w", "st"],
+        out_schema=pa.schema([pa.field("word", STR), pa.field("st", STR)]),
+        source_schema=STAMP_SCHEMA,
+        preserver=KeyValuePreserver(preserve=keep_created_stamp))
+
+
+STAMP_WAVES = [
+    # v0: ids 1,2 each contribute words stamped "v0"
+    [{"id": 1, "w": "dog", "st": "v0", TYPE_COL: UPDATE},
+     {"id": 1, "w": "cat", "st": "v0", TYPE_COL: UPDATE},
+     {"id": 2, "w": "dog", "st": "v0", TYPE_COL: UPDATE},
+     {"id": 2, "w": "emu", "st": "v0", TYPE_COL: UPDATE}],
+    # v1: id 2 re-keys to dog+frog stamped "v1": dog must KEEP "v0"
+    # (copied from the example previous value), frog is new -> "v1",
+    # emu disappears with its only source
+    [{"id": 2, "w": "dog", "st": "v1", TYPE_COL: UPDATE},
+     {"id": 2, "w": "frog", "st": "v1", TYPE_COL: UPDATE}],
+]
+
+STAMP_V1 = [("cat", 1, "v0"), ("dog", 1, "v0"), ("dog", 2, "v0"),
+            ("emu", 2, "v0")]
+STAMP_V2 = [("cat", 1, "v0"), ("dog", 1, "v0"), ("dog", 2, "v0"),
+            ("frog", 2, "v1")]
+
+
+@pytest.mark.parametrize("threshold", [None, 0],
+                         ids=["driver-set", "join-path"])
+def test_general_key_value_preserver(stores, monkeypatch, threshold):
+    """F9 in full generality: a KeyValuePreserver copying a NON-id
+    persistent field (created-at stamp) from the example previous
+    value, on both the broadcast-set and distributed-join paths."""
+    if threshold is not None:
+        import parquet_producers_ray.engine.produce as prod
+        monkeypatch.setattr(prod, "PRESERVE_JOIN_THRESHOLD", threshold)
+    store = stores
+    name = f"stamps{'J' if threshold is not None else 'D'}"
+    words = Producer(store, _stamp_spec(name))
+
+    def upd(rows, v):
+        words.update(updates_from_table(pa.Table.from_pylist(
+            rows, schema=pa.schema(list(STAMP_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())]))), v)
+
+    upd(STAMP_WAVES[0], 0)
+    assert table_of(store, name, "content", 1,
+                    ["word", "_sk_id", "st"]) == STAMP_V1
+    upd(STAMP_WAVES[1], 1)
+    assert table_of(store, name, "content", 2,
+                    ["word", "_sk_id", "st"]) == STAMP_V2
+
+
+def test_general_key_value_preserver_ranged(ray_session, tmp_path):
+    """The same created-at-stamp hook through RangedProducer's
+    range-pruned point-lookup path."""
+    from parquet_producers_ray.engine.pipeline import RangedProducer
+
+    words = RangedProducer(str(tmp_path / "kvp"), _stamp_spec("stampsR"),
+                           target_rows=4)
+
+    def upd(rows, v):
+        words.update(pa.Table.from_pylist(
+            rows, schema=pa.schema(list(STAMP_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())])), v)
+
+    def content(v):
+        t = words.mirror.content.read(v).take_all()
+        return sorted((r["word"], r["_sk_id"], r["st"]) for r in t)
+
+    upd(STAMP_WAVES[0], 0)
+    assert content(1) == STAMP_V1
+    upd(STAMP_WAVES[1], 1)
+    assert content(2) == STAMP_V2
