@@ -2520,13 +2520,22 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 # small-scale oracle parity meaningful while the exchange stays bounded
 # at m rows per block at 10^12 scale.
 
-def q_approx_topk(sf_dir: str, m: int = 4096, k: int = 20):
+def q_approx_topk(sf_dir: str, m: int | None = None, k: int = 20):
     import numpy as np
     from ray.data.aggregate import Sum
 
     from ..functions.sketch import mg_partial, mg_truncate
 
-    merged = (_read(sf_dir, "lineitem", ["l_partkey"])
+    src = _read(sf_dir, "lineitem", ["l_partkey"])
+    if m is None:
+        # Auto-size the sketch so the gate scales stay in the EXACT
+        # regime (no truncation fires while distinct ≤ m): TPC-H part
+        # cardinality is ~input_rows/30, so rows/16 gives ~2× headroom;
+        # floored at 4096, capped at 2^20 counters (~16 MB of sketch)
+        # past which the bounded-error contract takes over — the whole
+        # point of MG at 10^12-row scale.
+        m = int(min(1 << 20, max(4096, src.count() // 16)))
+    merged = (src
               .map_batches(lambda b: mg_partial(b, "l_partkey", m),
                            batch_format="pyarrow")
               .groupby("l_partkey")
@@ -4093,7 +4102,7 @@ FROM events
 # (term, doc) pairs pre-shrink the ONE term-keyed exchange to
 # vocabulary × doc pairs; the posting list itself is emitted as an
 # ordered comma-joined string so the driver hash-compares scalars.
-# The df band filter [2, 50] is the standard index prune (hapaxes
+# The df band filter [df_min, df_max] is the standard index prune (hapaxes
 # carry no retrieval signal, stop-terms are query-time rejects) and
 # bounds every posting row — the same max_df cap that makes
 # dedup_jaccard_capped scale.
@@ -4357,9 +4366,9 @@ SQL_PACK_SEQUENCES = """
 WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
                AS n_tokens FROM documents)
 SELECT doc_id, n_tokens,
-       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // 2048 AS seq_id
+           // 2048 AS BIGINT) AS seq_id
 FROM t
 """
 

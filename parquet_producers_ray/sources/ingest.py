@@ -18,6 +18,8 @@ Python rows.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 from .webpages import SCHEMA
@@ -73,6 +75,26 @@ _REC_SEP = "\r\n\r\n"
 _HDR_URI = "WARC-Target-URI: "
 _HDR_DATE = "WARC-Date: "
 
+# Any WARC/1.x minor version (real Common Crawl ships both 1.0 and
+# 1.1); matching only 1.0 would silently drop 1.1 records.
+_WARC_MAGIC_RE = re.compile(r"WARC/1\.\d+\r\n")
+_WARC_MAGIC_BYTES_RE = re.compile(rb"WARC/1\.\d+\r\n")
+
+
+def _ts_array(tss: list) -> pa.Array:
+    """WARC-Date strings → timestamp('us').  Real WARC dates are UTC
+    with a 'Z' suffix ("2017-03-22T17:15:02Z"), which Arrow's plain
+    timestamp cast rejects ("expected no zone offset"); normalize by
+    stripping a trailing 'Z' or '+00:00' before the cast.  Non-UTC
+    offsets are left for the cast to reject loudly rather than
+    silently mislabeled."""
+    norm = [None if t is None
+            else t[:-1] if t.endswith("Z")
+            else t[:-6] if t.endswith("+00:00")
+            else t
+            for t in tss]
+    return pa.array(norm, pa.string()).cast(pa.timestamp("us"))
+
 
 def write_wet(table: pa.Table, path: str) -> None:
     """Serialize a webpage table as a WET-style record stream (test
@@ -80,6 +102,8 @@ def write_wet(table: pa.Table, path: str) -> None:
     with open(path, "wb") as f:
         for row in table.select(["url", "warc_ts", "text"]).to_pylist():
             ts = row["warc_ts"]
+            if row["url"] is None or ts is None:
+                continue    # a record needs both; skip rather than crash
             payload = (row["text"] or "").encode()
             f.write(b"WARC/1.0\r\n")
             f.write(b"WARC-Type: conversion\r\n")
@@ -94,7 +118,7 @@ def write_wet(table: pa.Table, path: str) -> None:
 
 def _parse_wet_bytes(blob: bytes) -> pa.Table:
     txt = blob.decode("utf-8", "replace")
-    recs = txt.split("WARC/1.0\r\n")
+    recs = _WARC_MAGIC_RE.split(txt)
     urls, tss, texts = [], [], []
     for rec in recs:
         if _HDR_URI not in rec:
@@ -113,7 +137,7 @@ def _parse_wet_bytes(blob: bytes) -> pa.Table:
         texts.append(body.rstrip("\r\n"))
     t = pa.table({
         "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.string()).cast(pa.timestamp("us")),
+        "warc_ts": _ts_array(tss),
         "text": pa.array(texts, pa.string()),
     })
     return _normalize(t)
@@ -167,6 +191,8 @@ def write_warc(table: pa.Table, path: str) -> None:
     (test fixture / interchange helper)."""
     with open(path, "wb") as f:
         for row in table.select(["url", "warc_ts", "html"]).to_pylist():
+            if row["url"] is None or row["warc_ts"] is None:
+                continue    # a record needs both; skip rather than crash
             body = row["html"] or b""
             http = (b"HTTP/1.1 200 OK\r\n"
                     b"Content-Type: text/html\r\n\r\n") + body
@@ -187,16 +213,16 @@ def _parse_warc_bytes(blob: bytes) -> pa.Table:
     bodies stay raw bytes — html is NOT assumed to be valid UTF-8."""
     urls, tss, bodies = [], [], []
     pos = 0
-    magic = b"WARC/1.0\r\n"
     n = len(blob)
     while True:
-        start = blob.find(magic, pos)
-        if start < 0:
+        m = _WARC_MAGIC_BYTES_RE.search(blob, pos)
+        if m is None:
             break
+        start = m.start()
         head_end = blob.find(b"\r\n\r\n", start)
         if head_end < 0:
             break
-        head = blob[start + len(magic):head_end].decode("latin-1")
+        head = blob[m.end():head_end].decode("latin-1")
         url = ts = None
         clen = -1
         rtype = ""
@@ -223,7 +249,7 @@ def _parse_warc_bytes(blob: bytes) -> pa.Table:
         bodies.append(body)
     t = pa.table({
         "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.string()).cast(pa.timestamp("us")),
+        "warc_ts": _ts_array(tss),
         "html": pa.array(bodies, pa.large_binary()),
     })
     return _normalize(t)

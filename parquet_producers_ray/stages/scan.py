@@ -45,6 +45,13 @@ def global_ordered_scan(ds, order_col: str, value_col: str,
 
     mm = ds.aggregate(Min(order_col, alias_name="lo"),
                       Max(order_col, alias_name="hi"))
+    if mm is None or mm.get("lo") is None or mm.get("hi") is None:
+        # empty input: nothing to scan — return it with the _excl
+        # column appended so the output schema is stable
+        def empty_excl(b: pa.Table) -> pa.Table:
+            return b.append_column("_excl", pa.array(
+                np.zeros(len(b), dtype=np.int64)))
+        return ds.map_batches(empty_excl, batch_format="pyarrow")
     bounds = np.linspace(mm["lo"], mm["hi"], parts + 1)[1:-1]
 
     def assign(b: pa.Table) -> pa.Table:
@@ -57,8 +64,14 @@ def global_ordered_scan(ds, order_col: str, value_col: str,
 
     tot = parted.groupby("_part").aggregate(
         Sum(value_col, alias_name="t")).to_pandas()
+    totals = tot["t"].to_numpy()
+    if not np.issubdtype(totals.dtype, np.integer):
+        raise TypeError(
+            f"global_ordered_scan expects an integer value_col; "
+            f"'{value_col}' totals are {totals.dtype} — cast upstream "
+            "(a silent int64 assignment would truncate)")
     sums = np.zeros(parts, dtype=np.int64)
-    sums[tot["_part"].to_numpy()] = tot["t"].to_numpy()
+    sums[tot["_part"].to_numpy()] = totals
     base = np.concatenate(([0], np.cumsum(sums)[:-1]))
 
     def scan(b: pa.Table) -> pa.Table:

@@ -166,3 +166,77 @@ def test_curate_encode_from_warc(ray_session, table, tmp_path_factory):
     ntok = np.array([len(t.split()) for t in
                      back.column("text").to_pylist()])
     assert (ntok >= 5).all()
+
+
+def test_warc_real_format_z_dates_and_1_1(ray_session, tmp_path_factory):
+    """Real Common-Crawl records use WARC/1.1 headers and Z-suffixed
+    UTC WARC-Dates ("2017-03-22T17:15:02Z") — both must parse (the
+    repo's own writer emits zone-less 1.0, so this fixture is
+    hand-built in the real wire format)."""
+    d = tmp_path_factory.mktemp("warc11")
+    body = b"<html>hello</html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    rec = (b"WARC/1.1\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: https://example.com/a\r\n"
+           b"WARC-Date: 2017-03-22T17:15:02Z\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(http)) + http + b"\r\n\r\n"
+    rec2 = (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: https://example.com/b\r\n"
+            b"WARC-Date: 2018-01-02T03:04:05+00:00\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)) + http + b"\r\n\r\n"
+    p = str(d / "a.warc")
+    with open(p, "wb") as f:
+        f.write(rec + rec2)
+    got = pa.Table.from_pylist(I.read_webpages_warc([p]).take_all(),
+                               schema=W.SCHEMA).sort_by("url")
+    assert got.num_rows == 2
+    assert got.column("url").to_pylist() == [
+        "https://example.com/a", "https://example.com/b"]
+    import datetime as dt
+    assert got.column("warc_ts").to_pylist() == [
+        dt.datetime(2017, 3, 22, 17, 15, 2),
+        dt.datetime(2018, 1, 2, 3, 4, 5)]
+    assert got.column("html").to_pylist() == [body, body]
+
+    # WET sibling: same Z-date + 1.1 tolerance
+    wet = (b"WARC/1.1\r\n"
+           b"WARC-Type: conversion\r\n"
+           b"WARC-Target-URI: https://example.com/c\r\n"
+           b"WARC-Date: 2017-03-22T17:15:02Z\r\n"
+           b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    pw = str(d / "a.wet")
+    with open(pw, "wb") as f:
+        f.write(wet)
+    gw = pa.Table.from_pylist(I.read_webpages_wet([pw]).take_all(),
+                              schema=W.SCHEMA)
+    assert gw.num_rows == 1
+    assert gw.column("text").to_pylist() == ["hello"]
+    assert gw.column("warc_ts").to_pylist() == [
+        dt.datetime(2017, 3, 22, 17, 15, 2)]
+
+
+def test_warc_wet_writers_skip_null_keys(ray_session, tmp_path_factory):
+    """Writers skip rows missing url or warc_ts instead of crashing
+    (they are exported alongside the readers, not just test fixtures)."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("nulls")
+    t = pa.table({
+        "url": pa.array(["https://x/1", None, "https://x/3"]),
+        "warc_ts": pa.array([dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2),
+                             None], pa.timestamp("us")),
+        "text": pa.array(["a", "b", "c"]),
+        "html": pa.array([b"<a>", b"<b>", b"<c>"], pa.large_binary()),
+    })
+    pw = str(d / "n.wet")
+    I.write_wet(t, pw)
+    gw = pa.Table.from_pylist(I.read_webpages_wet([pw]).take_all(),
+                              schema=W.SCHEMA)
+    assert gw.column("url").to_pylist() == ["https://x/1"]
+    pc_ = str(d / "n.warc")
+    I.write_warc(t, pc_)
+    gc = pa.Table.from_pylist(I.read_webpages_warc([pc_]).take_all(),
+                              schema=W.SCHEMA)
+    assert gc.column("url").to_pylist() == ["https://x/1"]
