@@ -65,6 +65,21 @@ class StageSpec:
     # the transform depends on each value row independently, never on
     # the whole per-key group.
     produce_rows: Optional[Callable[[pa.Table], pa.Table]] = None
+    # Arbitrary target-key orderings — the reference's ``IComparer``
+    # chains (``Util/Comparers.cs:11-39``; compound supplier+amount
+    # comparer ``TestCommand/Program.cs:29-33``).  Ray sorts by column
+    # VALUES, so a comparator becomes a derivation: a vectorized
+    # ``fn(target_key_table) -> pa.Table`` of derived sort columns
+    # (must handle empty input; must be a pure function of the key).
+    # The engine computes the derived columns before every
+    # target-ordered sort, sorts by them AHEAD of the target-key
+    # columns (tie-break), and strips them before persisting —
+    # content, mappings, feeds, and surrogate-id allocation order all
+    # follow the derived ordering.  ``derived_descending`` gives the
+    # per-derived-column direction.  Dataset-path Producer only; the
+    # ranged store's range partitioning keys on raw byte order.
+    derived_sort_key: Optional[Callable[[pa.Table], pa.Table]] = None
+    derived_descending: Optional[list] = None
 
     def output_schema(self) -> pa.Schema:
         return self.out_schema

@@ -318,13 +318,88 @@ def label_feed_sorted(spec: StageSpec, flagged_sorted):
                                       batch_format="pyarrow")
 
 
-def _sorted_by_target_order(tks: set, descending: list) -> list:
+def _sorted_by_target_order(tks: set, descending: list,
+                            spec: "StageSpec | None" = None) -> list:
     """Sort target-key tuples respecting per-column descending flags
-    (stable per-column passes, last column first)."""
+    (stable per-column passes, last column first).  With a ``spec``
+    carrying ``derived_sort_key``, the derived columns order FIRST —
+    surrogate ids allocate in comparer order, matching the content
+    ordering (reference allocates in its TargetKeyComparer order)."""
+    if spec is not None and spec.derived_sort_key is not None:
+        tk = spec.target_key
+        schema = pa.schema([spec.out_schema.field(c) for c in tk])
+        base = list(tks)
+        tbl = pa.table({c: pa.array([t[i] for t in base],
+                                    type=schema.field(c).type)
+                        for i, c in enumerate(tk)})
+        tbl = tbl.append_column("_i", pa.array(np.arange(len(base))))
+        tbl = _append_derived(spec, tbl)
+        dnames = _derived_names(spec)
+        keys = [(n, "descending" if d else "ascending")
+                for n, d in zip(dnames, _derived_desc(spec, len(dnames)))]
+        keys += [(c, "descending" if d else "ascending")
+                 for c, d in zip(tk, spec.target_sort_desc())]
+        order = tbl.sort_by(keys).column("_i").to_pylist()
+        return [base[i] for i in order]
     out = list(tks)
     for col in range(len(descending) - 1, -1, -1):
         out.sort(key=lambda t: t[col], reverse=descending[col])
     return out
+
+
+# Derived-sort-column prefix — the Ray-native form of the reference's
+# arbitrary ``IComparer`` orderings (Util/Comparers.cs:11-39): the
+# comparator becomes a vectorized derivation whose columns sort AHEAD
+# of the raw target-key columns and are stripped before persist.
+DK_PREFIX = "_dk_"
+
+
+def _derived_names(spec) -> list:
+    """Column names the derivation produces (probed on an empty key
+    table — the derivation must handle empty input)."""
+    empty = pa.schema([spec.out_schema.field(c)
+                       for c in spec.target_key]).empty_table()
+    return [DK_PREFIX + c
+            for c in spec.derived_sort_key(empty).column_names]
+
+
+def _derived_desc(spec, n: int) -> list:
+    return list(spec.derived_descending or [False] * n)
+
+
+def _append_derived(spec, b: pa.Table) -> pa.Table:
+    dk = spec.derived_sort_key(b.select(spec.target_key))
+    for i, c in enumerate(dk.column_names):
+        b = b.append_column(DK_PREFIX + c, dk.column(i))
+    return b
+
+
+def target_order_sort(spec, ds, pre=(), post=(), post_desc=None):
+    """Sort ``ds`` by ``pre + <target order> + post`` where
+    ``<target order>`` is the derived sort columns (when the spec has a
+    ``derived_sort_key``) followed by the raw target-key columns as the
+    tie-break.  Derived columns are computed per batch, carried through
+    the sort, and stripped after — callers never see them.  ``pre`` /
+    ``post`` sort ascending unless ``post_desc`` overrides."""
+    from ..stages.exchange import storage_sort
+
+    tk = spec.target_key
+    pre, post = list(pre), list(post)
+    post_desc = list(post_desc) if post_desc is not None \
+        else [False] * len(post)
+    if spec.derived_sort_key is None:
+        return storage_sort(ds, pre + tk + post,
+                            descending=[False] * len(pre)
+                            + spec.target_sort_desc() + post_desc)
+    dnames = _derived_names(spec)
+    ddesc = _derived_desc(spec, len(dnames))
+    with_dk = ds.map_batches(lambda b: _append_derived(spec, b),
+                             batch_format="pyarrow")
+    out = storage_sort(with_dk, pre + dnames + tk + post,
+                       descending=[False] * len(pre) + ddesc
+                       + spec.target_sort_desc() + post_desc)
+    return out.map_batches(lambda b: b.drop_columns(dnames),
+                           batch_format="pyarrow")
 
 
 # Past this many delta rows the preserve/merge machinery stops
@@ -565,7 +640,7 @@ def _assign_surrogate_ids(spec: StageSpec, adds, prev_content,
                                for c in tk + [idc])):
                 prev_ids.setdefault(tuple(t), i)
     new_tks = _sorted_by_target_order(add_tks - prev_ids.keys(),
-                                      spec.target_sort_desc())
+                                      spec.target_sort_desc(), spec)
     for t in new_tks:
         prev_ids[t] = spec.preserver.next_id
         spec.preserver.next_id += 1
@@ -612,8 +687,20 @@ def _assign_surrogate_ids_join(spec: StageSpec, adds, prev_content,
         prev_ids = None
         new_keys = keys
 
-    sorted_keys = new_keys.sort(
-        tk, descending=spec.target_sort_desc()).materialize()
+    if spec.derived_sort_key is not None:
+        dnames = _derived_names(spec)
+        sorted_keys = (new_keys
+                       .map_batches(lambda b: _append_derived(spec, b),
+                                    batch_format="pyarrow")
+                       .sort(dnames + tk,
+                             descending=_derived_desc(spec, len(dnames))
+                             + spec.target_sort_desc())
+                       .map_batches(lambda b: b.drop_columns(dnames),
+                                    batch_format="pyarrow")
+                       .materialize())
+    else:
+        sorted_keys = new_keys.sort(
+            tk, descending=spec.target_sort_desc()).materialize()
     block_refs = sorted_keys.to_arrow_refs()   # in sorted order
 
     @ray.remote
@@ -766,18 +853,14 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
         live_tk_set = _collect_tuples(after, tk)
         dead_tks = touched_tk_set - live_tk_set
 
-    # wide sorts run storage-backed (stages/exchange.py): sample-sort
-    # over spill files instead of the object-store all-to-all; falls
-    # back to ds.sort automatically on degenerate key distributions
-    from ..stages.exchange import storage_sort
-
-    content_sort_cols = tk + sk + [SEQ_COL]
-    content_desc = spec.target_sort_desc() + [False] * (len(sk) + 1)
-    new_content = storage_sort(new_content, content_sort_cols,
-                               descending=content_desc)
-    mappings = storage_sort(mappings, sk + tk + [SEQ_COL],
-                            descending=[False] * len(sk)
-                            + spec.target_sort_desc() + [False])
+    # wide sorts run storage-backed (stages/exchange.py) via
+    # target_order_sort: sample-sort over spill files instead of the
+    # object-store all-to-all, with derived comparer columns computed,
+    # carried, and stripped when the spec declares them
+    new_content = target_order_sort(spec, new_content,
+                                    post=sk + [SEQ_COL])
+    mappings = target_order_sort(spec, mappings, pre=sk,
+                                 post=[SEQ_COL])
 
     if not emit_feed:
         import ray.data
@@ -800,10 +883,8 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                                    pa.array(m.astype(np.int8)))
 
     flagged = after.map_batches(flag, batch_format="pyarrow")
-    sorted_flagged = storage_sort(
-        flagged, tk + sk + [SEQ_COL],
-        descending=spec.target_sort_desc()
-        + [False] * (len(sk) + 1)).materialize()
+    sorted_flagged = target_order_sort(
+        spec, flagged, post=sk + [SEQ_COL]).materialize()
     feed = label_feed_sorted(spec, sorted_flagged)
 
     if dead_tks:
@@ -823,7 +904,7 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
                                         + [TYPE_COL, UPD_SEQ_COL])
         # the labeled stream is already sorted; merging the (delta-sized)
         # deletes needs one small re-sort
-        feed = feed.union(ray.data.from_arrow(deletes)).sort(
-            tk + [UPD_SEQ_COL],
-            descending=spec.target_sort_desc() + [False])
+        feed = target_order_sort(
+            spec, feed.union(ray.data.from_arrow(deletes)),
+            post=[UPD_SEQ_COL])
     return new_content, mappings, feed

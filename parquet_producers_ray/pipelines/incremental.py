@@ -150,7 +150,7 @@ class IncrementalMirror:
                                + [prev.column(idc).to_pylist()])):
                 prev_ids.setdefault(tuple(t), i)
         for t in _sorted_by_target_order(add_tks - prev_ids.keys(),
-                                         spec.target_sort_desc()):
+                                         spec.target_sort_desc(), spec):
             prev_ids[t] = spec.preserver.next_id
             spec.preserver.next_id += 1
         tups = zip(*(adds.column(c).to_pylist() for c in tk))

@@ -542,3 +542,125 @@ def test_general_key_value_preserver_ranged(ray_session, tmp_path):
     assert content(1) == STAMP_V1
     upd(STAMP_WAVES[1], 1)
     assert content(2) == STAMP_V2
+
+
+# -- Arbitrary-comparer orderings (F16: Util/Comparers.cs:11-39) ------------
+# Mirrors the reference's compound supplier+amount TargetKeyComparer
+# (TestCommand/Program.cs:29-33, ByAbsoluteAmountSupplierAndType): the
+# derived ordering is (case-insensitive supplier, |amount|) — neither is
+# column-lexicographic over the raw key — expressed as a
+# derived_sort_key derivation that the engine computes, carries through
+# every sort, and strips before persist.
+
+TXN_SCHEMA = pa.schema([pa.field("txn_id", INT), pa.field("supplier", STR),
+                        pa.field("amount", INT)])
+
+
+def txn_produce(key, values: pa.Table) -> pa.Table:
+    return pa.table({"supplier": values.column("supplier"),
+                     "amount": values.column("amount"),
+                     "txn": pa.array([key[0]] * len(values), type=INT)})
+
+
+def _supplier_abs_order(tk: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return pa.table({
+        "sup_ci": pc.utf8_lower(tk.column("supplier")),
+        "abs_amount": pc.abs(tk.column("amount")),
+    })
+
+
+def test_derived_sort_key_compound_comparer(stores):
+    """Content/mapping/feed order follows the derived comparer, raw
+    key columns persist unchanged and no _dk_ column leaks out."""
+    spec = StageSpec(
+        name="credits", produce=txn_produce,
+        source_key=["txn_id"], target_key=["supplier", "amount"],
+        value_columns=["txn"], source_value_columns=["supplier", "amount"],
+        out_schema=pa.schema([pa.field("supplier", STR),
+                              pa.field("amount", INT),
+                              pa.field("txn", INT)]),
+        source_schema=TXN_SCHEMA,
+        derived_sort_key=_supplier_abs_order)
+    prod = Producer(stores, spec)
+
+    def upd(rows, v):
+        prod.update(updates_from_table(pa.Table.from_pylist(
+            rows, schema=pa.schema(list(TXN_SCHEMA)
+                                   + [pa.field(TYPE_COL, pa.int8())]))), v)
+
+    upd([{"txn_id": 1, "supplier": "acme", "amount": -50, TYPE_COL: UPDATE},
+         {"txn_id": 2, "supplier": "Acme", "amount": 20, TYPE_COL: UPDATE},
+         {"txn_id": 3, "supplier": "Zeta", "amount": -5, TYPE_COL: UPDATE},
+         {"txn_id": 4, "supplier": "beta", "amount": 100, TYPE_COL: UPDATE},
+         {"txn_id": 5, "supplier": "ACME", "amount": 20, TYPE_COL: UPDATE}],
+        0)
+    got = table_of(stores, "credits", "content", 1,
+                   ["supplier", "amount", "txn"])
+    # comparer order: (lower(supplier), |amount|), tie-break raw key
+    assert got == [
+        ("ACME", 20, 5), ("Acme", 20, 2), ("acme", -50, 1),
+        ("beta", 100, 4), ("Zeta", -5, 3)]
+    # derived columns never persist
+    ds = stores.open_read("credits", "content", 1)
+    assert not [c for c in ds.schema().names if c.startswith("_dk_")]
+
+    # mappings: (sk, <comparer order>)
+    m = table_of(stores, "credits", "key_mappings", 1,
+                 ["_sk_txn_id", "supplier", "amount"])
+    assert m == [(1, "acme", -50), (2, "Acme", 20), (3, "Zeta", -5),
+                 (4, "beta", 100), (5, "ACME", 20)]
+
+    # an update wave: the feed sorts in comparer order too and the
+    # deleted key's single Delete lands in comparer position
+    upd([{"txn_id": 3, "supplier": None, "amount": None,
+          TYPE_COL: DELETE},
+         {"txn_id": 1, "supplier": "acme", "amount": -50,
+          TYPE_COL: UPDATE}], 1)
+    feed = table_of(stores, "credits", "updates", 2,
+                    ["supplier", "amount", TYPE_COL])
+    assert feed == [("acme", -50, UPDATE), ("Zeta", -5, DELETE)]
+    got2 = table_of(stores, "credits", "content", 2,
+                    ["supplier", "amount", "txn"])
+    assert got2 == [
+        ("ACME", 20, 5), ("Acme", 20, 2), ("acme", -50, 1),
+        ("beta", 100, 4)]
+
+
+def test_derived_sort_key_with_surrogate_ids(stores, monkeypatch):
+    """derived_sort_key + SurrogateIdPreserver: fresh ids allocate in
+    COMPARER order (the reference allocates in TargetKeyComparer
+    order), on both the driver-set and distributed-join paths."""
+    import parquet_producers_ray.engine.produce as prod_mod
+
+    for threshold, name in ((None, "cmpD"), (0, "cmpJ")):
+        if threshold is not None:
+            monkeypatch.setattr(prod_mod, "PRESERVE_JOIN_THRESHOLD",
+                                threshold)
+        spec = StageSpec(
+            name=name, produce=txn_produce,
+            source_key=["txn_id"], target_key=["supplier", "amount"],
+            value_columns=["txn"],
+            source_value_columns=["supplier", "amount"],
+            out_schema=pa.schema([pa.field("supplier", STR),
+                                  pa.field("amount", INT),
+                                  pa.field("txn", INT)]),
+            source_schema=TXN_SCHEMA,
+            derived_sort_key=_supplier_abs_order,
+            preserver=SurrogateIdPreserver(id_column="txn"))
+        producer = Producer(stores, spec)
+        producer.update(updates_from_table(pa.Table.from_pylist(
+            [{"txn_id": 1, "supplier": "Zeta", "amount": -5,
+              TYPE_COL: UPDATE},
+             {"txn_id": 2, "supplier": "acme", "amount": -50,
+              TYPE_COL: UPDATE},
+             {"txn_id": 3, "supplier": "beta", "amount": 100,
+              TYPE_COL: UPDATE}],
+            schema=pa.schema(list(TXN_SCHEMA)
+                             + [pa.field(TYPE_COL, pa.int8())]))), 0)
+        got = table_of(stores, name, "content", 1,
+                       ["supplier", "amount", "txn"])
+        # ids 1..3 in comparer order acme < beta < Zeta (ci), not in
+        # raw byte order (which would put Zeta before acme/beta)
+        assert got == [("acme", -50, 1), ("beta", 100, 2),
+                       ("Zeta", -5, 3)], (name, got)
