@@ -1962,6 +1962,84 @@ WHERE NOT (doc_id % 97 = 0 AND doc_id % 100 <> 1)
 
 
 # ---------------------------------------------------------------------------
+# Surrogate-key preservation as a driver-checked query (U12 / F9:
+# PreserveKeyValues, ParquetProducerOptions.cs:16-28; goldens
+# Tests:558-672).  Two engine waves: even docs bootstrap v1 (each
+# distinct first-word target key gets next_id++ in target-key order),
+# odd docs arrive as v2 updates (existing words COPY their v1 id, new
+# words extend the counter in word order).  The id rule is closed-form
+# — dense_rank per wave — so the oracle replays the allocation exactly.
+
+def q_engine_preserve(sf_dir: str):
+    import numpy as np
+
+    from ..engine.io import MemoryStore
+    from ..engine.model import (TYPE_COL, UPDATE, StageSpec,
+                                SurrogateIdPreserver)
+    from ..engine.pipeline import Producer
+    from ..engine.produce import UPD_SEQ_COL, updates_from_table
+
+    doc_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("text", pa.string())])
+
+    def first_word_rows(batch: pa.Table) -> pa.Table:
+        words = pc.list_element(
+            pc.split_pattern(batch.column("text"), " "), 0)
+        n = len(batch)
+        return pa.table({
+            "word": words,
+            "_sk_doc_id": batch.column("doc_id"),
+            "wid": pa.array(np.zeros(n, np.int64)),   # preserver fills
+            "_row": pa.array(np.arange(n, dtype=np.int64))})
+
+    spec = StageSpec(
+        name="firstWords", produce=None, produce_rows=first_word_rows,
+        source_key=["doc_id"], target_key=["word"],
+        value_columns=["wid"], source_value_columns=["text"],
+        out_schema=pa.schema([pa.field("word", pa.string()),
+                              pa.field("wid", pa.int64())]),
+        source_schema=doc_schema,
+        preserver=SurrogateIdPreserver(id_column="wid"))
+
+    store = MemoryStore()
+    producer = Producer(store, spec)
+    docs = pa.concat_tables(list(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .iter_batches(batch_format="pyarrow")))
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+
+    def wave(mask):
+        t = docs.filter(pa.array(mask))
+        t = t.append_column(TYPE_COL,
+                            pa.array(np.full(len(t), UPDATE, np.int8)))
+        return updates_from_table(t)
+
+    producer.update(wave(ids % 2 == 0), 0)      # v1: even docs
+    producer.update(wave(ids % 2 == 1), 1)      # v2: odd docs join
+    content = store.open_read("firstWords", "content", 2)
+    return content.select_columns(["word", "_sk_doc_id", "wid"])
+
+
+SQL_ENGINE_PRESERVE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ')[1] AS word FROM documents),
+w1 AS (SELECT DISTINCT word FROM docs WHERE doc_id % 2 = 0),
+w1id AS (SELECT word,
+                CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS wid
+         FROM w1),
+wnew AS (SELECT DISTINCT word FROM docs WHERE doc_id % 2 = 1
+         EXCEPT SELECT word FROM w1),
+w2id AS (SELECT word,
+                (SELECT count(*) FROM w1)
+                + CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS wid
+         FROM wnew),
+ids AS (SELECT * FROM w1id UNION ALL SELECT * FROM w2id)
+SELECT d.word, d.doc_id AS "_sk_doc_id", i.wid
+FROM docs d JOIN ids i USING (word)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling: multiplicative-hash row sample (stable across
 # runs/partitionings — the property a training-data pipeline needs;
 # `ds.random_sample` is the non-reproducible alternative)
@@ -4663,6 +4741,7 @@ REGISTRY = {
     "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
     "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
     "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
+    "engine_preserve": (q_engine_preserve, SQL_ENGINE_PRESERVE),
     "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "stream_encode": (q_stream_encode, SQL_STREAM_ENCODE),
