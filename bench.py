@@ -393,11 +393,17 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--levels", type=str, default=None,
+                    help="comma-separated parallelism pair for "
+                    "--scaling, e.g. '2,8' to measure BELOW the VM's "
+                    "~8-thread bandwidth knee (default 4,16)")
     args = ap.parse_args()
     if args.worker is not None:
         result = worker(args.worker)
     elif args.scaling:
-        result = main_scaling()
+        levels = tuple(int(x) for x in args.levels.split(",")) \
+            if args.levels else (4, 16)
+        result = main_scaling(levels)
     else:
         result = main_bench()
     print(json.dumps(result))
