@@ -857,30 +857,48 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
     # target_order_sort: sample-sort over spill files instead of the
     # object-store all-to-all, with derived comparer columns computed,
     # carried, and stripped when the spec declares them
-    new_content = target_order_sort(spec, new_content,
-                                    post=sk + [SEQ_COL])
     mappings = target_order_sort(spec, mappings, pre=sk,
                                  post=[SEQ_COL])
+
+    if new_tk_set is None and emit_feed:
+        # BOOTSTRAP with feed: ``after`` IS the full dataset and the
+        # feed's sort order equals the content's (tk, sk, _seq) — so
+        # ONE full-data sort serves both outputs, instead of the
+        # round-1 second full sort that made bootstrap-with-feed weak
+        # at 10^12 rows.  Every target key is new, so every group's
+        # first row labels Add.
+        def flag_all(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                ISNEW_COL, pa.array(np.ones(len(t), np.int8)))
+
+        sorted_flagged = target_order_sort(
+            spec, new_content.map_batches(flag_all,
+                                          batch_format="pyarrow"),
+            post=sk + [SEQ_COL]).materialize()
+        content_cols = spec.content_schema().names
+        new_content = sorted_flagged.map_batches(
+            lambda t: t.select(content_cols), batch_format="pyarrow")
+        feed = label_feed_sorted(spec, sorted_flagged)
+        return new_content, mappings, feed
+
+    new_content = target_order_sort(spec, new_content,
+                                    post=sk + [SEQ_COL])
 
     if not emit_feed:
         import ray.data
         return (new_content, mappings,
                 ray.data.from_arrow(spec.feed_schema().empty_table()))
 
-    if new_tk_set is None:
-        def flag(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                ISNEW_COL, pa.array(np.ones(len(t), np.int8)))
-    else:
-        flag_sets = [(tk, new_tk_set, None)]
+    # incremental path: only brand-new target keys flag Add
+    flag_sets = [(tk, new_tk_set, None)]
 
-        def flag(t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return t.append_column(ISNEW_COL,
-                                       pa.array([], type=pa.int8()))
-            m = _membership_mask(t, tk, flag_sets[0][1])
+    def flag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
             return t.append_column(ISNEW_COL,
-                                   pa.array(m.astype(np.int8)))
+                                   pa.array([], type=pa.int8()))
+        m = _membership_mask(t, tk, flag_sets[0][1])
+        return t.append_column(ISNEW_COL,
+                               pa.array(m.astype(np.int8)))
 
     flagged = after.map_batches(flag, batch_format="pyarrow")
     sorted_flagged = target_order_sort(

@@ -196,6 +196,72 @@ class IVFTopK:
         })
 
 
+def axis_sign_bucket(m: np.ndarray, nplanes: int) -> np.ndarray:
+    """Sign-LSH bucket over the FIRST ``nplanes`` dimensions (the
+    axis-aligned special case of random-hyperplane LSH): bucket bit j
+    is ``v[j] > 0``.  Chosen for the oracle-checked query because a
+    SQL oracle can reproduce it exactly (``embedding[j] > 0``), while
+    `lsh_bucket_rows` below uses true random hyperplanes."""
+    if m.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = m[:, :nplanes] > 0
+    bucket = np.zeros(m.shape[0], dtype=np.int64)
+    for j in range(min(nplanes, bits.shape[1])):
+        bucket |= bits[:, j].astype(np.int64) << j
+    return bucket
+
+
+class LSHTopK:
+    """Actor-pool stage for LSH-bucketed ANN: each batch scores only
+    the rows that share a query's bucket (the candidate set), emitting
+    per-batch partial top-k per query — the LSH answer is exact WITHIN
+    the bucket, and the bucket bound is what makes it sub-linear at
+    corpus scale.  Same merge contract as BruteForceTopK."""
+
+    def __init__(self, queries_ref, k: int, nplanes: int,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) \
+            else queries_ref
+        self.query_ids, qm_raw = q
+        qm_raw = np.asarray(qm_raw, dtype=np.float64)
+        self.qbuckets = axis_sign_bucket(qm_raw, nplanes)
+        self.qm = normalize(qm_raw)
+        self.k = k
+        self.nplanes = nplanes
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m_raw = embedding_matrix(batch, self.col)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if m_raw.shape[0] == 0:
+            return empty
+        buckets = axis_sign_bucket(m_raw, self.nplanes)
+        m = normalize(m_raw)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for qi, qb in enumerate(self.qbuckets):
+            cand = np.flatnonzero(buckets == qb)
+            if cand.size == 0:
+                continue
+            sims = m[cand] @ self.qm[qi]
+            k = min(self.k, cand.size)
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[qi], np.int64))
+            out_n.append(ids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+
 def lsh_bucket_rows(batch: pa.Table, nplanes: int = 16,
                     id_col: str = "vec_id", col: str = "embedding",
                     seed: int = 13) -> pa.Table:

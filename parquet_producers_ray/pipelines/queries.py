@@ -1379,6 +1379,56 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 # ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the third similarity-search shape (brute force →
+# IVF → LSH): vectors bucket by the SIGN pattern of their leading
+# dimensions, a query scores only its own bucket's members.  Exact
+# within the bucket, sub-linear in corpus size (candidates ≈ N/2^p).
+# The bucket function is axis-aligned sign-LSH precisely so the DuckDB
+# oracle reproduces it closed-form (``embedding[j] > 0``); the true
+# random-hyperplane variant is functions/similarity.py::lsh_bucket_rows
+# (pytest-verified) with identical plumbing.
+
+def q_ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 10,
+              nplanes: int = 6):
+    import ray
+    import ray.data
+
+    from ..functions.similarity import (LSHTopK, embedding_matrix,
+                                        merge_topk)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        list(ds.filter(expr=f"vec_id < {n_queries}")
+             .iter_batches(batch_format="pyarrow")))
+    qref = ray.put((qtbl.column("vec_id").to_numpy(zero_copy_only=False),
+                    embedding_matrix(qtbl)))
+    cands = ds.map_batches(LSHTopK, batch_format="pyarrow",
+                           concurrency=2,
+                           fn_constructor_args=(qref, k, nplanes))
+    cand_tbl = pa.concat_tables(
+        [b for b in cands.iter_batches(batch_format="pyarrow")])
+    return ray.data.from_arrow(merge_topk(cand_tbl, k))
+
+
+_LSH_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(6))
+
+SQL_ANN_LSH = f"""
+WITH b AS (SELECT vec_id, embedding, {_LSH_BUCKET_EXPR} AS bucket
+           FROM embeddings)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS rank
+  FROM b q JOIN b e USING (bucket)
+  WHERE q.vec_id < 5) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: binary image column → actor-pool feature extract
 
 def q_media_features(sf_dir: str):
@@ -3217,6 +3267,102 @@ WHERE (tf.tf / CAST(tf.n_words AS DOUBLE))
 
 
 # ---------------------------------------------------------------------------
+# BM25 — the retrieval-scoring sibling of tf_idf (Robertson/Spärck
+# Jones probabilistic weighting, the standard search/dedup-candidate
+# ranking function).  Query = the corpus's 3 highest-df terms (both
+# sides derive it, so the oracle is self-contained).  Same exchange
+# contract as tf_idf: the per-(doc,term) table is built block-locally,
+# df and corpus stats are vocabulary-sized broadcasts, scoring is
+# shuffle-free, and only ≤|query| rows per doc cross the final
+# doc-keyed aggregation.
+
+def q_bm25(sf_dir: str, n_terms: int = 3, k1: float = 1.2,
+           b_param: float = 0.75):
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def term_counts(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
+        nwords = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        doc = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False),
+                        nwords)
+        flat = pc.list_flatten(words)
+        t = pa.table({"doc_id": pa.array(doc, pa.int64()), "word": flat,
+                      "dl": pa.array(
+                          np.repeat(nwords, nwords).astype(np.int64))})
+        return (t.group_by(["doc_id", "word"])
+                .aggregate([("word", "count"), ("dl", "max")])
+                .rename_columns(["doc_id", "word", "tf", "dl"]))
+
+    tf = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(term_counts, batch_format="pyarrow")).materialize()
+
+    # corpus statistics from the (vocabulary×doc)-sized tf table:
+    # df per word, N docs, average document length — all tiny
+    df_parts, doc_parts = [], []
+    for blk in tf.iter_batches(batch_format="pyarrow"):
+        df_parts.append(blk.select(["word"]).group_by("word")
+                        .aggregate([("word", "count")]))
+        doc_parts.append(blk.select(["doc_id", "dl"])
+                         .group_by("doc_id").aggregate([("dl", "max")]))
+    df_tbl = (pa.concat_tables(df_parts).group_by("word")
+              .aggregate([("word_count", "sum")]))
+    docs_tbl = (pa.concat_tables(doc_parts).group_by("doc_id")
+                .aggregate([("dl_max", "max")])
+                .rename_columns(["doc_id", "dl_max"]))
+    n_docs = docs_tbl.num_rows
+    avgdl = float(np.sum(docs_tbl.column("dl_max").to_numpy(
+        zero_copy_only=False))) / n_docs
+    top = df_tbl.rename_columns(["word", "df"]).sort_by(
+        [("df", "descending"), ("word", "ascending")]).slice(0, n_terms)
+    ref = ray.put((top.column("word").combine_chunks(),
+                   top.column("df").to_numpy(zero_copy_only=False)
+                   .astype(np.float64), n_docs, avgdl))
+
+    def score(blk: pa.Table) -> pa.Table:
+        terms, dfs, nd, ad = ray.get(ref)
+        idx_arr = pc.index_in(blk.column("word"), value_set=terms)
+        if isinstance(idx_arr, pa.ChunkedArray):
+            idx_arr = idx_arr.combine_chunks()
+        hit = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx = idx_arr.fill_null(0).to_numpy(zero_copy_only=False)
+        tf_v = blk.column("tf").to_numpy(zero_copy_only=False)[hit]
+        dl_v = blk.column("dl").to_numpy(zero_copy_only=False)[hit]
+        ti = idx[hit].astype(np.int64)
+        idf = np.log(1.0 + (nd - dfs[ti] + 0.5) / (dfs[ti] + 0.5))
+        part = idf * tf_v * (k1 + 1) \
+            / (tf_v + k1 * (1 - b_param + b_param * dl_v / ad))
+        return pa.table({
+            "doc_id": blk.column("doc_id").filter(pa.array(hit)),
+            "part": pa.array(part)})
+
+    return (tf.map_batches(score, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Sum("part", alias_name="bm25")))
+
+
+SQL_BM25 = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents),
+dl AS (SELECT doc_id, max(dl) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN qt USING (term) GROUP BY t.doc_id, t.term)
+SELECT tf.doc_id,
+       sum(ln(1 + (s.n_docs - qt.df + 0.5) / (qt.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS bm25
+FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY tf.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-score normalization — per-group (event_type) standardization as
 # TWO streaming passes: tiny moment partials → broadcast → vectorized
 # normalize.  The window-function formulation would hash-exchange the
@@ -3715,7 +3861,8 @@ SELECT lower(regexp_extract(
          'https://Site' || (doc_id % 37) || '.Example/p/' || doc_id
            || '?ref=abc',
          '^https://([^/]+)/', 1)) AS host,
-       count(doc_id) AS n_pages, sum(n_chars) AS total_chars
+       count(doc_id) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 
@@ -4832,6 +4979,8 @@ REGISTRY = {
     "entropy": (q_entropy, SQL_ENTROPY),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "bm25": (q_bm25, SQL_BM25),
 }
 
 
