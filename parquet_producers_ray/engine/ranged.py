@@ -121,6 +121,46 @@ class RangedTable:
             json.dump(m, f)   # min/max pre-normalized by _norm_tuple
         os.replace(tmp, self._manifest_path(version))
 
+    def versions(self) -> list:
+        """Existing version numbers, ascending (manifest present)."""
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("v") and name[1:].isdigit() \
+                    and os.path.exists(os.path.join(self.root, name,
+                                                    "manifest.json")):
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def prune(self, keep_from: int) -> dict:
+        """Delete version directories below ``keep_from`` (retention GC
+        — the reference keeps every ``{name}.{version}.{type}.parquet``
+        forever, ``TestCommand/PersistentStreams.cs:7-28``; a
+        long-running mirror needs to reclaim).  Hardlinked partition
+        files shared with surviving versions keep their inodes — only
+        bytes whose last link dies are actually freed.  The newest
+        version is never deleted.  Returns counts + bytes actually
+        reclaimed."""
+        import shutil
+
+        vs = self.versions()
+        if not vs:
+            return {"pruned_versions": 0, "freed_bytes": 0}
+        keep_from = min(keep_from, vs[-1])   # always keep the newest
+        freed = 0
+        pruned = 0
+        for v in vs:
+            if v >= keep_from:
+                continue
+            vdir = self._vdir(v)
+            for fname in os.listdir(vdir):
+                p = os.path.join(vdir, fname)
+                st = os.stat(p)
+                if st.st_nlink == 1:         # last link → bytes freed
+                    freed += st.st_size
+            shutil.rmtree(vdir)
+            pruned += 1
+        return {"pruned_versions": pruned, "freed_bytes": freed}
+
     # -- bootstrap write --------------------------------------------------
 
     def write_full(self, ds, version: int) -> None:

@@ -109,10 +109,10 @@ class IncrementalMirror:
         """Initial load through the fully-tested apply_updates bootstrap
         path; content and mappings land sorted and are persisted as
         range manifests, the feed (everything Add/Update-labeled) as a
-        plain versioned parquet dir.  ``emit_feed=False`` skips the
-        bootstrap feed (and its second full-data sort) — the 10^12-row
-        initial-load path where consumers read content directly; later
-        incremental waves still emit their delta-sized feeds."""
+        plain versioned parquet dir.  Bootstrap feed labeling shares
+        the content's ONE full-data sort (apply_updates bootstrap
+        branch); ``emit_feed=False`` still skips feed materialization
+        for consumers that read content directly."""
         from ..engine.produce import apply_updates
 
         if hasattr(self.spec.preserver, "next_id"):
@@ -194,6 +194,35 @@ class IncrementalMirror:
                                    out_vals.column(c).cast(
                                        spec.out_schema.field(c).type))
         return adds
+
+    def prune(self, keep_from: int, keep_feeds: bool = False) -> dict:
+        """Retention GC across the mirror's three surfaces: content and
+        mapping versions below ``keep_from`` are deleted (hardlink-aware
+        — see RangedTable.prune), and unless ``keep_feeds`` the
+        corresponding update-feed dirs go too (feeds are per-version
+        deltas; a CDC consumer that has caught up no longer needs
+        them)."""
+        import shutil
+
+        vs = self.content.versions()
+        if vs:      # same newest-version clamp as RangedTable.prune,
+            keep_from = min(keep_from, vs[-1])   # applied to feeds too
+        out = {"content": self.content.prune(keep_from),
+               "mappings": self.mappings.prune(keep_from)}
+        freed_feeds = 0
+        pruned_feeds = 0
+        if not keep_feeds:
+            for v in range(1, keep_from):
+                d = self._feed_dir(v)
+                if os.path.isdir(d):
+                    freed_feeds += sum(
+                        os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d))
+                    shutil.rmtree(d)
+                    pruned_feeds += 1
+        out["feeds"] = {"pruned_versions": pruned_feeds,
+                        "freed_bytes": freed_feeds}
+        return out
 
     def _state_path(self) -> str:
         return os.path.join(self.root, "_state.json")

@@ -15,6 +15,8 @@ Subcommands:
   mirror-bootstrap <input> <root>          Versioned incremental mirror v1.
   mirror-delta <root> <delta_parquet> <based_on_version>
       Apply one delta wave; prints partitions rewritten/linked.
+  mirror-prune <root> --keep-from N [--keep-feeds]
+      Retention GC: delete versions < N (hardlink-aware, no Ray session).
 """
 
 from __future__ import annotations
@@ -87,6 +89,16 @@ def main() -> None:
     md.add_argument("root")
     md.add_argument("delta")
     md.add_argument("based_on", type=int)
+    mp = sub.add_parser(
+        "mirror-prune",
+        help="retention GC: delete mirror versions below --keep-from "
+             "(hardlink-aware — bytes shared with surviving versions "
+             "stay); the newest version is never deleted")
+    mp.add_argument("root")
+    mp.add_argument("--keep-from", type=int, required=True)
+    mp.add_argument("--keep-feeds", action="store_true",
+                    help="keep update-feed dirs (CDC consumers not "
+                         "caught up yet)")
     ce = sub.add_parser(
         "curate-encode",
         help="raw crawl -> curated encoded store: extract text from "
@@ -103,8 +115,8 @@ def main() -> None:
                     help="comma-separated allow-list, e.g. en,de")
     ce.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
-    if args.cmd not in ("lookup", "info"):
-        _init()   # lookup/info are pure client reads — no Ray session
+    if args.cmd not in ("lookup", "info", "mirror-prune"):
+        _init()   # lookup/info/prune are pure client ops — no Ray session
 
     if args.cmd == "encode":
         from parquet_producers_ray.pipelines.flagship import (
@@ -189,6 +201,12 @@ def main() -> None:
                                   else v.decode("utf-8", "replace"))
                               for k, v in row.items()},
                              default=str))
+    elif args.cmd == "mirror-prune":
+        from parquet_producers_ray.pipelines.incremental import (
+            IncrementalMirror, webpage_mirror_spec)
+        mirror = IncrementalMirror(args.root, webpage_mirror_spec())
+        print(json.dumps(mirror.prune(args.keep_from,
+                                      keep_feeds=args.keep_feeds)))
     elif args.cmd == "mirror-bootstrap":
         import numpy as np
         import pyarrow as pa

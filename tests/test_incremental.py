@@ -359,3 +359,47 @@ def test_read_range_timestamp_bounds(ray_session, tmp_path):
     rt.write_full(rd.from_arrow([t1, t2]), 1)
     got = rt.read_range(1, lo=ts[2], hi=ts[5])
     assert sorted(r["v"] for r in got.take_all()) == [2, 3, 4, 5]
+
+
+def test_mirror_prune_retention_gc(ray_session, tmp_path):
+    """prune() deletes versions below keep-from without touching the
+    survivors: hardlinked partition files shared with newer versions
+    keep their inodes, the newest version reads identically, and the
+    freed-bytes accounting only counts last-link files."""
+    base, mirror = _bootstrap(tmp_path, rows=2000, target_rows=300)
+
+    def wave(lo, hi, v):
+        delta = base.slice(lo, hi - lo)
+        new_text = pa.array([f"v{v} " + t
+                             for t in delta.column("text").to_pylist()])
+        delta = delta.set_column(delta.column_names.index("text"),
+                                 "text", new_text)
+        mirror.apply(updates_with_type(delta), v)
+
+    wave(0, 20, 1)     # -> v2
+    wave(500, 520, 2)  # -> v3
+    assert mirror.content.versions() == [1, 2, 3]
+    before = _content_rows(mirror, 3)
+
+    res = mirror.prune(3)
+    assert res["content"]["pruned_versions"] == 2
+    assert res["mappings"]["pruned_versions"] == 2
+    assert res["feeds"]["pruned_versions"] == 2
+    assert res["content"]["freed_bytes"] > 0
+    assert mirror.content.versions() == [3]
+    assert mirror.read_feed(1) is None and mirror.read_feed(3) is not None
+
+    # v3 (with its hardlinked partitions) reads byte-identically
+    after = _content_rows(mirror, 3)
+    assert after.equals(before)
+
+    # pruning can never delete the newest version
+    res2 = mirror.prune(99)
+    assert mirror.content.versions() == [3]
+    assert res2["content"]["pruned_versions"] == 0
+
+    # keep_feeds leaves feed dirs alone
+    wave(100, 110, 3)  # -> v4
+    res3 = mirror.prune(4, keep_feeds=True)
+    assert res3["feeds"]["pruned_versions"] == 0
+    assert mirror.read_feed(3) is not None
