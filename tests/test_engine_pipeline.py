@@ -664,3 +664,71 @@ def test_derived_sort_key_with_surrogate_ids(stores, monkeypatch):
         # raw byte order (which would put Zeta before acme/beta)
         assert got == [("acme", -50, 1), ("beta", 100, 2),
                        ("Zeta", -5, 3)], (name, got)
+
+
+# -- read_sources formulations: randomized differential ---------------------
+# The broadcast-set path and the distributed semi-join path
+# (_read_sources_join) must produce identical merged update streams on
+# ANY input — the goldens pin the semantics, this pins the equivalence.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_feeder_state = st.dictionaries(
+    st.integers(0, 5),
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=2),
+             min_size=1, max_size=2),
+    min_size=0, max_size=4)
+_feeder_feed = st.dictionaries(
+    st.integers(0, 5),
+    st.one_of(st.none(),
+              st.lists(st.text(alphabet="abc", min_size=1, max_size=2),
+                       min_size=1, max_size=2)),
+    min_size=0, max_size=4)
+
+
+def _mk_feeder(state: dict, feed: dict, spec):
+    """(feed_ds, content_ds) tables in the engine's stored shapes."""
+    import ray.data
+
+    from parquet_producers_ray.engine.model import SEQ_COL
+    from parquet_producers_ray.engine.pipeline import UPD_SEQ_COL
+
+    crows = [{"id": k, "_sk_id": k, "phrase": v, SEQ_COL: i}
+             for k in sorted(state) for i, v in enumerate(state[k])]
+    content = pa.Table.from_pylist(crows, schema=pa.schema(
+        [pa.field("id", INT), pa.field("_sk_id", INT),
+         pa.field("phrase", STR), pa.field(SEQ_COL, INT)]))
+    frows = []
+    for k in sorted(feed):
+        if feed[k] is None:
+            frows.append({"id": k, "phrase": None, TYPE_COL: DELETE,
+                          UPD_SEQ_COL: 0})
+        else:
+            for i, v in enumerate(feed[k]):
+                frows.append({"id": k, "phrase": v, TYPE_COL: UPDATE,
+                              UPD_SEQ_COL: i})
+    feed_t = pa.Table.from_pylist(frows, schema=pa.schema(
+        [pa.field("id", INT), pa.field("phrase", STR),
+         pa.field(TYPE_COL, pa.int8()), pa.field(UPD_SEQ_COL, INT)]))
+    return (ray.data.from_arrow(feed_t) if len(feed_t) else None,
+            ray.data.from_arrow(content) if len(content) else None,
+            spec)
+
+
+@settings(max_examples=6, deadline=None)
+@given(s1=_feeder_state, f1=_feeder_feed, s2=_feeder_state,
+       f2=_feeder_feed)
+def test_read_sources_formulations_agree(ray_session, s1, f1, s2, f2):
+    from parquet_producers_ray.engine.pipeline import (UPD_SEQ_COL,
+                                                       read_sources)
+
+    up1, up2 = text_spec("fA"), text_spec("fB")
+    feeders = [_mk_feeder(s1, f1, up1), _mk_feeder(s2, f2, up2)]
+    outs = []
+    for threshold in (None, 0):
+        ds = read_sources(feeders, IDSBYWORD_SPEC, threshold=threshold)
+        rows = sorted((r["id"], r[TYPE_COL], r["phrase"], r[UPD_SEQ_COL])
+                      for r in ds.take_all())
+        outs.append(rows)
+    assert outs[0] == outs[1]
