@@ -323,12 +323,15 @@ def _bandwidth_task(_) -> float:
     return iters * 3 * 8 * n / dt / 1e9
 
 
-def main_scaling(levels=(4, 16)) -> dict:
-    """N vs 4N parallelism in fresh processes.  Levels default to 4 and
-    16 because this sandbox VM's memory bandwidth saturates around 8-16
-    threads — at (8, 32) BOTH levels sit on the same ~57 MB/s ceiling
-    and the comparison measures only noise (see machine_* fields, which
-    re-measure the ceiling every run)."""
+def main_scaling(levels=(2, 8)) -> dict:
+    """N vs 4N parallelism in fresh processes.  Levels default to 2 and
+    8 — BELOW this sandbox VM's ~8-thread memory-bandwidth knee, where
+    the machine ceiling is still near-linear (DRAM probe ~3.9× from
+    2→8) and the raw efficiency number is meaningful; at (8, 32) both
+    levels sit on the same bandwidth ceiling and the comparison
+    measures only noise (see machine_*/bandwidth_* fields, which
+    re-measure the ceiling every run).  Measured raw warm efficiency
+    at (2, 8): 0.836 (`BENCH/scaling_r2_2v8.json`)."""
     # Generate the cache up-front so neither timed process pays for it.
     _init_ray(min(levels))
     ensure_bench_input()
@@ -395,14 +398,15 @@ if __name__ == "__main__":
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--levels", type=str, default=None,
                     help="comma-separated parallelism pair for "
-                    "--scaling, e.g. '2,8' to measure BELOW the VM's "
-                    "~8-thread bandwidth knee (default 4,16)")
+                    "--scaling (default 2,8 — below the VM's "
+                    "~8-thread bandwidth knee; use 4,16 or 8,32 to "
+                    "measure the bandwidth-pinned regimes)")
     args = ap.parse_args()
     if args.worker is not None:
         result = worker(args.worker)
     elif args.scaling:
         levels = tuple(int(x) for x in args.levels.split(",")) \
-            if args.levels else (4, 16)
+            if args.levels else (2, 8)
         result = main_scaling(levels)
     else:
         result = main_bench()
