@@ -257,3 +257,54 @@ def extract_text_from_html(html: pa.Array) -> pa.Array:
     s = pc.replace_substring_regex(s, r"<[^>]*>", " ")
     s = pc.replace_substring_regex(s, r"\s+", " ")
     return pc.utf8_trim_whitespace(s)
+
+
+def repetition_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: repetitious documents are low-quality): per document, the
+    fraction of word-2-gram instances taken by the single most frequent
+    2-gram (``top2gram_frac``) and the fraction of 2-gram instances
+    whose 2-gram occurs more than once (``dup2gram_frac``).  Documents
+    with fewer than two tokens score 0.0 on both.
+
+    Fully vectorized: 2-grams are built from the split offsets like
+    ngram_counts, per-(doc, gram) counts come from one block-local
+    Arrow group_by, and the per-doc max / duplicate-sum are numpy
+    scatter reductions — zero exchanges, zero per-row Python."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch.column(text_col), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    ndocs = len(words)
+    offs = words.offsets.to_numpy().astype(np.int64)
+    base = offs[0]
+    n_per_doc = np.diff(offs)
+    grams_n = np.maximum(n_per_doc - 1, 0)
+    zero = pa.table({
+        "top2gram_frac": pa.array(np.zeros(ndocs), pa.float64()),
+        "dup2gram_frac": pa.array(np.zeros(ndocs), pa.float64())})
+    if int(grams_n.sum()) == 0:
+        return zero
+    mask = np.ones(int(offs[-1] - base), dtype=bool)
+    last = offs[1:] - 1                        # last token per doc
+    mask[last[last >= base] - base] = False
+    lefts = np.flatnonzero(mask) + base
+    vals = words.values
+    grams = pc.binary_join_element_wise(
+        vals.take(pa.array(lefts)), vals.take(pa.array(lefts + 1)), " ")
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), grams_n)
+    cnt = (pa.table({"d": pa.array(doc_idx), "g": grams})
+           .group_by(["d", "g"]).aggregate([("g", "count")]))
+    d_arr = cnt.column("d").to_numpy(zero_copy_only=False)
+    c_arr = cnt.column("g_count").to_numpy(zero_copy_only=False)
+    mx = np.zeros(ndocs, dtype=np.int64)
+    np.maximum.at(mx, d_arr, c_arr)
+    dup = np.zeros(ndocs, dtype=np.int64)
+    np.add.at(dup, d_arr, np.where(c_arr > 1, c_arr, 0))
+    denom = np.maximum(grams_n, 1).astype(np.float64)
+    return pa.table({
+        "top2gram_frac": pa.array(
+            np.where(grams_n > 0, mx / denom, 0.0)),
+        "dup2gram_frac": pa.array(
+            np.where(grams_n > 0, dup / denom, 0.0))})

@@ -547,6 +547,36 @@ FROM t
 """
 
 
+def q_text_repetition(sf_dir: str):
+    """Gopher-rule repetition filter signals (functions/text.py::
+    repetition_scores): top-2-gram fraction and duplicate-2-gram
+    fraction per document — shuffle-free, one vectorized pass."""
+    from ..functions.text import repetition_scores
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = repetition_scores(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "top2gram_frac": t.column("top2gram_frac"),
+                         "dup2gram_frac": t.column("dup2gram_frac")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS gram
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t)),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+d AS (SELECT doc_id, sum(cnt) AS total, max(cnt) AS mx,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+      FROM c GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(d.mx / CAST(d.total AS DOUBLE), 0.0) AS top2gram_frac,
+       COALESCE(d.dup / CAST(d.total AS DOUBLE), 0.0) AS dup2gram_frac
+FROM t LEFT JOIN d USING (doc_id)
+"""
+
+
 def q_text_langid(sf_dir: str):
     from ..functions.text import langid_scores
 
@@ -4981,6 +5011,7 @@ REGISTRY = {
     "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "bm25": (q_bm25, SQL_BM25),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
 }
 
 
