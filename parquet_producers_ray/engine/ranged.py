@@ -328,6 +328,70 @@ class RangedTable:
         self._write_manifest(new_version, parts)
         return {"rewritten": len(parts), "linked": 0}
 
+    def compact(self, version: int, new_version: int) -> dict:
+        """Merge runs of adjacent undersized partitions into
+        target-row-sized files — the complement of apply_delta's
+        oversize SPLIT: delete-heavy waves shrink partitions and,
+        uncompacted, per-partition task overheads grow without bound.
+        Greedy pack in key order (accumulate while the run holds fewer
+        than ``target_rows`` rows), so already-full partitions become
+        singleton groups and HARDLINK untouched; merged output is
+        sorted and range-disjoint by construction (inputs are adjacent
+        and disjoint).  One Ray task per merged group."""
+        import shutil
+
+        import ray
+
+        m = self.manifest(version)
+        assert m is not None, "compact needs an existing version"
+        parts = m["partitions"]
+        old_vdir, new_vdir = self._vdir(version), self._vdir(new_version)
+        shutil.rmtree(new_vdir, ignore_errors=True)
+        os.makedirs(new_vdir, exist_ok=True)
+
+        groups, cur, cur_rows = [], [], 0
+        for p in parts:
+            cur.append(p)
+            cur_rows += p["rows"]
+            if cur_rows >= self.target_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+        if cur:
+            groups.append(cur)
+
+        @ray.remote
+        def merge(paths, out_path, target_rows):
+            t = pa.concat_tables([pq.read_table(p) for p in paths])
+            pq.write_table(t, out_path, row_group_size=target_rows)
+            return len(t)
+
+        new_parts, futures, linked = [], [], 0
+        for gi, grp in enumerate(groups):
+            if len(grp) == 1:
+                p = grp[0]
+                src = os.path.join(old_vdir, p["file"])
+                dst = os.path.join(new_vdir, p["file"])
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                new_parts.append(dict(p))
+                linked += 1
+                continue
+            fname = f"compact.c{new_version}-{gi}.parquet"
+            futures.append((gi, grp, fname, merge.remote(
+                [os.path.join(old_vdir, p["file"]) for p in grp],
+                os.path.join(new_vdir, fname), self.target_rows)))
+        for gi, grp, fname, fut in futures:
+            rows = ray.get(fut)
+            new_parts.append({"file": fname, "rows": rows,
+                              "min": list(grp[0]["min"]),
+                              "max": list(grp[-1]["max"])})
+        self._write_manifest(new_version, new_parts)
+        return {"partitions_before": len(parts),
+                "partitions_after": len(new_parts),
+                "merged_groups": len(futures), "linked": linked}
+
     # -- incremental apply --------------------------------------------------
 
     def apply_delta(self, version: int, new_version: int,

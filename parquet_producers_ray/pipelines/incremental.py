@@ -195,6 +195,16 @@ class IncrementalMirror:
                                        spec.out_schema.field(c).type))
         return adds
 
+    def compact(self, version: int) -> dict:
+        """Compaction wave: version+1 is version with adjacent
+        undersized partitions merged (RangedTable.compact) on both
+        content and mappings.  No feed — compaction changes layout,
+        not data (read_feed returns None for the compaction version,
+        like a feed-less bootstrap)."""
+        return {"version": version + 1,
+                "content": self.content.compact(version, version + 1),
+                "mappings": self.mappings.compact(version, version + 1)}
+
     def prune(self, keep_from: int, keep_feeds: bool = False) -> dict:
         """Retention GC across the mirror's three surfaces: content and
         mapping versions below ``keep_from`` are deleted (hardlink-aware

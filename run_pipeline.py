@@ -15,6 +15,8 @@ Subcommands:
   mirror-bootstrap <input> <root>          Versioned incremental mirror v1.
   mirror-delta <root> <delta_parquet> <based_on_version>
       Apply one delta wave; prints partitions rewritten/linked.
+  mirror-compact <root> <based_on_version>
+      Merge adjacent undersized partitions into version based_on+1.
   mirror-prune <root> --keep-from N [--keep-feeds]
       Retention GC: delete versions < N (hardlink-aware, no Ray session).
 """
@@ -89,6 +91,12 @@ def main() -> None:
     md.add_argument("root")
     md.add_argument("delta")
     md.add_argument("based_on", type=int)
+    mc = sub.add_parser(
+        "mirror-compact",
+        help="merge adjacent undersized partitions (after delete-heavy "
+             "waves) into a new version; full partitions hardlink")
+    mc.add_argument("root")
+    mc.add_argument("based_on", type=int)
     mp = sub.add_parser(
         "mirror-prune",
         help="retention GC: delete mirror versions below --keep-from "
@@ -201,6 +209,11 @@ def main() -> None:
                                   else v.decode("utf-8", "replace"))
                               for k, v in row.items()},
                              default=str))
+    elif args.cmd == "mirror-compact":
+        from parquet_producers_ray.pipelines.incremental import (
+            IncrementalMirror, webpage_mirror_spec)
+        mirror = IncrementalMirror(args.root, webpage_mirror_spec())
+        print(json.dumps(mirror.compact(args.based_on)))
     elif args.cmd == "mirror-prune":
         from parquet_producers_ray.pipelines.incremental import (
             IncrementalMirror, webpage_mirror_spec)

@@ -403,3 +403,43 @@ def test_mirror_prune_retention_gc(ray_session, tmp_path):
     res3 = mirror.prune(4, keep_feeds=True)
     assert res3["feeds"]["pruned_versions"] == 0
     assert mirror.read_feed(3) is not None
+
+
+def test_mirror_compact_merges_small_partitions(ray_session, tmp_path):
+    """After a delete-heavy wave shrinks partitions, compact() merges
+    adjacent undersized ones into ~target_rows files: data identical,
+    partition count drops, full partitions hardlink, and a later delta
+    applies cleanly on the compacted version."""
+    base, mirror = _bootstrap(tmp_path, rows=3000, target_rows=400)
+    urls = base.column("url").to_pylist()
+
+    # delete ~2 of every 3 rows -> every partition shrinks
+    drop = pa.table({
+        "url": pa.array([u for i, u in enumerate(urls) if i % 3 != 0]),
+        "warc_ts": pa.nulls(2000, base.schema.field("warc_ts").type),
+        "html": pa.nulls(2000, base.schema.field("html").type),
+        "text": pa.nulls(2000, pa.string()),
+        "lang": pa.nulls(2000, pa.string()),
+    })
+    mirror.apply(updates_with_type(drop, DELETE), 1)
+    before = _content_rows(mirror, 2)
+    n_before = len(mirror.content.manifest(2)["partitions"])
+
+    res = mirror.compact(2)
+    assert res["version"] == 3
+    n_after = res["content"]["partitions_after"]
+    assert n_after < n_before
+    assert res["content"]["merged_groups"] >= 1
+    after = _content_rows(mirror, 3)
+    assert after.equals(before)
+    # manifest ranges stay ordered and disjoint
+    parts = mirror.content.manifest(3)["partitions"]
+    for a, b in zip(parts, parts[1:]):
+        assert tuple(a["max"]) < tuple(b["min"])
+
+    # a later delta applies on the compacted version
+    mod = base.slice(0, 9)   # doc 0,3,6 survive; others re-add
+    res2 = mirror.apply(updates_with_type(mod), 3)
+    got = _content_rows(mirror, 4)
+    assert got.num_rows == before.num_rows + 6   # 6 re-added rows
+    assert res2["content"]["rewritten"] >= 1
