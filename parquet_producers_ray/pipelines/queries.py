@@ -2042,6 +2042,144 @@ WHERE NOT (doc_id % 97 = 0 AND doc_id % 100 <> 1)
 
 
 # ---------------------------------------------------------------------------
+# Incremental JOIN VIEW through the cascade — the reference's
+# "incremental joins" pattern (README.md:63-71, 234-236): two feeder
+# stages re-key orders and lineitem onto a COMMON interchange schema
+# (okey, kind, custkey, amount), a merge stage consumes BOTH feeders
+# (F10 ReadSources: per order key it sees the union of the 'O' row and
+# the 'L' rows) and emits per-order revenue keyed by customer, and a
+# final stage rolls revenue up per customer — i.e. an incrementally
+# maintainable materialized orders⋈lineitem GROUP BY view.  The driver
+# checks the bootstrap wave; the delta wave (order deleted, lineitems
+# re-sent) is pinned by tests/test_engine_pipeline.py.
+
+def _join_view_specs():
+    from ..engine.model import StageSpec
+
+    inter = pa.schema([pa.field("okey", pa.int64()),
+                       pa.field("kind", pa.string()),
+                       pa.field("custkey", pa.int64()),
+                       pa.field("amount", pa.float64())])
+
+    def identity_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({
+            "okey": batch.column("okey"),
+            "_sk_okey": batch.column("okey"),
+            "kind": batch.column("kind"),
+            "custkey": batch.column("custkey"),
+            "amount": batch.column("amount"),
+            "_row": pa.array(np.arange(len(batch), dtype=np.int64))})
+
+    def feeder(name: str) -> StageSpec:
+        return StageSpec(
+            name=name, produce=None, produce_rows=identity_rows,
+            source_key=["okey"], target_key=["okey"],
+            value_columns=["kind", "custkey", "amount"],
+            source_value_columns=["kind", "custkey", "amount"],
+            out_schema=inter, source_schema=inter)
+
+    def order_rev_produce(key, values: pa.Table) -> pa.Table:
+        kinds = values.column("kind").to_pylist()
+        empty = pa.table({"custkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if "O" not in kinds or "L" not in kinds:
+            return empty          # inner-join semantics per order
+        custkey = values.column("custkey")[kinds.index("O")].as_py()
+        amounts = values.column("amount").to_pylist()
+        rev = float(sum(a for k, a in zip(kinds, amounts) if k == "L"))
+        return pa.table({"custkey": pa.array([custkey], pa.int64()),
+                         "revenue": pa.array([rev], pa.float64())})
+
+    j_spec = StageSpec(
+        name="orderRev", produce=order_rev_produce,
+        source_key=["okey"], target_key=["custkey"],
+        value_columns=["revenue"],
+        source_value_columns=["kind", "custkey", "amount"],
+        out_schema=pa.schema([pa.field("custkey", pa.int64()),
+                              pa.field("revenue", pa.float64())]),
+        source_schema=inter)
+
+    def cust_total_produce(key, values: pa.Table) -> pa.Table:
+        rev = float(sum(values.column("revenue").to_pylist()))
+        return pa.table({"custkey": pa.array([key[0]], pa.int64()),
+                         "total_revenue": pa.array([rev], pa.float64())})
+
+    k_spec = StageSpec(
+        name="custRev", produce=cust_total_produce,
+        source_key=["custkey"], target_key=["custkey"],
+        value_columns=["total_revenue"],
+        source_value_columns=["revenue"],
+        out_schema=pa.schema([pa.field("custkey", pa.int64()),
+                              pa.field("total_revenue", pa.float64())]),
+        source_schema=pa.schema([pa.field("custkey", pa.int64()),
+                                 pa.field("revenue", pa.float64())]))
+    return feeder, j_spec, k_spec
+
+
+def q_engine_join_view(sf_dir: str, mod: int = 20):
+    import numpy as np
+
+    from ..engine.io import MemoryStore
+    from ..engine.model import TYPE_COL, UPDATE
+    from ..engine.pipeline import Producer
+    from ..engine.produce import updates_from_table
+
+    feeder, j_spec, k_spec = _join_view_specs()
+    store = MemoryStore()
+    ord_p = Producer(store, feeder("ordKeyed"))
+    line_p = Producer(store, feeder("lineKeyed"))
+    join_p = Producer(store, j_spec, [ord_p, line_p])
+    join_p.produces(k_spec)
+
+    def upd(t: pa.Table):
+        t = t.append_column(TYPE_COL,
+                            pa.array(np.full(len(t), UPDATE, np.int8)))
+        return updates_from_table(t)
+
+    def keep(col):
+        def fn(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(v % mod == 0))
+        return fn
+
+    orders = pa.concat_tables(list(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(keep("o_orderkey"), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    o_upd = pa.table({
+        "okey": orders.column("o_orderkey"),
+        "kind": pa.array(["O"] * len(orders)),
+        "custkey": orders.column("o_custkey"),
+        "amount": pa.nulls(len(orders), pa.float64())})
+    lines = pa.concat_tables(list(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+        .map_batches(keep("l_orderkey"), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    l_upd = pa.table({
+        "okey": lines.column("l_orderkey"),
+        "kind": pa.array(["L"] * len(lines)),
+        "custkey": pa.nulls(len(lines), pa.int64()),
+        "amount": lines.column("l_extendedprice").cast(pa.float64())})
+
+    ord_p._update_internal(upd(o_upd), 0)
+    line_p._update_internal(upd(l_upd), 0)
+    join_p._update_from_sources(0)
+    for t in join_p.targets:
+        t._update_from_sources(0)
+    content = store.open_read("custRev", "content", 1)
+    return content.select_columns(["custkey", "total_revenue"])
+
+
+SQL_ENGINE_JOIN_VIEW = """
+SELECT o_custkey AS custkey, sum(l_extendedprice) AS total_revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey % 20 = 0
+GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Surrogate-key preservation as a driver-checked query (U12 / F9:
 # PreserveKeyValues, ParquetProducerOptions.cs:16-28; goldens
 # Tests:558-672).  Two engine waves: even docs bootstrap v1 (each
@@ -5012,6 +5150,7 @@ REGISTRY = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "bm25": (q_bm25, SQL_BM25),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "engine_join_view": (q_engine_join_view, SQL_ENGINE_JOIN_VIEW),
 }
 
 

@@ -732,3 +732,77 @@ def test_read_sources_formulations_agree(ray_session, s1, f1, s2, f2):
                       for r in ds.take_all())
         outs.append(rows)
     assert outs[0] == outs[1]
+
+
+def test_engine_join_view_incremental(stores):
+    """Incremental maintenance of the orders⋈lineitem GROUP BY view
+    (reference README.md:234-236 incremental joins): after the
+    bootstrap wave, delete one order and re-send another order's
+    lineitems — the view updates through the cascade to exactly the
+    recomputed answer, rewriting only delta-affected keys."""
+    import numpy as np
+
+    from parquet_producers_ray.engine.produce import updates_from_table
+    from parquet_producers_ray.pipelines.queries import _join_view_specs
+
+    feeder, j_spec, k_spec = _join_view_specs()
+    store = stores
+    ord_p = Producer(store, feeder("ordK"))
+    line_p = Producer(store, feeder("lineK"))
+    j_spec = j_spec.__class__(**{**j_spec.__dict__, "name": "ordRevT"})
+    k_spec = k_spec.__class__(**{**k_spec.__dict__, "name": "custRevT"})
+    join_p = Producer(store, j_spec, [ord_p, line_p])
+    join_p.produces(k_spec)
+
+    INTER = pa.schema([pa.field("okey", INT), pa.field("kind", STR),
+                       pa.field("custkey", INT),
+                       pa.field("amount", pa.float64())])
+
+    def upd(rows, type_=UPDATE):
+        t = pa.Table.from_pylist(rows, schema=INTER)
+        t = t.append_column(TYPE_COL,
+                            pa.array(np.full(len(t), type_, np.int8)))
+        return updates_from_table(t)
+
+    def orow(okey, cust):
+        return {"okey": okey, "kind": "O", "custkey": cust,
+                "amount": None}
+
+    def lrow(okey, amt):
+        return {"okey": okey, "kind": "L", "custkey": None,
+                "amount": float(amt)}
+
+    # bootstrap: cust 1 owns orders 10 (rev 5) and 20 (rev 7);
+    # cust 2 owns order 30 (rev 11); order 40 has no lineitems
+    ord_p._update_internal(upd([orow(10, 1), orow(20, 1), orow(30, 2),
+                                orow(40, 2)]), 0)
+    line_p._update_internal(upd([lrow(10, 2), lrow(10, 3), lrow(20, 7),
+                                 lrow(30, 11)]), 0)
+    join_p._update_from_sources(0)
+    for t in join_p.targets:
+        t._update_from_sources(0)
+
+    def view(v):
+        return sorted(
+            (r["custkey"], r["total_revenue"])
+            for r in store.open_read("custRevT", "content", v).take_all())
+
+    assert view(1) == [(1, 12.0), (2, 11.0)]
+
+    # delta: delete order 20 on BOTH sides; order 30's lineitems
+    # re-sent with a new amount; order 40 gains its first lineitem
+    ord_p._update_internal(upd([{"okey": 20, "kind": None,
+                                 "custkey": None, "amount": None}],
+                               DELETE), 1)
+    line_delta = pa.Table.from_pylist(
+        [lrow(30, 13), lrow(40, 1),
+         {"okey": 20, "kind": None, "custkey": None, "amount": None}],
+        schema=INTER).append_column(
+            TYPE_COL, pa.array([UPDATE, UPDATE, DELETE], pa.int8()))
+    line_p._update_internal(updates_from_table(line_delta), 1)
+    join_p._update_from_sources(1)
+    for t in join_p.targets:
+        t._update_from_sources(1)
+    # recomputed truth: cust1 keeps only order 10 (5); cust2 = order 30
+    # re-priced to 13 + order 40's new lineitem 1 = 14
+    assert view(2) == [(1, 5.0), (2, 14.0)]
