@@ -195,6 +195,22 @@ class IncrementalMirror:
                                        spec.out_schema.field(c).type))
         return adds
 
+    def info(self) -> dict:
+        """Per-version inventory across the mirror's surfaces — a pure
+        metadata read (manifests + directory listings), no Ray."""
+        out = {}
+        for v in self.content.versions():
+            m = self.content.manifest(v) or {"partitions": []}
+            vdir = self.content._vdir(v)
+            rows = sum(p["rows"] for p in m["partitions"])
+            nbytes = sum(os.path.getsize(os.path.join(vdir, p["file"]))
+                         for p in m["partitions"])
+            out[v] = {"partitions": len(m["partitions"]), "rows": rows,
+                      "bytes": nbytes,
+                      "feed": os.path.isdir(self._feed_dir(v))}
+        return {"root": self.root, "versions": out,
+                "state": self._read_state()}
+
     def compact(self, version: int) -> dict:
         """Compaction wave: version+1 is version with adjacent
         undersized partitions merged (RangedTable.compact) on both

@@ -17,6 +17,8 @@ Subcommands:
       Apply one delta wave; prints partitions rewritten/linked.
   mirror-compact <root> <based_on_version>
       Merge adjacent undersized partitions into version based_on+1.
+  mirror-info <root>
+      Per-version inventory (partitions/rows/bytes/feed; no Ray session).
   mirror-prune <root> --keep-from N [--keep-feeds]
       Retention GC: delete versions < N (hardlink-aware, no Ray session).
 """
@@ -97,6 +99,10 @@ def main() -> None:
              "waves) into a new version; full partitions hardlink")
     mc.add_argument("root")
     mc.add_argument("based_on", type=int)
+    mi = sub.add_parser("mirror-info",
+                        help="per-version inventory (pure metadata "
+                             "read, no Ray session)")
+    mi.add_argument("root")
     mp = sub.add_parser(
         "mirror-prune",
         help="retention GC: delete mirror versions below --keep-from "
@@ -123,7 +129,7 @@ def main() -> None:
                     help="comma-separated allow-list, e.g. en,de")
     ce.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
-    if args.cmd not in ("lookup", "info", "mirror-prune"):
+    if args.cmd not in ("lookup", "info", "mirror-prune", "mirror-info"):
         _init()   # lookup/info/prune are pure client ops — no Ray session
 
     if args.cmd == "encode":
@@ -209,6 +215,11 @@ def main() -> None:
                                   else v.decode("utf-8", "replace"))
                               for k, v in row.items()},
                              default=str))
+    elif args.cmd == "mirror-info":
+        from parquet_producers_ray.pipelines.incremental import (
+            IncrementalMirror, webpage_mirror_spec)
+        mirror = IncrementalMirror(args.root, webpage_mirror_spec())
+        print(json.dumps(mirror.info()))
     elif args.cmd == "mirror-compact":
         from parquet_producers_ray.pipelines.incremental import (
             IncrementalMirror, webpage_mirror_spec)
