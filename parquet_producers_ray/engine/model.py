@@ -65,6 +65,17 @@ class StageSpec:
     # the transform depends on each value row independently, never on
     # the whole per-key group.
     produce_rows: Optional[Callable[[pa.Table], pa.Table]] = None
+    # Scale path for per-GROUP transforms (U4-U6 reduce shapes): a
+    # vectorized batch function called once per BLOCK instead of once
+    # per key.  The engine co-locates complete source-key groups with
+    # one keyed exchange and hands the block sorted by (source_key,
+    # _upd_seq) with delete rows already resolved.  Contract:
+    # ``produce_grouped(batch) -> pa.Table`` with columns target_key +
+    # [_sk_<c> for c in source_key] + value_columns; rows of one source
+    # key must be contiguous and in emission order (the engine assigns
+    # ``_seq`` per source-key run).  Use for grouped aggregates whose
+    # per-key Python `produce` call would dominate at 10^12 keys.
+    produce_grouped: Optional[Callable[[pa.Table], pa.Table]] = None
     # Arbitrary target-key orderings — the reference's ``IComparer``
     # chains (``Util/Comparers.cs:11-39``; compound supplier+amount
     # comparer ``TestCommand/Program.cs:29-33``).  Ray sorts by column

@@ -57,6 +57,28 @@ def updates_from_table(table: pa.Table):
     return ray.data.from_arrow(table)
 
 
+def updates_from_dataset(ds, seq_from: str | None = None):
+    """Dataset-NATIVE wave construction: append ``_upd_seq`` per batch
+    without ever materializing the wave on the driver (the scale form of
+    ``updates_from_table`` — a 10^12-row wave must stay distributed).
+
+    ``_upd_seq`` orders upsert rows WITHIN one source key.  Pass
+    ``seq_from=<column>`` naming a deterministic per-key order column
+    (e.g. a line number) when a key can carry several upsert rows in one
+    wave; keys with a single row per wave (the common case) use the
+    zero default.  The input must already carry ``_type``."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if seq_from is not None:
+            seq = pc.cast(b.column(seq_from), pa.int64())
+        else:
+            seq = pa.array(np.zeros(len(b), np.int64))
+        return b.append_column(UPD_SEQ_COL, seq)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _collect_tuples(ds, cols: list) -> set:
     """Driver-side distinct tuple set of delta-sized columns."""
     out = set()
@@ -200,14 +222,91 @@ def _produce_rows_fn(spec: StageSpec):
     return fn
 
 
+def _produce_grouped_fn(spec: StageSpec):
+    """Vectorized GROUPED production: each block holds COMPLETE
+    source-key groups (co-located by produce_adds' keyed exchange).
+    Sorts the block by (source_key, _upd_seq), enforces the
+    no-mixed-Delete rule vectorized (reference
+    ParquetProduction.cs:326-337), strips delete-only groups, calls
+    ``spec.produce_grouped`` ONCE, and assigns ``_seq`` per source-key
+    run of the output — one Python call per block instead of per key."""
+    sk, tk, vals = spec.source_key, spec.target_key, spec.value_columns
+
+    def fn(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [spec.out_schema.field(c) for c in tk]
+            + [spec.source_schema.field(c).with_name(SK_PREFIX + c)
+               for c in sk]
+            + [spec.out_schema.field(c) for c in vals]
+            + [pa.field(SEQ_COL, pa.int64())])
+        if len(batch) == 0:
+            return schema.empty_table()
+        batch = batch.sort_by([(c, "ascending") for c in sk]
+                              + [(UPD_SEQ_COL, "ascending")])
+        new = _tk_run_bounds(batch, sk)
+        gid = np.cumsum(new) - 1
+        ng = int(gid[-1]) + 1
+        types = batch.column(TYPE_COL).to_numpy(zero_copy_only=False)
+        isdel = types == DELETE
+        delc = np.bincount(gid, weights=isdel.astype(np.float64),
+                           minlength=ng)
+        cnt = np.bincount(gid, minlength=ng)
+        if np.any((delc > 0) & (delc < cnt)):
+            raise ValueError(
+                f"stage {spec.name}: key carries both Delete and "
+                "upserts in one batch (reference "
+                "ParquetProduction.cs:326-337 rule)")
+        if isdel.any():
+            batch = batch.filter(pa.array(~isdel))
+            if len(batch) == 0:
+                return schema.empty_table()
+        out = spec.produce_grouped(batch)
+        # _seq = emission index within each source-key run of the output
+        onew = _tk_run_bounds(out, spec.stored_sk)
+        rid = np.cumsum(onew) - 1
+        run_start = np.flatnonzero(onew)
+        seq = np.arange(len(out), dtype=np.int64) - run_start[rid] \
+            if len(out) else np.array([], np.int64)
+        cols = {c: out.column(c) for c in tk}
+        for c in sk:
+            cols[SK_PREFIX + c] = out.column(SK_PREFIX + c)
+        for c in vals:
+            cols[c] = out.column(c)
+        cols[SEQ_COL] = pa.array(seq)
+        return pa.table(cols).cast(schema)
+
+    return fn
+
+
 def produce_adds(spec: StageSpec, source_updates):
     """F1+F3 production half: group upserts by source key, run the user
     produce, emit add-instruction rows (tk + sk + values + _seq).
     Stages declaring a vectorized ``produce_rows`` skip the per-key
-    grouping entirely — no shuffle, no per-key Python call."""
+    grouping entirely — no shuffle, no per-key Python call; stages
+    declaring ``produce_grouped`` pay ONE keyed exchange and a single
+    vectorized call per block instead of Python per key."""
     if spec.produce_rows is not None:
         return source_updates.map_batches(_produce_rows_fn(spec),
                                           batch_format="pyarrow")
+    if spec.produce_grouped is not None:
+        nbytes = source_updates.size_bytes()
+        if nbytes is None:
+            # lazy wave (e.g. straight out of read_sources): pin it
+            # once — apply_updates re-reads the wave anyway, and the
+            # size decides the exchange strategy
+            source_updates = source_updates.materialize()
+            nbytes = source_updates.size_bytes()
+        if nbytes is not None and nbytes < TINY_GROUPED_BYTES:
+            # a tiny delta fits one block: co-location is trivial and
+            # the keyed exchange's fixed setup would dominate
+            co = source_updates.repartition(1)
+        else:
+            parts = _exchange_partitions(source_updates)
+            co = _keyed_exchange_materialize(
+                source_updates,
+                lambda d: d.repartition(parts, keys=spec.source_key))
+        return co.map_batches(_produce_grouped_fn(spec),
+                              batch_format="pyarrow", batch_size=None)
     return (source_updates.groupby(spec.source_key)
             .map_groups(_produce_group_fn(spec), batch_format="pyarrow"))
 
@@ -409,6 +508,11 @@ def target_order_sort(spec, ds, pre=(), post=(), post_desc=None):
 # both cheaper and deterministic-trivial.
 PRESERVE_JOIN_THRESHOLD = 200_000
 
+# a produce_grouped delta under this fits one block — skip the keyed
+# exchange (Ray's keyed repartition costs ~1-2 s of fixed setup that
+# dominates toy-scale waves; at real delta sizes the exchange engages)
+TINY_GROUPED_BYTES = 16 * 1024 * 1024
+
 EX_PREFIX = "_ex_"          # example-value columns joined onto adds
 EX_MARKER = "_ex__has"      # true where the target key had a previous
                             # example (the reference's non-null case)
@@ -427,29 +531,122 @@ def _exchange_partitions(*datasets) -> int:
                       int(np.ceil(total / (256 << 20)))))
 
 
+def _empty_joined(left, right, how: str, on: tuple, right_on):
+    """Empty result with the JOINED schema (left columns + right
+    non-key columns — Ray's join column convention), so a downstream
+    select()/column() on an empty join behaves like a real one."""
+    import ray.data as rd
+
+    lt = pa.Table.from_pylist([], schema=left.schema().base_schema)
+    if how in ("left_semi", "left_anti"):
+        return rd.from_arrow(lt)
+    rt = pa.Table.from_pylist([], schema=right.schema().base_schema)
+    joined = lt.join(rt, keys=list(on),
+                     right_keys=list(right_on or on),
+                     join_type=how.replace("_", " "))
+    return rd.from_arrow(joined)
+
+
+def _broadcast_join(left, right_tbl: pa.Table, how: str, on: tuple,
+                    right_on=None):
+    """Join a streaming ``left`` against a SMALL materialized right
+    table without any exchange: the right table is ``ray.put`` once and
+    each map task joins its batch against it with pyarrow (identical
+    column convention to Ray's hash join: left columns + right non-key
+    columns).  Row-local semantics (inner/left_*) make the per-batch
+    join exact."""
+    import ray
+
+    ref = ray.put(right_tbl)
+    keys, rkeys = list(on), list(right_on or on)
+    jt = how.replace("_", " ")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        rt = getattr(fn, "_rt", None)
+        if rt is None:
+            rt = fn._rt = _ray.get(ref)
+        return batch.join(rt, keys=keys, right_keys=rkeys, join_type=jt)
+
+    return left.map_batches(fn, batch_format="pyarrow")
+
+
 def _safe_join(left, right, how: str, on: tuple, right_on=None,
                parts: int = 2, small_rows: int = 10_000):
     """Ray's hash join materializes each partition side from received
     shards only — a partition with ZERO rows on one side becomes a
     schema-less empty table and pyarrow's join raises ("No match ...
-    for key field reference").  Tiny sides therefore clamp to ONE
-    partition (everything hashes to it, so no side can be empty), and
-    an entirely empty side is resolved by join semantics without any
-    exchange.  ``left``/``right`` should be cheap to count (metadata
-    reads or materialized key tables)."""
+    for key field reference").  Resolution ladder:
+
+    1. an entirely empty side → resolved by join semantics without any
+       exchange (result built with the joined schema);
+    2. a SMALL right side (< ``small_rows``) → broadcast per-batch
+       pyarrow join, zero exchange — the big left side streams and is
+       never funneled through one aggregator (a wave with millions of
+       add rows but few distinct keys is the NORMAL regime here);
+    3. a small LEFT side with a big right → broadcast-semi-filter the
+       right down to left's keys first, then a one-partition join of
+       two small sides;
+    4. otherwise → Ray hash join over ``parts`` partitions.
+
+    ``left``/``right`` should be cheap to count (metadata reads or
+    materialized key tables)."""
     lc, rc = left.count(), right.count()
     if rc == 0:
         if how == "left_anti":
             return left
-        if how in ("left_semi", "inner"):
+        if how == "left_semi":
             return left.limit(0)
+        if how == "inner":
+            return _empty_joined(left, right, how, on, right_on)
+        if how == "left_outer":
+            return _broadcast_join(
+                left, pa.Table.from_pylist(
+                    [], schema=right.schema().base_schema),
+                how, on, right_on)
         raise ValueError(f"empty right side unsupported for {how}; "
                          "resolve at the call site")
-    if lc == 0 and how in ("left_semi", "left_anti", "inner",
-                           "left_outer"):
-        return left
-    if min(lc, rc) < small_rows:
-        parts = 1
+    if lc == 0:
+        if how in ("left_semi", "left_anti"):
+            return left
+        if how in ("inner", "left_outer"):
+            return _empty_joined(left, right, how, on, right_on)
+    if rc < small_rows and how in ("inner", "left_outer", "left_semi",
+                                   "left_anti"):
+        right_tbl = pa.concat_tables(
+            list(right.iter_batches(batch_format="pyarrow")),
+            promote_options="default")
+        return _broadcast_join(left, right_tbl, how, on, right_on)
+    if lc < small_rows:
+        # shrink the big right side to left's keys first (broadcast
+        # semi filter, zero exchange — right rows that can't match
+        # never cross the wire), then resolve the residual join by
+        # size: the filtered right is bounded by actual matches, which
+        # is a lower bound on the join output itself
+        keys = _collect_tuples(left.select_columns(list(on)), list(on))
+        rkeys = list(right_on or on)
+        right = right.map_batches(
+            _broadcast_filter([(rkeys, keys, True)]),
+            batch_format="pyarrow").materialize()
+        fc = right.count()
+        if fc == 0:
+            if how == "left_anti":
+                return left
+            if how in ("left_semi", "inner"):
+                return left.limit(0)
+            return _broadcast_join(
+                left, pa.Table.from_pylist(
+                    [], schema=right.schema().base_schema),
+                how, on, right_on)
+        if fc < small_rows:
+            right_tbl = pa.concat_tables(
+                list(right.iter_batches(batch_format="pyarrow")),
+                promote_options="default")
+            return _broadcast_join(left, right_tbl, how, on, right_on)
+        # residual join of a small left against its (match-bounded)
+        # right rows — one partition, both sides provably non-empty
+        return left.join(right, how, num_partitions=1, on=on,
+                         right_on=right_on)
     return left.join(right, how, num_partitions=parts, on=on,
                      right_on=right_on)
 

@@ -71,20 +71,22 @@ def _key_tuple(batch: pa.Table, cols: list, i: int) -> tuple:
 
 
 def _file_range(path: str, sort_cols: list) -> tuple:
-    """Exact (min,max) sort keys of a sorted file: first row of the
-    first row group + last row of the last (never trusts possibly
-    truncated Parquet column statistics)."""
+    """Exact (min,max) sort keys of a file in NORMALIZED-ASCENDING
+    tuple space (the space every manifest bisect compares in).
+
+    First/last-row sampling is NOT enough: a bootstrap written with a
+    descending target key but ascending tie-break columns (e.g.
+    (count DESC, _sk_word ASC)) does not carry its lexicographic max
+    at either end — (3,'c') hides between (3,'b') and (1,'a') — and a
+    too-narrow range makes drop/lookup pruning silently skip rows.
+    Ascending-sort the (narrow) sort-column projection and take its
+    endpoints; `_norm_value` is order-preserving per value, so Arrow's
+    ascending order IS the normalized-tuple order."""
     pf = pq.ParquetFile(path)
-    first = pf.read_row_group(0, columns=sort_cols)
-    last = pf.read_row_group(pf.metadata.num_row_groups - 1,
-                             columns=sort_cols)
-    lo = _norm_tuple(_key_tuple(first, sort_cols, 0))
-    hi = _norm_tuple(_key_tuple(last, sort_cols, len(last) - 1))
-    # orientation-agnostic: a bootstrap written in DESCENDING target
-    # order has last < first — the manifest range must still be
-    # (min, max) or every bisect prune is vacuously empty
-    if hi < lo:
-        lo, hi = hi, lo
+    t = pf.read(columns=sort_cols).sort_by(
+        [(c, "ascending") for c in sort_cols])
+    lo = _norm_tuple(_key_tuple(t, sort_cols, 0))
+    hi = _norm_tuple(_key_tuple(t, sort_cols, len(t) - 1))
     return (lo, hi, pf.metadata.num_rows)
 
 
@@ -164,13 +166,20 @@ class RangedTable:
     # -- bootstrap write --------------------------------------------------
 
     def write_full(self, ds, version: int) -> None:
-        """Distributed write of an (already sorted) Dataset: one file
-        per output block via write_parquet, ranges discovered from the
-        written files' first/last rows (footer-cheap)."""
+        """Distributed write of an (already sorted) Dataset: EXPLICIT
+        ~target_rows partitioning (order-preserving repartition; the
+        incidental sort-block structure is not a contract — a one-block
+        sorted delta would otherwise become one giant partition and
+        defeat the hardlink/rewrite granularity), ranges discovered
+        from the written files."""
         vdir = self._vdir(version)
         import shutil
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir, exist_ok=True)
+        ds = ds.materialize()
+        total = ds.count()
+        nf = max(1, -(-total // self.target_rows))
+        ds = ds.repartition(nf)          # no shuffle: order-preserving
         ds.write_parquet(vdir, row_group_size=self.target_rows)
         parts = []
         for fname in sorted(os.listdir(vdir)):

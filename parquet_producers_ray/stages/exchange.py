@@ -51,6 +51,9 @@ MAX_PARTITIONS = 4096
 # under this the storage path's extra passes can't pay off → ds.sort
 SMALL_SORT_BYTES = int(os.environ.get("PPRAY_SMALL_SORT_BYTES",
                                       96 * 1024 * 1024))
+# under this even ds.sort's fixed setup dominates → one-task Arrow sort
+TINY_SORT_BYTES = int(os.environ.get("PPRAY_TINY_SORT_BYTES",
+                                     16 * 1024 * 1024))
 
 
 def _string_sortkeys(arr: pa.Array) -> np.ndarray:
@@ -122,6 +125,15 @@ def storage_sort(ds, cols: list, descending=None,
     # scale; it is the same barrier ds.sort's shuffle implies.
     ds = ds.materialize()
     total_bytes = ds.size_bytes() or 0
+
+    # TINY inputs (delta waves in the incremental engine): one block,
+    # one Arrow sort task — Ray's distributed sort costs ~1 s of fixed
+    # boundary-sampling/shuffle setup that dominates a few-MB sort and
+    # was the bulk of the engine showcase queries' wall at toy scale
+    if total_bytes < TINY_SORT_BYTES:
+        return ds.repartition(1).map_batches(
+            lambda b: b.sort_by(sort_spec), batch_format="pyarrow",
+            batch_size=None)
 
     # below this the two extra passes + per-range task overhead cannot
     # beat the object-store sort — small sorts take the direct path

@@ -216,7 +216,9 @@ def test_ranged_table_descending_bootstrap_and_empty_rebuild(
     t2 = pa.table({"k": pa.array([6, 5, 4], pa.int64()),
                    "v": pa.array([4, 5, 6], pa.int64()),
                    "_seq": pa.array([0, 0, 0], pa.int64())})
-    rt = RangedTable(str(tmp_path / "rt"), ["k", "_seq"], target_rows=100)
+    # target_rows=3 → the 6 rows split into 2 partitions (write_full
+    # partitions by rows explicitly, not by incidental block structure)
+    rt = RangedTable(str(tmp_path / "rt"), ["k", "_seq"], target_rows=3)
     rt.write_full(rd.from_arrow([t1, t2]), 1)
     m = rt.manifest(1)
     assert len(m["partitions"]) == 2
@@ -263,7 +265,7 @@ def test_ranged_table_timestamp_keys_round_trip(ray_session, tmp_path):
                    "v": pa.array([3, 4, 5], pa.int64()),
                    "_seq": pa.array([0, 0, 0], pa.int64())})
     rt = RangedTable(str(tmp_path / "ts"), ["ts", "_seq"],
-                     target_rows=100)
+                     target_rows=3)   # 6 rows → 2 explicit partitions
     rt.write_full(rd.from_arrow([t1, t2]), 1)
     got = rt.read_keys(1, {(ts[4],)})
     assert got.column("v").to_pylist() == [4]
