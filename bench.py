@@ -323,15 +323,19 @@ def _bandwidth_task(_) -> float:
     return iters * 3 * 8 * n / dt / 1e9
 
 
-def main_scaling(levels=(2, 8)) -> dict:
-    """N vs 4N parallelism in fresh processes.  Levels default to 2 and
-    8 — BELOW this sandbox VM's ~8-thread memory-bandwidth knee, where
-    the machine ceiling is still near-linear (DRAM probe ~3.9× from
-    2→8) and the raw efficiency number is meaningful; at (8, 32) both
-    levels sit on the same bandwidth ceiling and the comparison
-    measures only noise (see machine_*/bandwidth_* fields, which
-    re-measure the ceiling every run).  Measured raw warm efficiency
-    at (2, 8): 0.836 (`BENCH/scaling_r2_2v8.json`)."""
+def main_scaling(levels=(2, 8), repeats=5) -> dict:
+    """N vs 4N parallelism in fresh processes, MEDIAN-of-``repeats``
+    per level (round-2 verdict #6: best-of-two left a 0.72-0.836 raw
+    spread straddling the bar; the median with its recorded spread is
+    the defensible number).  Levels default to 2 and 8 — BELOW this
+    sandbox VM's ~8-thread memory-bandwidth knee, where the machine
+    ceiling is still near-linear (DRAM probe ~3.9× from 2→8) and the
+    raw efficiency number is meaningful; at (8, 32) both levels sit on
+    the same bandwidth ceiling and the comparison measures only noise
+    (see machine_*/bandwidth_* fields, which re-measure the ceiling
+    every run)."""
+    import statistics
+
     # Generate the cache up-front so neither timed process pays for it.
     _init_ray(min(levels))
     ensure_bench_input()
@@ -340,27 +344,39 @@ def main_scaling(levels=(2, 8)) -> dict:
 
     runs = []
     for cpus in levels:
-        # best of two: this VM's wall times swing 2-3x run to run
-        best = None
-        for _ in range(2):
+        samples = []
+        for _ in range(repeats):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  str(cpus)],
                 capture_output=True, text=True, cwd=os.path.dirname(
                     os.path.abspath(__file__)))
-            r = json.loads(p.stdout.strip().splitlines()[-1])
-            if best is None or r["warm_throughput_mbps"] > \
-                    best["warm_throughput_mbps"]:
-                best = r
-        runs.append(best)
+            samples.append(json.loads(p.stdout.strip().splitlines()[-1]))
+        warm = sorted(s["warm_throughput_mbps"] for s in samples)
+        cold = sorted(s["throughput_mbps"] for s in samples)
+        # the representative run is the one closest to the warm median
+        med = statistics.median(warm)
+        rep = dict(min(samples, key=lambda s: abs(
+            s["warm_throughput_mbps"] - med)))
+        rep["warm_samples_mbps"] = warm
+        rep["warm_median_mbps"] = round(med, 2)
+        rep["cold_samples_mbps"] = cold
+        rep["cold_median_mbps"] = round(statistics.median(cold), 2)
+        runs.append(rep)
     small, big = runs[0], runs[-1]
-    # efficiency is computed on the WARM (steady-state) throughput:
+    # efficiency is computed on the WARM (steady-state) MEDIAN:
     # each fresh worker process pays a fixed ~3-5 s worker-spawn +
     # import cost that a real long-running job pays once, and at this
     # bench's 566 MB it would otherwise dominate the ratio.  Cold
     # numbers stay in `levels` / `speedup_cold` for transparency.
-    speedup = big["warm_throughput_mbps"] / small["warm_throughput_mbps"]
-    speedup_cold = big["throughput_mbps"] / small["throughput_mbps"]
+    speedup = big["warm_median_mbps"] / small["warm_median_mbps"]
+    speedup_cold = big["cold_median_mbps"] / small["cold_median_mbps"]
+    # honest spread: the worst- and best-case pairings of the samples
+    speedup_spread = [
+        round(big["warm_samples_mbps"][0]
+              / small["warm_samples_mbps"][-1], 3),
+        round(big["warm_samples_mbps"][-1]
+              / small["warm_samples_mbps"][0], 3)]
     ideal = big["num_cpus"] / small["num_cpus"]
     machine = [_machine_probe(c) for c in (small["num_cpus"],
                                            big["num_cpus"])]
@@ -376,8 +392,10 @@ def main_scaling(levels=(2, 8)) -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "levels": runs,
+        "repeats": repeats,
         "speedup": round(speedup, 3),
         "speedup_cold": round(speedup_cold, 3),
+        "efficiency_spread": [round(s / ideal, 3) for s in speedup_spread],
         "ideal": ideal,
         # what a perfectly-scaling program achieves on THIS machine
         # between the same two levels (memory-bandwidth ceiling)
@@ -401,13 +419,16 @@ if __name__ == "__main__":
                     "--scaling (default 2,8 — below the VM's "
                     "~8-thread bandwidth knee; use 4,16 or 8,32 to "
                     "measure the bandwidth-pinned regimes)")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="samples per level for --scaling; the "
+                    "reported efficiency is the MEDIAN ratio")
     args = ap.parse_args()
     if args.worker is not None:
         result = worker(args.worker)
     elif args.scaling:
         levels = tuple(int(x) for x in args.levels.split(",")) \
             if args.levels else (2, 8)
-        result = main_scaling(levels)
+        result = main_scaling(levels, repeats=args.repeats)
     else:
         result = main_bench()
     print(json.dumps(result))

@@ -173,6 +173,14 @@ def connected_components(edges, num_partitions: int = 8,
 # sum moves ≤ #distinct-dst rows per block, never edge-sized rows.
 # Dangling nodes (no in-edges) fall back to (1-d) via the seeded node
 # table.  Driver-side state: none (the rank table stays a Dataset).
+#
+# Determinism: per-node contributions are quantized to an int64
+# 1e-12 grid BEFORE each iteration's cross-block sum (float64 sum
+# order across Ray blocks is nondeterministic — the round-2 u10_join
+# driver-hash lesson); the SQL oracle applies the identical
+# quantization, so the recurrence stays exactly reproducible.
+
+PR_QUANTUM = 1e12
 
 def pagerank(edges, iterations: int = 5, damping: float = 0.85,
              num_partitions: int = 8,
@@ -238,8 +246,13 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
                 src = b.column("src").to_numpy(zero_copy_only=False)
                 share = (rv[np.searchsorted(rn, src)]
                          / dv[np.searchsorted(dn, src)])
+                # floor(x·Q + 0.5): half-AWAY rounding to match DuckDB's
+                # round() — np.round is half-to-even and the early
+                # dyadic rank/degree ratios land exactly on .5 quanta
                 t = pa.table({"node": b.column("dst"),
-                              "c": pa.array(share)})
+                              "c": pa.array(np.floor(
+                                  share * PR_QUANTUM + 0.5)
+                                  .astype(np.int64))})
                 return t.group_by(["node"]).aggregate([("c", "sum")]) \
                     .rename_columns(["node", "c"])
 
@@ -261,7 +274,8 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
                 idx = np.searchsorted(cn, ns)
                 idx = np.minimum(idx, max(len(cn) - 1, 0))
                 found = (len(cn) > 0) & (cn[idx] == ns)
-                val = np.where(found, cv[idx], 0.0)
+                val = np.where(found, cv[idx], 0).astype(np.float64) \
+                    / PR_QUANTUM
                 return pa.table({"node": b.column("node"),
                                  "rank": pa.array(base + damping * val)})
 
@@ -279,9 +293,14 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
                            num_partitions=num_partitions, on=("src",))
                      .map_batches(lambda b: pa.table(
                          {"node": b.column("dst"),
-                          "c": pc.divide(b.column("rank"),
-                                         pc.cast(b.column("deg_sum"),
-                                                 pa.float64()))}),
+                          # floor(x·Q + 0.5) = DuckDB round() for the
+                          # positive shares (see broadcast path)
+                          "c": pc.cast(pc.floor(pc.add(pc.multiply(
+                              pc.divide(b.column("rank"),
+                                        pc.cast(b.column("deg_sum"),
+                                                pa.float64())),
+                              pa.scalar(PR_QUANTUM)),
+                              pa.scalar(0.5))), pa.int64())}),
                          batch_format="pyarrow"))
         contribs = parts.groupby("node").aggregate(
             Sum("c", alias_name="c"))
@@ -291,7 +310,10 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
                      {"node": b.column("node"),
                       "rank": pc.add(pa.scalar(base), pc.multiply(
                           pa.scalar(damping),
-                          pc.coalesce(b.column("c"),
-                                      pa.scalar(0.0))))}),
+                          pc.divide(pc.cast(
+                              pc.coalesce(b.column("c"),
+                                          pa.scalar(0, pa.int64())),
+                              pa.float64()),
+                              pa.scalar(PR_QUANTUM))))}),
                      batch_format="pyarrow").materialize())
     return ranks

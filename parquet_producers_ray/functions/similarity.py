@@ -67,8 +67,12 @@ class BruteForceTopK:
         sims = self.qm @ m.T                      # (n_queries, n_batch)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         k = min(self.k, sims.shape[1])
-        # per-query partial top-k of this batch
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # per-query partial top-k with the SAME (sim desc, id asc)
+        # tie-break as merge_topk and the SQL oracle — an argpartition
+        # without it can drop the lower-id neighbor of a boundary tie
+        # before the merge ever sees it
+        part = np.stack([np.lexsort((ids, -sims[qi]))[:k]
+                         for qi in range(sims.shape[0])])
         qidx = np.repeat(np.arange(sims.shape[0]), k)
         nidx = part.reshape(-1)
         return pa.table({
@@ -181,7 +185,10 @@ class IVFTopK:
                 continue
             sims = self.qm[qsel] @ m[s:e].T          # (probing, group)
             k = min(self.k, sims.shape[1])
-            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            gids = ids[s:e]
+            # (sim desc, id asc) tie-break — same contract as merge_topk
+            part = np.stack([np.lexsort((gids, -sims[i]))[:k]
+                             for i in range(sims.shape[0])])
             qidx = np.repeat(qsel, k)
             nidx = part.reshape(-1)
             out_q.append(np.asarray(self.query_ids)[qidx])
@@ -249,7 +256,8 @@ class LSHTopK:
                 continue
             sims = m[cand] @ self.qm[qi]
             k = min(self.k, cand.size)
-            top = np.argpartition(-sims, k - 1)[:k]
+            # (sim desc, id asc) tie-break — same contract as merge_topk
+            top = np.lexsort((ids[cand], -sims))[:k]
             out_q.append(np.full(k, self.query_ids[qi], np.int64))
             out_n.append(ids[cand[top]])
             out_s.append(sims[top])

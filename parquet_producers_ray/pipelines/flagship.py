@@ -40,6 +40,25 @@ from ..stages.encode import decode_segment, encode_table
 # is a tunable, and partition counts stay data-derived either way.
 DEFAULT_TARGET_PARTITION_BYTES = 32 * 1024 * 1024
 
+# Bucket membership is the store's PHYSICAL LAYOUT CONTRACT: resume
+# skips completed partitions and lookup() routes point reads by
+# recomputing the bucket, so the hash that wrote a store must be the
+# hash that reads it.  The identifier is stamped into _meta.json at
+# encode time and verified on resume/lookup — a store written under a
+# different scheme (round-1 stores used crc32) fails LOUDLY instead of
+# silently missing keys.  Bump this when add_bucket's hashing changes.
+BUCKET_HASH_ID = "splitmix64-int/fnv1a-bytes-v2"
+
+
+def _check_bucket_hash(meta: dict, where: str) -> None:
+    stamped = meta.get("bucket_hash")
+    if stamped is not None and stamped != BUCKET_HASH_ID:
+        raise ValueError(
+            f"{where}: store was encoded with bucket hash "
+            f"{stamped!r} but this build computes {BUCKET_HASH_ID!r} — "
+            "bucket membership would not match; re-encode from source "
+            "data (run_pipeline.py encode) or use the matching build")
+
 
 def add_bucket(batch: pa.Table, num_buckets: int,
                key: str = "url") -> pa.Table:
@@ -426,16 +445,19 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
             prev = json.load(f)
-        # bucket membership is a pure function of (key, num_buckets):
-        # a resumed run MUST reuse the original partition count or the
-        # completed-partition row counts stop matching
+        # bucket membership is a pure function of (key, num_buckets,
+        # hash scheme): a resumed run MUST reuse the original partition
+        # count AND the original hash or completed-partition membership
+        # silently diverges
+        _check_bucket_hash(prev, f"resume({out_dir})")
         if num_buckets is None:
             num_buckets = int(prev["num_buckets"])
     if num_buckets is None:
         num_buckets = pick_num_buckets(ds.size_bytes() or 0)
     tmp_meta = f"{meta_path}.{os.getpid()}.tmp"
     with open(tmp_meta, "w") as f:
-        json.dump({"num_buckets": int(num_buckets), "key": key}, f)
+        json.dump({"num_buckets": int(num_buckets), "key": key,
+                   "bucket_hash": BUCKET_HASH_ID}, f)
     os.replace(tmp_meta, meta_path)
     if concurrency is None:
         import ray
@@ -557,17 +579,20 @@ def lookup(out_dir: str, values: list, columns: list | None = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+        _check_bucket_hash(meta, f"lookup({out_dir})")
         num_buckets, key = int(meta["num_buckets"]), meta["key"]
     else:
-        # store written before _meta.json existed: the highest
-        # partition id bounds the bucket count from below; exact
-        # whenever the top bucket was non-empty (overwhelmingly likely
-        # at web-scale row counts)
-        files = mf.list_partition_files(out_dir)
-        if not files:
-            raise FileNotFoundError(f"no partitions under {out_dir}")
-        num_buckets = max(mf.partition_id(p) for p in files) + 1
-        key = "url"
+        # A store without _meta.json predates the bucket-hash stamp —
+        # it may have been written under a DIFFERENT hash (round-1
+        # stores used crc32), in which case recomputed buckets silently
+        # miss keys.  Fail loudly instead of guessing.
+        raise ValueError(
+            f"lookup({out_dir}): store has no _meta.json, so its "
+            "bucket hash cannot be verified (pre-stamp stores may use "
+            "a different hash and lookups would silently miss) — "
+            "re-encode from source data (run_pipeline.py encode) to "
+            "stamp the layout contract; recompress preserves the "
+            "original, unverifiable membership")
     import pyarrow.compute as pc
     probe = pa.table({key: pa.array(values)})
     buckets = add_bucket(probe, num_buckets, key).column("_bucket")

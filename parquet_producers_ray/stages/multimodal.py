@@ -1,12 +1,18 @@
 """Multimodal (image/audio/video) columns as opaque ``large_binary``
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment): ``FakeImageCodec`` implements a deterministic 16-byte
-header format so the Ray-side plumbing — schema, batch sizing, actor
-lifecycle, output layout — is real and fully tested, while
-``PillowImageDecoder.decode`` raises ``NotImplementedError`` with the
-integration point documented.
+Decoders, by depth of realism:
+
+- ``PngCodec`` — a REAL image decoder in pure stdlib (zlib inflate +
+  full five-filter scanline reconstruction per the public PNG spec,
+  W3C/RFC 2083), grayscale 8-bit.  ``media_features`` runs on
+  genuinely decoded pixels through it.
+- ``FakeImageCodec`` / ``FakeAudioCodec`` — deterministic stand-in
+  formats that keep the rest of the plumbing (resize grid math, audio
+  chunking, frame sampling) exactly unit-testable without media libs.
+- ``PillowImageDecoder`` — the documented integration point for
+  lib-backed formats (JPEG/WebP/video) that need binary codecs this
+  container doesn't ship; raises ``NotImplementedError``.
 
 Usage:
     ds.map_batches(ImageFeatureStage, concurrency=(2, 8),
@@ -53,14 +59,217 @@ class FakeImageCodec:
 
 
 class PillowImageDecoder:
-    """Integration point for a real decoder.  In production this would
-    hold a PIL/libjpeg (or ffmpeg for video) handle per actor; the
-    library is not present in this container."""
+    """Integration point for lib-backed formats (JPEG/WebP, ffmpeg for
+    video) whose binary codecs this container doesn't ship.  PNG is
+    genuinely decoded by :class:`PngCodec` below; everything else
+    would hold a PIL/libjpeg handle per actor here."""
 
     def decode(self, blob: bytes) -> dict:
         raise NotImplementedError(
-            "real image decode requires Pillow/libjpeg; wire it here "
-            "and construct ImageFeatureStage(decoder=PillowImageDecoder())")
+            "JPEG/WebP/video decode requires Pillow/libjpeg/ffmpeg; "
+            "wire it here and construct "
+            "ImageFeatureStage(decoder=PillowImageDecoder()); PNG is "
+            "handled natively by PngCodec")
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized over a scanline."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+class PngCodec:
+    """REAL PNG, pure stdlib: zlib + the five scanline filters of the
+    public spec (W3C PNG / RFC 2083), grayscale 8-bit (color type 0).
+    ``encode`` cycles the filter type per row (None/Sub/Up/Average/
+    Paeth) so a decode exercises the full reconstruction path, and the
+    output round-trips through any standard PNG tool.  Per-actor
+    construction cost is nil; decode is zlib-bound."""
+
+    @staticmethod
+    def encode(pixels: np.ndarray) -> bytes:
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape
+        raw = bytearray()
+        prev = np.zeros(w, np.uint8)
+        for r in range(h):
+            row = px[r]
+            ft = r % 5
+            a = np.concatenate(([0], row[:-1])).astype(np.uint8)
+            c = np.concatenate(([0], prev[:-1])).astype(np.uint8)
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                filt = (row.astype(np.int16) - a) % 256
+            elif ft == 2:
+                filt = (row.astype(np.int16) - prev) % 256
+            elif ft == 3:
+                filt = (row.astype(np.int16)
+                        - (a.astype(np.int16) + prev) // 2) % 256
+            else:
+                filt = (row.astype(np.int16)
+                        - _paeth(a, prev, c)) % 256
+            raw.append(ft)
+            raw.extend(filt.astype(np.uint8).tobytes())
+            prev = row
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    @staticmethod
+    def decode_pixels(blob: bytes) -> np.ndarray:
+        if bytes(blob[:8]) != PNG_SIG:
+            raise ValueError("not a PNG")
+        pos = 8
+        w = h = None
+        idat = bytearray()
+        n = len(blob)
+        while pos + 8 <= n:
+            (length,) = struct.unpack_from(">I", blob, pos)
+            tag = bytes(blob[pos + 4:pos + 8])
+            data = bytes(blob[pos + 8:pos + 8 + length])
+            pos += 12 + length          # len + tag + data + crc
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, ilace = \
+                    struct.unpack(">IIBBBBB", data)
+                if (depth, ctype, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                    raise NotImplementedError(
+                        "PngCodec decodes grayscale 8-bit non-interlaced "
+                        f"PNG; got depth={depth} colortype={ctype} "
+                        f"interlace={ilace} — lib-backed formats go "
+                        "through PillowImageDecoder")
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+        if w is None:
+            raise ValueError("PNG without IHDR")
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+        if len(raw) != h * (w + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        raw = raw.reshape(h, w + 1)
+        out = np.zeros((h, w), np.uint8)
+        prev = np.zeros(w, np.uint8)
+        for r in range(h):
+            ft = int(raw[r, 0])
+            line = raw[r, 1:].astype(np.int64)
+            if ft == 0:
+                row = line.astype(np.uint8)
+            elif ft == 1:
+                # Sub is a prefix sum along x (bpp=1): cumsum mod 256
+                row = (np.cumsum(line) % 256).astype(np.uint8)
+            elif ft == 2:
+                row = ((line + prev) % 256).astype(np.uint8)
+            elif ft in (3, 4):
+                # Average/Paeth reference the in-progress row —
+                # inherently sequential in x; pure-int inner loop
+                # (no per-pixel array allocation)
+                row = np.zeros(w, np.uint8)
+                pv = prev.tolist()
+                ln = line.tolist()
+                left = 0
+                acc = []
+                for x in range(w):
+                    up = pv[x]
+                    if ft == 3:
+                        pred = (left + up) >> 1
+                    else:
+                        ul = pv[x - 1] if x else 0
+                        p = left + up - ul
+                        pa_ = abs(p - left)
+                        pb = abs(p - up)
+                        pc_ = abs(p - ul)
+                        pred = left if (pa_ <= pb and pa_ <= pc_) \
+                            else (up if pb <= pc_ else ul)
+                    left = (ln[x] + pred) & 0xFF
+                    acc.append(left)
+                row = np.array(acc, np.uint8)
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            out[r] = row
+            prev = row
+        return out
+
+    @staticmethod
+    def decode(blob: bytes) -> dict:
+        px = PngCodec.decode_pixels(blob)
+        h, w = px.shape
+        return {"width": w, "height": h, "n_bytes": int(px.size),
+                "checksum": zlib.crc32(px.tobytes())}
+
+
+def synthesize_png_column(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL-PNG binary column from the documents table:
+    width/height derived from the doc id, pixels = the utf-8 text
+    bytes zero-padded/truncated to the grid (the same deterministic
+    rule the SQL oracle replays), encoded through the genuine PNG path
+    with per-row filter cycling."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    blobs = []
+    for i, t in zip(ids, texts):
+        w = int(i) % 64 + 1
+        h = int(i) % 48 + 1
+        raw = np.frombuffer(t.encode("utf-8"), np.uint8)[:w * h]
+        grid = np.zeros(w * h, np.uint8)
+        grid[:len(raw)] = raw
+        blobs.append(PngCodec.encode(grid.reshape(h, w)))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "image": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
+class PngFeatureStage:
+    """Actor-pool stage over GENUINELY DECODED pixels: inflate +
+    unfilter each PNG (PngCodec), emit dimensions plus two
+    closed-form pixel digests (plain and position-weighted byte sums)
+    that the SQL oracle recomputes from the source rule — so the
+    decode path itself is value-checked, not just the row count."""
+
+    def __init__(self, binary_col: str = "image",
+                 id_col: str = "doc_id"):
+        self.binary_col = binary_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, sums, wsums = [], [], [], [], []
+        for i, v in zip(batch.column(self.id_col).to_pylist(),
+                        batch.column(self.binary_col).to_pylist()):
+            ids.append(i)
+            if v is None:
+                ws.append(None), hs.append(None)
+                sums.append(None), wsums.append(None)
+                continue
+            grid = PngCodec.decode_pixels(v)
+            h, w = grid.shape
+            px = grid.reshape(-1).astype(np.int64)
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(px.sum()))
+            wsums.append(int((px * np.arange(1, px.size + 1)).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "payload_sum": pa.array(sums, pa.int64()),
+            "payload_wsum": pa.array(wsums, pa.int64()),
+        })
 
 
 class ImageFeatureStage:
