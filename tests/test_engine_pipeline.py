@@ -769,8 +769,11 @@ def test_engine_join_view_incremental(stores):
                 "amount": None}
 
     def lrow(okey, amt):
+        # the interchange schema carries integer CENTS (queries.py
+        # _join_view_specs: exact, summation-order-free aggregation);
+        # custRev divides by 100 on output
         return {"okey": okey, "kind": "L", "custkey": None,
-                "amount": float(amt)}
+                "amount": float(amt) * 100.0}
 
     # bootstrap: cust 1 owns orders 10 (rev 5) and 20 (rev 7);
     # cust 2 owns order 30 (rev 11); order 40 has no lineitems

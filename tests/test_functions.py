@@ -648,3 +648,59 @@ def test_image_resize_stage_exact_grid():
     assert got_short == bytes([10, 0])     # padding shows through
     assert out.column("image")[2].as_py() is None
     assert out.column("checksum")[2].as_py() is None
+
+
+def test_minhash_lsh_recall_on_gate_corpus():
+    """Pin the dedup_minhash ORACLE CONTRACT (queries.py docstring): the
+    LSH banding must catch EVERY exact bigram-Jaccard pair >= 0.7 on the
+    gate corpus — the SQL oracle is an exact all-pairs Jaccard, so a
+    band-parameter change that costs recall must fail HERE, in pytest,
+    not as a driver hash-row mystery."""
+    import itertools
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_producers_ray.functions.dedup import lsh_band_rows
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    # exact bigram-Jaccard pairs >= 0.7 (mirror of SQL_DEDUP_MINHASH)
+    gsets, inv = {}, defaultdict(set)
+    for i, tx in zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()):
+        ws = tx.lower().split(" ")
+        gsets[i] = frozenset(zip(ws, ws[1:]))
+        for g in gsets[i]:
+            inv[g].add(i)
+    exact = set()
+    for docs in inv.values():
+        if 1 < len(docs) < 50:
+            for a, b in itertools.combinations(sorted(docs), 2):
+                A, B = gsets[a], gsets[b]
+                inter = len(A & B)
+                if inter / (len(A) + len(B) - inter) >= 0.7:
+                    exact.add((a, b))
+    assert exact, "gate corpus must contain true near-dup pairs"
+
+    # LSH candidates: same banding the query ships through Ray
+    band_tbl = lsh_band_rows(t, "doc_id")
+    buckets = defaultdict(list)
+    for d, bd, bh in zip(
+            band_tbl.column("doc_id").to_pylist(),
+            band_tbl.column("band").to_pylist(),
+            band_tbl.column("band_hash").to_pylist()):
+        buckets[(bd, bh)].append(d)
+    cand = set()
+    for docs in buckets.values():
+        if len(docs) > 1:
+            for a, b in itertools.combinations(sorted(set(docs)), 2):
+                cand.add((a, b))
+
+    missed = exact - cand
+    assert not missed, (
+        f"LSH banding missed {len(missed)} true pairs (recall < 1.0): "
+        f"{sorted(missed)[:5]} — dedup_minhash's exact-SQL oracle row "
+        "would go red; re-derive num_perm/bands per the docstring bound")

@@ -2,11 +2,18 @@
 ``queries()`` entry via Ray and its ``oracle_sql()`` via DuckDB on the
 same sf dir, compare row count + schema + order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [name ...]
+Usage: python tools/check_oracle.py [--exact] [sf_dir] [name ...]
+
+``--exact`` additionally hash-compares the canonicalized frames the way
+the driver does (sort columns by name, round floats to 6, sort rows,
+hash raw values) — rtol-level agreement that fails this is exactly the
+float-summation-order flakiness class that turned `u10_join` red in
+round 2.
 """
 
 from __future__ import annotations
 
+import hashlib
 import sys
 
 import duckdb
@@ -34,6 +41,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Exact hash over the canonicalized frame (driver-style gate)."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            h.update(col.to_numpy(dtype="float64").tobytes())
+        elif pd.api.types.is_integer_dtype(col):
+            h.update(col.to_numpy(dtype="int64").tobytes())
+        else:
+            h.update(repr(col.tolist()).encode())
+    return h.hexdigest()
+
+
 def main():
     import ray
     if not ray.is_initialized():
@@ -44,8 +65,10 @@ def main():
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __ray_entry__ as E
     qs, sqls = E.queries(), E.oracle_sql()
@@ -93,8 +116,14 @@ def main():
             except AssertionError as e:
                 msg = str(e).splitlines()[0]
                 print(f"{name:24s} VALUE-MISMATCH {msg}")
+        ok_exact = True
+        if exact and ok_rows and ok_cols and ok_vals:
+            ok_exact = value_hash(got) == value_hash(want)
+            if not ok_exact:
+                print(f"{name:24s} EXACT-HASH-MISMATCH "
+                      f"(rtol-equal; float summation-order hazard)")
         status = "OK" if (ok_rows and ok_cols and ok_vals
-                          and ok_kinds) else "FAIL"
+                          and ok_kinds and ok_exact) else "FAIL"
         if status == "FAIL":
             failures.append(name)
             print(f"{name:24s} {status} rows {len(got)}/{len(want)} "
