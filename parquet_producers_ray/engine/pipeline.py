@@ -61,42 +61,102 @@ def _content_part(content, up_spec: StageSpec, key_cols, val_cols,
                               feeder_idx)
 
 
+def _colocate_groups(ds, key_cols):
+    """Co-locate complete key groups, one block per partition — the
+    shared prelude of every vectorized per-group stage (same policy as
+    produce_adds' grouped path): tiny inputs skip straight to one
+    block, larger ones pay ONE keyed exchange."""
+    from .produce import (TINY_GROUPED_BYTES, _exchange_partitions,
+                          _keyed_exchange_materialize)
+
+    nbytes = ds.size_bytes()
+    if nbytes is None:
+        ds = ds.materialize()
+        nbytes = ds.size_bytes()
+    if nbytes is not None and nbytes < TINY_GROUPED_BYTES:
+        return ds.repartition(1)
+    parts = _exchange_partitions(ds)
+    return _keyed_exchange_materialize(
+        ds, lambda d: d.repartition(parts, keys=key_cols))
+
+
 def _content_part_from(filtered, up_spec: StageSpec, key_cols, val_cols,
                        feeder_idx: int):
     """Rank an already key-filtered content stream — shared by the
-    broadcast-set and join formulations of read_sources."""
+    broadcast-set and join formulations of read_sources.  Vectorized:
+    blocks hold complete key groups, the within-key (stored_sk, _seq)
+    rank is one sort + run-relative arange per block instead of a
+    Python call per key (the per-key map_groups is unusable at 10^12
+    keys and dominated toy-scale cascade walls)."""
+    from .produce import _tk_run_bounds
+
     sort_cols = up_spec.stored_sk + [SEQ_COL]
 
-    def rank(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(c, "ascending") for c in sort_cols])
-        n = len(g)
-        out = g.select(key_cols + val_cols)
+    def rank_block(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if n == 0:
+            out = b.select(key_cols + val_cols)
+            out = out.append_column(TYPE_COL, pa.array([], pa.int8()))
+            out = out.append_column(FEEDER_COL, pa.array([], pa.int32()))
+            return out.append_column(ORD_COL, pa.array([], pa.int64()))
+        b = b.sort_by([(c, "ascending") for c in key_cols]
+                      + [(c, "ascending") for c in sort_cols])
+        new = _tk_run_bounds(b, key_cols)
+        rid = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)
+        ordv = np.arange(n, dtype=np.int64) - run_start[rid]
+        out = b.select(key_cols + val_cols)
         out = out.append_column(TYPE_COL, pa.array(
             np.full(n, UPDATE, np.int8)))
         out = out.append_column(FEEDER_COL, pa.array(
             np.full(n, feeder_idx, np.int32)))
-        return out.append_column(ORD_COL, pa.array(np.arange(n),
-                                                   type=pa.int64()))
+        return out.append_column(ORD_COL, pa.array(ordv))
 
-    return filtered.groupby(key_cols).map_groups(rank,
-                                                 batch_format="pyarrow")
+    return _colocate_groups(filtered, key_cols).map_batches(
+        rank_block, batch_format="pyarrow", batch_size=None)
 
 
-def _resolve_group_fn(key_cols, val_cols, schema: pa.Schema):
-    def fn(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(FEEDER_COL, "ascending"), (ORD_COL, "ascending")])
-        types = g.column(TYPE_COL).to_pylist()
-        keep = [t != DELETE for t in types]
-        if any(keep):
-            g = g.filter(pa.array(keep))
-        else:
-            g = g.slice(0, 1)  # all feeders deleted → one Delete row
-        n = len(g)
-        out = g.select(key_cols + val_cols + [TYPE_COL])
-        out = out.append_column(UPD_SEQ_COL, pa.array(np.arange(n),
-                                                      type=pa.int64()))
+def _resolve_block_fn(key_cols, val_cols, schema: pa.Schema):
+    """Vectorized n-ary merge resolution: the block holds COMPLETE key
+    groups (co-located by _resolve_merged's exchange).  Per key, keep
+    non-Delete rows ordered (feeder, ord) and stamp _upd_seq; a key all
+    of whose feeders deleted collapses to ONE Delete row.  One numpy
+    pass per block replaces the former Python call per key."""
+    from .produce import _tk_run_bounds
+
+    def fn(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        b = b.sort_by([(c, "ascending") for c in key_cols]
+                      + [(FEEDER_COL, "ascending"), (ORD_COL, "ascending")])
+        new = _tk_run_bounds(b, key_cols)
+        gid = np.cumsum(new) - 1
+        ng = int(gid[-1]) + 1
+        isdel = (b.column(TYPE_COL).to_numpy(zero_copy_only=False)
+                 == DELETE)
+        kept_per_group = np.bincount(gid, weights=~isdel, minlength=ng)
+        keep = ~isdel
+        # all-Delete groups keep exactly their first row
+        first_idx = np.flatnonzero(new)
+        dead = kept_per_group == 0
+        keep[first_idx[dead]] = True
+        b = b.filter(pa.array(keep))
+        new2 = _tk_run_bounds(b, key_cols)
+        rid = np.cumsum(new2) - 1
+        run_start = np.flatnonzero(new2)
+        seq = (np.arange(len(b), dtype=np.int64) - run_start[rid]
+               if len(b) else np.array([], np.int64))
+        out = b.select(key_cols + val_cols + [TYPE_COL])
+        out = out.append_column(UPD_SEQ_COL, pa.array(seq))
         return out.cast(schema)
     return fn
+
+
+def _resolve_merged(merged, key_cols, val_cols, schema: pa.Schema):
+    """Co-locate complete key groups, then run the vectorized resolve."""
+    return _colocate_groups(merged, key_cols).map_batches(
+        _resolve_block_fn(key_cols, val_cols, schema),
+        batch_format="pyarrow", batch_size=None)
 
 
 def read_sources(feeders: list, down_spec: StageSpec,
@@ -148,9 +208,7 @@ def read_sources(feeders: list, down_spec: StageSpec,
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.union(p)
-    return (merged.groupby(key_cols)
-            .map_groups(_resolve_group_fn(key_cols, val_cols, out_schema),
-                        batch_format="pyarrow"))
+    return _resolve_merged(merged, key_cols, val_cols, out_schema)
 
 
 def _read_sources_join(feeders: list, down_spec: StageSpec, counts: list,
@@ -205,9 +263,7 @@ def _read_sources_join(feeders: list, down_spec: StageSpec, counts: list,
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.union(p)
-    return (merged.groupby(key_cols)
-            .map_groups(_resolve_group_fn(key_cols, val_cols, out_schema),
-                        batch_format="pyarrow"))
+    return _resolve_merged(merged, key_cols, val_cols, out_schema)
 
 
 class Producer:
