@@ -294,3 +294,39 @@ def test_rowwise_mixed_delete_upsert_raises(ray_session):
     with pytest.raises(Exception):
         apply_updates(ROWWISE_SPEC, updates_from_table(table),
                       c.materialize(), m.materialize())
+
+
+def test_updates_from_dataset_matches_table_wave(ray_session):
+    """Dataset-native wave construction (updates_from_dataset — the
+    scale form that never materializes the wave on the driver) must
+    produce the same content as a driver-side updates_from_table wave,
+    including multi-row-per-key order via ``seq_from`` (project_stuff
+    takes the FIRST full name per key, so _upd_seq order is visible in
+    the output)."""
+    import numpy as np
+    import ray.data
+
+    from parquet_producers_ray.engine.produce import updates_from_dataset
+
+    rows = pa.table({
+        "key": pa.array([1, 1, 2, 3], pa.int64()),
+        "first_name": pa.array(["a", "b", "c", "d"]),
+        "last_name": pa.array(["x", "y", "z", "w"]),
+        "copies": pa.array([1, 1, 2, 1], pa.int64()),
+    })
+    with_type = rows.append_column(
+        TYPE_COL, pa.array(np.full(4, UPDATE, np.int8)))
+    line = pa.array([0, 1, 0, 0], pa.int64())   # within-key order
+
+    c_a, _, _ = apply_updates(SPEC, updates_from_table(with_type),
+                              None, None, num_partitions=4)
+
+    wave_b = updates_from_dataset(
+        ray.data.from_arrow(with_type.append_column("line", line)),
+        seq_from="line").map_batches(
+            lambda b: b.drop_columns(["line"]), batch_format="pyarrow")
+    c_b, _, _ = apply_updates(SPEC, wave_b, None, None, num_partitions=4)
+
+    a = c_a.to_pandas().sort_values(["count", "_sk_key", "copy"])
+    b = c_b.to_pandas().sort_values(["count", "_sk_key", "copy"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

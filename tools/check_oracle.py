@@ -65,8 +65,13 @@ def main():
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    argv = [a for a in sys.argv[1:] if a != "--exact"]
-    exact = "--exact" in sys.argv[1:]
+    argv = list(sys.argv[1:])
+    exact = "--exact" in argv
+    json_path = None
+    if "--json" in argv:
+        json_path = argv[argv.index("--json") + 1]
+        del argv[argv.index("--json"):argv.index("--json") + 2]
+    argv = [a for a in argv if a != "--exact"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -80,6 +85,7 @@ def main():
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -88,6 +94,7 @@ def main():
         except Exception as e:
             print(f"{name:24s} RAY-ERROR {type(e).__name__}: {e}")
             failures.append(name)
+            results[name] = {"status": "ray-error", "err": str(e)[:200]}
             continue
         if name not in sqls:
             print(f"{name:24s} rows={len(got)} (rows-only, no oracle)")
@@ -124,6 +131,11 @@ def main():
                       f"(rtol-equal; float summation-order hazard)")
         status = "OK" if (ok_rows and ok_cols and ok_vals
                           and ok_kinds and ok_exact) else "FAIL"
+        results[name] = {
+            "status": status.lower(), "rows": len(got),
+            "oracle_rows": len(want), "rows_match": ok_rows,
+            "schema_match": ok_cols and ok_kinds, "values_match": ok_vals,
+            "exact_hash_match": ok_exact if exact else None}
         if status == "FAIL":
             failures.append(name)
             print(f"{name:24s} {status} rows {len(got)}/{len(want)} "
@@ -131,6 +143,12 @@ def main():
         else:
             print(f"{name:24s} OK rows={len(got)}")
     ray.shutdown()
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "exact": exact,
+                       "registry_order": list(qs),
+                       "results": results}, f, indent=1)
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
