@@ -42,7 +42,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-DEFAULT_TARGET_ROWS = 100_000   # reference RowsPerGroup
+DEFAULT_TARGET_ROWS = 100_000   # reference RowsPerGroup (an upper CAP)
+# Partition granularity is BYTE-aware: fat rows (webpages ~2 KB) would
+# make 100k-row partitions ~200 MB each, destroying the hardlink /
+# partial-rewrite granularity that makes deltas cheap (a 1 % delta
+# would rewrite every partition).  write_full derives an effective
+# rows-per-partition from the observed mean row width against this
+# byte target, caps it at target_rows, and STAMPS it into the version
+# manifest so later deltas/compacts keep the same granularity.
+DEFAULT_TARGET_BYTES = 4 << 20
 
 
 def _norm_value(v):
@@ -94,11 +102,22 @@ class RangedTable:
     """One versioned, sorted, range-partitioned Parquet table."""
 
     def __init__(self, root: str, sort_cols: list,
-                 target_rows: int = DEFAULT_TARGET_ROWS):
+                 target_rows: int = DEFAULT_TARGET_ROWS,
+                 target_bytes: int = DEFAULT_TARGET_BYTES):
         self.root = root
         self.sort_cols = list(sort_cols)
         self.target_rows = target_rows
+        self.target_bytes = target_bytes
         os.makedirs(root, exist_ok=True)
+
+    def _granularity(self, version: int) -> int:
+        """Effective rows-per-partition of an existing version (stamped
+        by write_full); falls back to the row cap for stores written
+        before byte-aware sizing."""
+        m = self.manifest(version)
+        if m is not None and m.get("target_rows"):
+            return int(m["target_rows"])
+        return self.target_rows
 
     # -- layout -----------------------------------------------------------
 
@@ -115,9 +134,11 @@ class RangedTable:
         except OSError:
             return None
 
-    def _write_manifest(self, version: int, parts: list) -> None:
+    def _write_manifest(self, version: int, parts: list,
+                        target_rows: int | None = None) -> None:
         parts = sorted(parts, key=lambda p: tuple(p["min"]))
-        m = {"sort_cols": self.sort_cols, "partitions": parts}
+        m = {"sort_cols": self.sort_cols, "partitions": parts,
+             "target_rows": int(target_rows or self.target_rows)}
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)   # min/max pre-normalized by _norm_tuple
@@ -178,9 +199,15 @@ class RangedTable:
         os.makedirs(vdir, exist_ok=True)
         ds = ds.materialize()
         total = ds.count()
-        nf = max(1, -(-total // self.target_rows))
+        nbytes = ds.size_bytes() or 0
+        eff = self.target_rows
+        if total and nbytes:
+            avg = max(1, nbytes // total)
+            eff = int(min(self.target_rows,
+                          max(1024, self.target_bytes // avg)))
+        nf = max(1, -(-total // eff))
         ds = ds.repartition(nf)          # no shuffle: order-preserving
-        ds.write_parquet(vdir, row_group_size=self.target_rows)
+        ds.write_parquet(vdir, row_group_size=eff)
         parts = []
         for fname in sorted(os.listdir(vdir)):
             if not fname.endswith(".parquet"):
@@ -192,7 +219,7 @@ class RangedTable:
             lo, hi, rows = _file_range(path, self.sort_cols)
             parts.append({"file": fname, "rows": rows,
                           "min": list(lo), "max": list(hi)})
-        self._write_manifest(version, parts)
+        self._write_manifest(version, parts, target_rows=eff)
 
     # -- reads ------------------------------------------------------------
 
@@ -318,8 +345,12 @@ class RangedTable:
         become the new table's partitions."""
         parts = []
         n = len(adds)
-        nfiles = max(1, (n + 2 * self.target_rows - 1)
-                     // (2 * self.target_rows)) if n else 0
+        eff = self.target_rows
+        if n and adds.nbytes:
+            avg = max(1, adds.nbytes // n)
+            eff = int(min(self.target_rows,
+                          max(1024, self.target_bytes // avg)))
+        nfiles = max(1, (n + 2 * eff - 1) // (2 * eff)) if n else 0
         for s in range(nfiles):
             step = (n + nfiles - 1) // nfiles
             sl = adds.slice(s * step, step)
@@ -327,14 +358,14 @@ class RangedTable:
                 continue
             fname = f"fresh.d{new_version}-{s}.parquet"
             pq.write_table(sl, os.path.join(new_vdir, fname),
-                           row_group_size=self.target_rows)
+                           row_group_size=eff)
             parts.append({
                 "file": fname, "rows": len(sl),
                 "min": list(_norm_tuple(
                     [sl.column(c)[0].as_py() for c in self.sort_cols])),
                 "max": list(_norm_tuple(
                     [sl.column(c)[-1].as_py() for c in self.sort_cols]))})
-        self._write_manifest(new_version, parts)
+        self._write_manifest(new_version, parts, target_rows=eff)
         return {"rewritten": len(parts), "linked": 0}
 
     def compact(self, version: int, new_version: int) -> dict:
@@ -354,6 +385,7 @@ class RangedTable:
         m = self.manifest(version)
         assert m is not None, "compact needs an existing version"
         parts = m["partitions"]
+        gran = self._granularity(version)   # byte-aware stamped rows
         old_vdir, new_vdir = self._vdir(version), self._vdir(new_version)
         shutil.rmtree(new_vdir, ignore_errors=True)
         os.makedirs(new_vdir, exist_ok=True)
@@ -362,7 +394,7 @@ class RangedTable:
         for p in parts:
             cur.append(p)
             cur_rows += p["rows"]
-            if cur_rows >= self.target_rows:
+            if cur_rows >= gran:
                 groups.append(cur)
                 cur, cur_rows = [], 0
         if cur:
@@ -390,13 +422,13 @@ class RangedTable:
             fname = f"compact.c{new_version}-{gi}.parquet"
             futures.append((gi, grp, fname, merge.remote(
                 [os.path.join(old_vdir, p["file"]) for p in grp],
-                os.path.join(new_vdir, fname), self.target_rows)))
+                os.path.join(new_vdir, fname), gran)))
         for gi, grp, fname, fut in futures:
             rows = ray.get(fut)
             new_parts.append({"file": fname, "rows": rows,
                               "min": list(grp[0]["min"]),
                               "max": list(grp[-1]["max"])})
-        self._write_manifest(new_version, new_parts)
+        self._write_manifest(new_version, new_parts, target_rows=gran)
         return {"partitions_before": len(parts),
                 "partitions_after": len(new_parts),
                 "merged_groups": len(futures), "linked": linked}
@@ -487,6 +519,7 @@ class RangedTable:
                         [sl.column(c)[-1].as_py() for c in sort_cols]))})
             return out
 
+        gran = self._granularity(version)   # byte-aware stamped rows
         futures = []
         for pi, add_rows in touched.items():
             p = parts[pi]
@@ -494,7 +527,7 @@ class RangedTable:
             futures.append(rewrite.remote(
                 os.path.join(old_vdir, p["file"]), add_tbl,
                 drop_by_part.get(pi, set()), drop_cols, self.sort_cols,
-                self.target_rows, new_vdir,
+                gran, new_vdir,
                 os.path.splitext(p["file"])[0] + f".d{new_version}"))
 
         new_parts = []
@@ -513,6 +546,6 @@ class RangedTable:
         for got in _ray.get(futures):
             new_parts.extend(got)
         new_parts = [p for p in new_parts if p["rows"] > 0]
-        self._write_manifest(new_version, new_parts)
+        self._write_manifest(new_version, new_parts, target_rows=gran)
         return {"rewritten": len(touched),
                 "linked": len(parts) - len(touched)}

@@ -66,14 +66,16 @@ def updates_with_type(table: pa.Table, type_: int = UPDATE) -> pa.Table:
 
 class IncrementalMirror:
     def __init__(self, root: str, spec: StageSpec,
-                 target_rows: int = 100_000):
+                 target_rows: int = 100_000,
+                 target_bytes: int | None = None):
         self.spec = spec
         self.root = root
         tk, skp = spec.target_key, spec.stored_sk
+        kw = {} if target_bytes is None else {"target_bytes": target_bytes}
         self.content = RangedTable(os.path.join(root, "content"),
-                                   tk + skp + [SEQ_COL], target_rows)
+                                   tk + skp + [SEQ_COL], target_rows, **kw)
         self.mappings = RangedTable(os.path.join(root, "key_mappings"),
-                                    skp + tk + [SEQ_COL], target_rows)
+                                    skp + tk + [SEQ_COL], target_rows, **kw)
 
     # -- update feed persistence ---------------------------------------------
 
