@@ -235,6 +235,53 @@ def winnow_fingerprints(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def window_hash_rows(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     kgram: int = 32) -> pa.Table:
+    """Per-doc DISTINCT rolling hashes of every ``kgram``-byte window —
+    the candidate key of exact-substring (sequence-level) dedup: two
+    docs share a window hash iff they share that exact byte window
+    (modulo 64-bit collisions, which an oracle replaying the identical
+    hash sees identically).  Same flat-buffer vectorization as
+    winnow_fingerprints, minus the winnow selection: every valid
+    position's hash, deduplicated per doc before the exchange (the
+    shuffle ships one row per DISTINCT (doc, window) pair)."""
+    col = batch.column(text_col).combine_chunks().cast(pa.large_binary())
+    n = len(col)
+    empty = pa.table({id_col: batch.column(id_col).slice(0, 0),
+                      "h": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + n + 1]
+    base = int(offs[0])
+    dbuf = col.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)[base: base + int(offs[-1])
+                                                - base]
+            if dbuf is not None else np.zeros(0, dtype=np.uint8))
+    offs = offs - base
+    total = len(data)
+    if total < kgram:
+        return empty
+    nh = total - kgram + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(nh, dtype=np.uint64)
+        for j in range(kgram):
+            h = h * WINNOW_BASE + data[j: j + nh].astype(np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[:nh]
+    valid = (np.arange(nh) + kgram) <= offs[1:][doc_of]
+    idx = np.flatnonzero(valid)
+    d, hv = doc_of[idx], h[idx]
+    order = np.lexsort((hv, d))
+    d, hv = d[order], hv[order]
+    first = np.ones(len(d), dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (hv[1:] != hv[:-1])
+    d, hv = d[first], hv[first]
+    ids = batch.column(id_col).combine_chunks()
+    return pa.table({id_col: ids.take(pa.array(d)),
+                     "h": pa.array(hv.view(np.int64))})
+
+
 def extract_text_from_html(html: pa.Array) -> pa.Array:
     """Html → visible text, fully vectorized (three RE2 passes + a
     whitespace collapse — the WARC-body → `text` extraction stage; a

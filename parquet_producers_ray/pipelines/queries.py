@@ -809,6 +809,110 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring (sequence-level) dedup — the "duplicate 50-token
+# span" operator of training-data pipelines (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022), scaled to a
+# 32-BYTE window on the synthetic corpus.  Two docs pair iff they share
+# at least one exact kgram-byte window.  Scale shape: per-doc DISTINCT
+# rolling window hashes (vectorized flat-buffer scan, functions/text
+# .window_hash_rows) → ONE hash exchange on the window hash → pairs
+# within each posting (max_df stop-window cap bounds the quadratic,
+# mirrored in SQL — same contract as dedup_jaccard_capped) → distinct
+# pairs.  The oracle replays the IDENTICAL 64-bit polynomial hash
+# closed-form, so both sides see any collision identically; a
+# production deployment adds an exact-bytes verify join, same shape as
+# dedup_minhash's verify stage.
+
+_SUBSTR_K = 32
+_SUBSTR_MAX_DF = 64
+_SUBSTR_POW = [pow(1099511628211, _SUBSTR_K - 1 - j, 2 ** 64)
+               for j in range(_SUBSTR_K)]
+_SUBSTR_TERMS = " + ".join(
+    f"CAST(ascii(substr(text, p + {j + 1}, 1)) AS HUGEINT) * {c}"
+    for j, c in enumerate(_SUBSTR_POW))
+
+
+def q_dedup_substring(sf_dir: str, kgram: int = _SUBSTR_K,
+                      max_df: int = _SUBSTR_MAX_DF):
+    import numpy as np
+
+    from ..engine.produce import _keyed_exchange_materialize
+    from ..functions.text import window_hash_rows
+
+    g = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: window_hash_rows(b, "doc_id", "text", kgram),
+        batch_format="pyarrow")
+    # flip→materialize→restore (the engine's canonical keyed-exchange
+    # pattern): a hash-shuffle op PIPELINED with downstream stages
+    # races Ray's aggregator CPU reservation on small clusters and can
+    # deadlock; materializing the exchange alone never does, and
+    # restoring the context keeps the final distinct groupby on the
+    # default sort-based strategy
+    co = _keyed_exchange_materialize(
+        g, lambda d: d.repartition(8, keys=["h"]))
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def pairs_block(b: pa.Table) -> pa.Table:
+        # complete window-hash postings per block; skip singleton and
+        # over-capped postings (stop-windows), emit ordered pairs
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pair_schema.empty_table()
+        b = b.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        hv = b.column("h").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        first = np.ones(m, dtype=bool)
+        first[1:] = hv[1:] != hv[:-1]
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.concatenate((seg_start, [m])))
+        out_a, out_b = [], []
+        usable = (seg_len > 1) & (seg_len <= max_df)
+        for s, ln in zip(seg_start[usable], seg_len[usable]):
+            sub = ids[s:s + ln]
+            i, j = np.triu_indices(ln, 1)
+            out_a.append(sub[i])
+            out_b.append(sub[j])
+        if not out_a:
+            return pair_schema.empty_table()
+        t = pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                      "id_b": pa.array(np.concatenate(out_b))})
+        # local distinct before the pair exchange
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    pairs = co.map_batches(pairs_block, batch_format="pyarrow",
+                           batch_size=None)
+    # pair rows are candidate-bounded (max_df caps every posting), so
+    # the global distinct follows dedup_minhash's documented pattern:
+    # per-block distinct already ran inside pairs_block; the bounded
+    # remainder dedupes driver-side (at true scale this becomes one
+    # more keyed exchange — same shape, no driver state)
+    import ray.data
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    merged = (pa.concat_tables(batches)
+              .group_by(["id_a", "id_b"]).aggregate([])
+              .sort_by([("id_a", "ascending"), ("id_b", "ascending")]))
+    return ray.data.from_arrow(merged)
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, ({_SUBSTR_TERMS}) % 18446744073709551616 AS h
+  FROM documents
+  CROSS JOIN unnest(range(octet_length(encode(text)) - {_SUBSTR_K - 1}))
+       AS t(p)
+),
+ok AS (SELECT h FROM g GROUP BY h
+       HAVING count(*) BETWEEN 2 AND {_SUBSTR_MAX_DF})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM g a JOIN ok USING (h) JOIN g b USING (h)
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
                     emit: str = "pairs"):
     """MinHash+LSH near-dup, distributed end to end: shingle → minhash
@@ -5385,6 +5489,7 @@ REGISTRY = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP),

@@ -704,3 +704,37 @@ def test_minhash_lsh_recall_on_gate_corpus():
         f"LSH banding missed {len(missed)} true pairs (recall < 1.0): "
         f"{sorted(missed)[:5]} — dedup_minhash's exact-SQL oracle row "
         "would go red; re-derive num_perm/bands per the docstring bound")
+
+
+def test_window_hash_rows_matches_naive_reference():
+    """window_hash_rows (flat-buffer vectorized) must equal the naive
+    per-doc rolling hash: distinct 64-bit polynomial hashes of every
+    kgram-byte window."""
+    import numpy as np
+
+    from parquet_producers_ray.functions.text import (WINNOW_BASE,
+                                                      window_hash_rows)
+
+    K = 5
+    docs = ["abcdefghij", "abc", "", "xxxxxxxx", "abcdefghij"]
+    t = pa.table({"doc_id": pa.array(list(range(len(docs))), pa.int64()),
+                  "text": pa.array(docs)})
+    got = window_hash_rows(t, kgram=K)
+    got_set = set(zip(got.column("doc_id").to_pylist(),
+                      got.column("h").to_pylist()))
+
+    want = set()
+    for i, d in enumerate(docs):
+        b = d.encode()
+        for p in range(len(b) - K + 1):
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for c in b[p:p + K]:
+                    h = h * WINNOW_BASE + np.uint64(c)
+            want.add((i, int(h.view(np.int64))))
+    assert got_set == want
+    # doc shorter than K and empty doc contribute nothing
+    assert not any(d in (1, 2) for d, _ in got_set)
+    # identical docs produce identical hash sets
+    assert {h for d, h in got_set if d == 0} == \
+        {h for d, h in got_set if d == 4}
