@@ -62,22 +62,13 @@ def _content_part(content, up_spec: StageSpec, key_cols, val_cols,
 
 
 def _colocate_groups(ds, key_cols):
-    """Co-locate complete key groups, one block per partition — the
-    shared prelude of every vectorized per-group stage (same policy as
-    produce_adds' grouped path): tiny inputs skip straight to one
-    block, larger ones pay ONE keyed exchange."""
-    from .produce import (TINY_GROUPED_BYTES, _exchange_partitions,
-                          _keyed_exchange_materialize)
+    """Co-locate complete key groups — delegates to the single shared
+    policy in ``produce.colocate_key_groups`` (also used by
+    produce_adds' grouped path), so the tiny-threshold / exchange
+    strategy cannot drift between the two call sites."""
+    from .produce import colocate_key_groups
 
-    nbytes = ds.size_bytes()
-    if nbytes is None:
-        ds = ds.materialize()
-        nbytes = ds.size_bytes()
-    if nbytes is not None and nbytes < TINY_GROUPED_BYTES:
-        return ds.repartition(1)
-    parts = _exchange_partitions(ds)
-    return _keyed_exchange_materialize(
-        ds, lambda d: d.repartition(parts, keys=key_cols))
+    return colocate_key_groups(ds, key_cols)
 
 
 def _content_part_from(filtered, up_spec: StageSpec, key_cols, val_cols,

@@ -289,22 +289,7 @@ def produce_adds(spec: StageSpec, source_updates):
         return source_updates.map_batches(_produce_rows_fn(spec),
                                           batch_format="pyarrow")
     if spec.produce_grouped is not None:
-        nbytes = source_updates.size_bytes()
-        if nbytes is None:
-            # lazy wave (e.g. straight out of read_sources): pin it
-            # once — apply_updates re-reads the wave anyway, and the
-            # size decides the exchange strategy
-            source_updates = source_updates.materialize()
-            nbytes = source_updates.size_bytes()
-        if nbytes is not None and nbytes < TINY_GROUPED_BYTES:
-            # a tiny delta fits one block: co-location is trivial and
-            # the keyed exchange's fixed setup would dominate
-            co = source_updates.repartition(1)
-        else:
-            parts = _exchange_partitions(source_updates)
-            co = _keyed_exchange_materialize(
-                source_updates,
-                lambda d: d.repartition(parts, keys=spec.source_key))
+        co = colocate_key_groups(source_updates, spec.source_key)
         return co.map_batches(_produce_grouped_fn(spec),
                               batch_format="pyarrow", batch_size=None)
     return (source_updates.groupby(spec.source_key)
@@ -671,6 +656,29 @@ def _keyed_exchange_materialize(ds, build):
     finally:
         if ctx is not None:
             ctx.shuffle_strategy = prev
+
+
+def colocate_key_groups(ds, key_cols):
+    """Co-locate complete key groups, one block per partition — the
+    shared prelude of every vectorized per-group stage.  Single home
+    of the policy (produce_adds' grouped path and pipeline's content
+    ranking both call it): materialize-if-unsized so the byte size can
+    pick the strategy, tiny inputs skip straight to one block, larger
+    ones pay ONE byte-sized keyed exchange."""
+    nbytes = ds.size_bytes()
+    if nbytes is None:
+        # lazy lineage (e.g. straight out of read_sources): pin it once
+        # — the size decides the exchange strategy and downstream
+        # stages re-read the data anyway
+        ds = ds.materialize()
+        nbytes = ds.size_bytes()
+    if nbytes is not None and nbytes < TINY_GROUPED_BYTES:
+        # a tiny delta fits one block: co-location is trivial and the
+        # keyed exchange's fixed setup would dominate
+        return ds.repartition(1)
+    parts = _exchange_partitions(ds)
+    return _keyed_exchange_materialize(
+        ds, lambda d: d.repartition(parts, keys=key_cols))
 
 
 def _distinct_key_ds(ds, cols: list, parts: int = NUM_JOIN_PARTITIONS):

@@ -5,6 +5,20 @@ driver's testdata tables (region nation customer supplier part orders
 lineitem events documents embeddings).  Column names of every computed
 column match the SQL aliases exactly (driver hash-compares values after
 sorting columns by name).
+
+CENTS PATTERN — 2-DECIMAL DATA ASSUMPTION.  Every money/value sum runs
+in integer cents on BOTH sides (``round(x*100)`` in pyarrow/numpy,
+``CAST(round(x*100) AS BIGINT/DOUBLE)`` in the SQL oracle) so the
+merge order of float partials can never perturb low-order bits and
+flip the driver's exact hash.  The two ``round``s differ in tie mode —
+pyarrow/numpy round HALF-TO-EVEN, DuckDB ``round()`` HALF-AWAY-FROM-
+ZERO — which only matters when x*100 lands exactly on .5, i.e. when
+the source data carries ≥3 decimal places.  The TPC-H-ish testdata is
+2-decimal (measured: max distance of value*100 to .5 is ~4e-9, pure
+float noise), so the modes agree on every corpus row.  If this
+registry is ever pointed at ≥3-decimal data, switch both sides to an
+explicitly matched rounding — e.g. ``floor(x*100 + 0.5)`` mirrored in
+the pyarrow path and the SQL — before trusting the hash gate.
 """
 
 from __future__ import annotations
@@ -25,6 +39,22 @@ def _read(sf_dir: str, table: str, columns=None):
 def _enable_hash_shuffle(ds):
     from .flagship import enable_hash_shuffle
     return enable_hash_shuffle(ds)
+
+
+def _scaled_parts(ds, floor: int, per_part_bytes: int = 128 << 20,
+                  cap: int = 4096) -> int:
+    """Keyed-exchange partition count scaled to input BYTES — never a
+    bare constant (the 1000× trap: a fixed count that's fine at sf0.1
+    funnels a 100 TB table through the same N aggregators).  ``floor``
+    keeps toy-scale parallelism (and preserves the historical
+    partition counts exactly at test scale); past floor × 128 MiB the
+    count grows with the data.  Parquet metadata makes ``size_bytes``
+    available pre-execution on read lineages; lazy transformed
+    lineages (size unknown) stay at the floor, which every such call
+    site bounds with a pre-shrunk (grid/candidate-sized) input."""
+    import math
+    nbytes = ds.size_bytes() or 0
+    return max(floor, min(cap, math.ceil(nbytes / per_part_bytes)))
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +162,9 @@ def q_u6_partial_avg(sf_dir: str):
         import pyarrow.compute as _pc
         # partial sums in integer CENTS: exact, so the merge order of the
         # partials can never perturb low-order float bits (driver gate
-        # hash-compares exactly)
+        # hash-compares exactly).  Rounding-mode caveat (half-to-even
+        # here vs half-away in DuckDB) is safe only on 2-decimal data —
+        # see the CENTS PATTERN note in the module docstring.
         cents = _pc.round(_pc.multiply(b.column("o_totalprice"), 100.0))
         g = (b.set_column(b.schema.get_field_index("o_totalprice"),
                           "o_totalprice", cents)
@@ -837,20 +869,19 @@ def q_dedup_substring(sf_dir: str, kgram: int = _SUBSTR_K,
                       max_df: int = _SUBSTR_MAX_DF):
     import numpy as np
 
-    from ..engine.produce import _keyed_exchange_materialize
+    from ..engine.produce import colocate_key_groups
     from ..functions.text import window_hash_rows
 
     g = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: window_hash_rows(b, "doc_id", "text", kgram),
         batch_format="pyarrow")
-    # flip→materialize→restore (the engine's canonical keyed-exchange
-    # pattern): a hash-shuffle op PIPELINED with downstream stages
-    # races Ray's aggregator CPU reservation on small clusters and can
-    # deadlock; materializing the exchange alone never does, and
-    # restoring the context keeps the final distinct groupby on the
-    # default sort-based strategy
-    co = _keyed_exchange_materialize(
-        g, lambda d: d.repartition(8, keys=["h"]))
+    # the window-hash stream is ~corpus-byte-sized (one row per
+    # distinct k-byte window per doc), so the exchange must be sized
+    # by BYTES, not a constant: colocate_key_groups is the shared
+    # policy (tiny corpora skip to one block; larger ones pay ONE
+    # _exchange_partitions-sized keyed exchange, flip→materialize→
+    # restore so hash shuffle never leaks into later stages)
+    co = colocate_key_groups(g, ["h"])
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
@@ -883,19 +914,21 @@ def q_dedup_substring(sf_dir: str, kgram: int = _SUBSTR_K,
 
     pairs = co.map_batches(pairs_block, batch_format="pyarrow",
                            batch_size=None)
-    # pair rows are candidate-bounded (max_df caps every posting), so
-    # the global distinct follows dedup_minhash's documented pattern:
-    # per-block distinct already ran inside pairs_block; the bounded
-    # remainder dedupes driver-side (at true scale this becomes one
-    # more keyed exchange — same shape, no driver state)
-    import ray.data
-    batches = list(pairs.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return ray.data.from_arrow(pair_schema.empty_table())
-    merged = (pa.concat_tables(batches)
-              .group_by(["id_a", "id_b"]).aggregate([])
-              .sort_by([("id_a", "ascending"), ("id_b", "ascending")]))
-    return ray.data.from_arrow(merged)
+    # global distinct = ONE more keyed exchange + per-block distinct:
+    # per-block distinct already ran inside pairs_block, the exchange
+    # lands every (id_a, id_b) in exactly one partition, so the
+    # block-local group_by IS the global distinct — no driver-side
+    # pair state at any scale (pair volume is max_df-bounded per
+    # posting, but at 10^12 docs even that is cluster-sized)
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        return (b.group_by(["id_a", "id_b"]).aggregate([])
+                .select(["id_a", "id_b"]))
+
+    return colocate_key_groups(pairs, ["id_a", "id_b"]).map_batches(
+        distinct_block, batch_format="pyarrow", batch_size=None)
 
 
 SQL_DEDUP_SUBSTRING = f"""
@@ -994,7 +1027,8 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
                         schema=_pair_schema)
 
     _enable_hash_shuffle(bands)
-    pairs = (bands.repartition(8, keys=["band", "band_hash"])
+    pairs = (bands.repartition(_scaled_parts(bands, 8),
+                         keys=["band", "band_hash"])
              .map_batches(pairs_block, batch_format="pyarrow",
                           batch_size=None)
              .materialize())
@@ -1112,7 +1146,8 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
     t_num, t_den = frac.numerator, frac.denominator
 
     _enable_hash_shuffle(half)
-    edges = (half.repartition(8, keys=["id_a", "id_b"])
+    edges = (half.repartition(_scaled_parts(half, 8),
+                        keys=["id_a", "id_b"])
              .map_batches(verify_block, batch_format="pyarrow",
                           batch_size=None))
     if emit == "pairs":
@@ -1217,7 +1252,8 @@ WHERE 10 * len(list_intersect(a.g, b.g))
 """
 
 
-def q_dedup_jaccard(sf_dir: str):
+def q_dedup_jaccard(sf_dir: str,
+                    max_gram_rows: int | None = None):
     """Exact n-gram (word-bigram) Jaccard near-dup pairs at τ = 0.5 via
     the distributed inverted index: distinct (gram, doc) rows → ONE
     hash exchange on ``gram`` co-locates each posting list → pairwise
@@ -1229,13 +1265,19 @@ def q_dedup_jaccard(sf_dir: str):
     RUNTIME GUARD: without ``max_df`` the posting-list pair explosion
     is quadratic in per-gram document frequency — correct but
     documented-slow (42 s at sf0.1 on a degenerate synthetic
-    vocabulary).  The guard below refuses corpora past
-    ``_JACCARD_UNCAPPED_MAX_GRAM_ROWS`` and names the scale path,
-    `dedup_jaccard_capped` (identical cap applied in its SQL oracle),
-    instead of silently burning cluster-hours."""
+    vocabulary).  The guard refuses corpora past ``max_gram_rows``
+    (default ``_JACCARD_UNCAPPED_MAX_GRAM_ROWS``) and names the scale
+    path, `dedup_jaccard_capped` (identical cap applied in its SQL
+    oracle), instead of silently burning cluster-hours.  Callers who
+    accept the quadratic cost can raise ``max_gram_rows`` or pass a
+    negative value to disable the guard entirely; ``None`` (the
+    default) keeps the repo-wide threshold."""
     import warnings
 
     from ..functions.dedup import distinct_gram_rows
+
+    if max_gram_rows is None:
+        max_gram_rows = _JACCARD_UNCAPPED_MAX_GRAM_ROWS
 
     grams = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: distinct_gram_rows(b, "doc_id"), batch_format="pyarrow")
@@ -1244,19 +1286,21 @@ def q_dedup_jaccard(sf_dir: str):
     # exchange); materialize so the read + tokenize pass runs once —
     # the gram rows are ~1-2% the size of the corpus
     grams = grams.materialize()
-    n_rows = grams.count()
-    if n_rows > _JACCARD_UNCAPPED_MAX_GRAM_ROWS:
-        raise ValueError(
-            f"dedup_jaccard without max_df is quadratic in posting-list "
-            f"size and this corpus has {n_rows} gram rows (guard: "
-            f"{_JACCARD_UNCAPPED_MAX_GRAM_ROWS}); use "
-            f"dedup_jaccard_capped (max_df stop-gram cap — the scale "
-            f"path with the identical cap in its oracle) instead")
-    if n_rows > _JACCARD_UNCAPPED_MAX_GRAM_ROWS // 10:
-        warnings.warn(
-            "dedup_jaccard runs the exact (uncapped) quadratic pair "
-            "explosion — prefer dedup_jaccard_capped beyond toy scale",
-            stacklevel=2)
+    if max_gram_rows >= 0:
+        n_rows = grams.count()
+        if n_rows > max_gram_rows:
+            raise ValueError(
+                f"dedup_jaccard without max_df is quadratic in "
+                f"posting-list size and this corpus has {n_rows} gram "
+                f"rows (guard: {max_gram_rows}); use "
+                f"dedup_jaccard_capped (max_df stop-gram cap — the "
+                f"scale path with the identical cap in its oracle), or "
+                f"pass max_gram_rows=-1 to accept the quadratic cost")
+        if n_rows > max_gram_rows // 10:
+            warnings.warn(
+                "dedup_jaccard runs the exact (uncapped) quadratic "
+                "pair explosion — prefer dedup_jaccard_capped beyond "
+                "toy scale", stacklevel=2)
     return _jaccard_pairs_from_grams(grams)
 
 
@@ -1353,9 +1397,9 @@ def _jaccard_pairs_from_grams(grams):
     lp, fp = (local_pairs_packed, final_pairs_packed) if packable \
         else (local_pairs, final_pairs)
     pair_keys = ["pair"] if packable else ["id_a", "id_b"]
-    partial = (grams.repartition(32, keys=["gram"])
+    partial = (grams.repartition(_scaled_parts(grams, 32), keys=["gram"])
                .map_batches(lp, batch_format="pyarrow", batch_size=None))
-    return (partial.repartition(32, keys=pair_keys)
+    return (partial.repartition(_scaled_parts(partial, 32), keys=pair_keys)
             .map_batches(fp, batch_format="pyarrow", batch_size=None))
 
 
@@ -1563,7 +1607,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
         ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
     binned = ds.map_batches(ivf_assign, batch_format="pyarrow",
                             fn_kwargs={"centroids": centroids})
-    cands = (binned.repartition(8, keys=["bucket"])
+    cands = (binned.repartition(_scaled_parts(binned, 8), keys=["bucket"])
              .map_batches(IVFTopK, batch_format="pyarrow",
                           batch_size=None, concurrency=2,
                           fn_constructor_args=(
@@ -1727,14 +1771,18 @@ FROM px GROUP BY doc_id
 
 
 def q_audio_chunks(sf_dir: str):
-    """Audio-chunking plumbing: synthesize a deterministic binary
-    audio column (samples = (text_byte − 128) · 128 at 16 kHz), then an
-    actor-pool stage explodes each clip into 25 ms (400-sample) chunks
-    with per-chunk RMS/peak features — the VAD / segment-feature shape;
-    decode is the documented stub boundary.  Oracle-checked: the SQL
-    regenerates each sample from the text bytes and replays the
-    chunked RMS/peak aggregation exactly (integer sums of squares are
-    exact in float64, so rms is bit-stable)."""
+    """Audio-chunking over GENUINELY DECODED audio: synthesize a
+    deterministic REAL RIFF/WAVE PCM16 column (samples =
+    (text_byte − 128) · 128 at 16 kHz, playable in any standard audio
+    tool), then an actor-pool stage chunk-walks each WAV container
+    (WavCodec: fmt/data parse, word alignment, unknown chunks skipped)
+    and explodes each clip into 25 ms (400-sample) chunks with
+    per-chunk RMS/peak features — the VAD / segment-feature shape;
+    only compressed formats (mp3/opus) remain at the lib-backed
+    integration point.  Oracle-checked: the SQL regenerates each
+    sample from the text bytes and replays the chunked RMS/peak
+    aggregation exactly (integer sums of squares are exact in float64,
+    so rms is bit-stable)."""
     from ..stages.multimodal import AudioChunkStage, synthesize_audio_column
 
     ds = (_read(sf_dir, "documents", ["doc_id", "text"])
@@ -2088,7 +2136,7 @@ def q_asof_join(sf_dir: str):
             "view_event_id": pa.array(views, type=pa.int64(),
                                       mask=views == -1)})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(asof_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -2593,7 +2641,7 @@ def q_window_cumsum(sf_dir: str):
             "cum_value": pa.array((cum - seg_base) / 100.0),
             "prev_value": pa.array(prev, mask=np.isnan(prev))})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -2958,8 +3006,8 @@ def _recent_order_keys(sf_dir: str):
 def _membership_join(sf_dir: str, join_type: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
     return cust.join(_recent_order_keys(sf_dir), join_type=join_type,
-                     num_partitions=8, on=("c_custkey",),
-                     right_on=("o_custkey",))
+                     num_partitions=_join_partitions(cust, floor=8),
+                     on=("c_custkey",), right_on=("o_custkey",))
 
 
 def q_semi_join(sf_dir: str):
@@ -3007,7 +3055,8 @@ def q_join3_topk(sf_dir: str):
                   lambda b: b.filter(pc.less(b.column("o_orderdate"),
                                              cutoff)),
                   batch_format="pyarrow")
-              .join(building, join_type="left_semi", num_partitions=8,
+              .join(building, join_type="left_semi",
+                    num_partitions=_join_partitions(building, floor=8),
                     on=("o_custkey",), right_on=("c_custkey",)))
 
     def line_revenue(b: pa.Table) -> pa.Table:
@@ -3028,7 +3077,8 @@ def q_join3_topk(sf_dir: str):
           .map_batches(line_revenue, batch_format="pyarrow"))
 
     joined = li.join(orders.select_columns(["o_orderkey", "o_orderdate"]),
-                     join_type="inner", num_partitions=8,
+                     join_type="inner",
+                     num_partitions=_join_partitions(li, floor=8),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     return (joined.groupby(["l_orderkey", "o_orderdate"])
             .aggregate(Sum("revenue", alias_name="revenue"))
@@ -3114,7 +3164,7 @@ ORDER BY n DESC, l_partkey LIMIT 20
 # left/full outer directly; the aggregate side is pre-shrunk to one row
 # per key before the exchange, so the shuffle moves the small side.
 
-def _join_partitions(*datasets) -> int:
+def _join_partitions(*datasets, floor: int = 2) -> int:
     """Partition count for Ray's native hash join, scaled to data volume
     (~256 MiB per partition).  Ray's join aggregator builds each
     partition side from received shards only — a partition whose side
@@ -3123,7 +3173,7 @@ def _join_partitions(*datasets) -> int:
     comfortably fills (a non-issue at real scale, where every
     256 MiB partition holds millions of keys)."""
     total = sum((ds.size_bytes() or 0) for ds in datasets)
-    return max(2, int(total / (256 << 20)))
+    return max(floor, int(total / (256 << 20)))
 
 
 def q_left_join(sf_dir: str):
@@ -4017,7 +4067,7 @@ def q_ntile(sf_dir: str, n_tiles: int = 4):
         return pa.table({"event_id": b.column("event_id"),
                          "tile": pa.array(tile.astype(np.int64))})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -4205,7 +4255,7 @@ def q_window_lead(sf_dir: str):
             "next_value": pa.array(nxt, mask=np.isnan(nxt)),
             "first_value": pa.array(first)})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -4254,7 +4304,7 @@ def q_moving_avg(sf_dir: str, window: int = 4):
             "event_id": b.column("event_id"),
             "mov_avg": pa.array(wsum / 100.0 / (lookback + 1))})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -4703,7 +4753,7 @@ def q_funnel(sf_dir: str):
         return pa.table({"user_id": pa.array(users),
                          "steps": pa.array(steps)})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -4768,7 +4818,7 @@ def q_retention(sf_dir: str):
             [("n_users", "sum")])
         return t.rename_columns(["cohort_day", "week_offset", "n_users"])
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None)
             .groupby(["cohort_day", "week_offset"])
@@ -4824,7 +4874,7 @@ def q_percent_rank(sf_dir: str):
                          "prank": pa.array(prank),
                          "cdist": pa.array(cdist)})
 
-    return (ds.repartition(16, keys=["user_id"])
+    return (ds.repartition(_scaled_parts(ds, 16), keys=["user_id"])
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -5249,7 +5299,8 @@ def q_fuzzy_pairs(sf_dir: str, prefix_len: int = 32):
                          "doc_b": pa.array(ids[ib]),
                          "dist": pa.array(dist)})
 
-    return (ds.repartition(16, keys=["lang", "n_chars"])
+    return (ds.repartition(_scaled_parts(ds, 16),
+                           keys=["lang", "n_chars"])
             .map_batches(_pairs_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -5373,7 +5424,9 @@ def q_salted_join(sf_dir: str, salt: int = 8):
 
     build = cust.map_batches(rep_build, batch_format="pyarrow")
     probe = orders.map_batches(salt_probe, batch_format="pyarrow")
-    joined = probe.join(build, join_type="inner", num_partitions=8,
+    joined = probe.join(build, join_type="inner",
+                        num_partitions=_join_partitions(orders, cust,
+                                                        floor=8),
                         on=("o_custkey", "_psalt"),
                         right_on=("c_custkey", "_bsalt"))
     return (joined.map_batches(
@@ -5410,7 +5463,15 @@ REGISTRY = {
     # sentinels proving this round's fixes (u10_join float determinism,
     # engine_preserve/_join_view dataset waves, dedup_minhash contract)
     # and the §2-critical engine/codec cores.  Everything rotated OUT
-    # holds a green hash row in CORRECTNESS_r01/r02 ---
+    # either holds a green hash row in CORRECTNESS_r01/r02 attesting
+    # the exact code that shipped, or — for the entries the round-3
+    # cents rewrite MODIFIED after their last driver row (u6_partial_avg,
+    # broadcast_join, salted_join, join3_topk, windowed_agg,
+    # sliding_window, dedup_jaccard) — was re-verified post-rewrite via
+    # `tools/check_oracle.py --exact` (full 107-query sweeps at sf0.01
+    # and sf0.1, commit e9af3e3) and is pinned by
+    # tests/test_gate_determinism.py's FLOAT_QUERIES block-split
+    # invariance so a future float-order regression fails in pytest ---
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
     "profile_stats": (q_profile_stats, SQL_PROFILE_STATS),

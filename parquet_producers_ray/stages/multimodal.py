@@ -7,12 +7,15 @@ Decoders, by depth of realism:
   full five-filter scanline reconstruction per the public PNG spec,
   W3C/RFC 2083), grayscale 8-bit.  ``media_features`` runs on
   genuinely decoded pixels through it.
+- ``WavCodec`` — REAL RIFF/WAVE PCM16 mono in pure stdlib (proper
+  chunk-list walk, word alignment, unknown chunks skipped).
+  ``audio_chunks`` decodes genuine WAV containers through it.
 - ``FakeImageCodec`` / ``FakeAudioCodec`` — deterministic stand-in
   formats that keep the rest of the plumbing (resize grid math, audio
   chunking, frame sampling) exactly unit-testable without media libs.
 - ``PillowImageDecoder`` — the documented integration point for
-  lib-backed formats (JPEG/WebP/video) that need binary codecs this
-  container doesn't ship; raises ``NotImplementedError``.
+  lib-backed formats (JPEG/WebP/mp3/opus/video) that need binary
+  codecs this container doesn't ship; raises ``NotImplementedError``.
 
 Usage:
     ds.map_batches(ImageFeatureStage, concurrency=(2, 8),
@@ -379,10 +382,65 @@ AUDIO_MAGIC = b"FAUD"
 AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
 
 
+class WavCodec:
+    """REAL RIFF/WAVE, pure stdlib: canonical PCM 16-bit mono
+    (format tag 1), per the public RIFF/WAVE spec (Microsoft/IBM
+    multimedia programming interface, 1991).  ``encode`` writes the
+    canonical 44-byte header + little-endian int16 samples; the output
+    plays in any standard audio tool.  ``decode`` walks the chunk list
+    properly (word-aligned, unknown chunks like LIST/fact skipped), so
+    real-world WAV files with metadata chunks decode too.  Same
+    (rate, samples) contract as FakeAudioCodec — the two are drop-in
+    interchangeable for every audio stage."""
+
+    @staticmethod
+    def encode(sample_rate: int, samples: np.ndarray) -> bytes:
+        s = np.asarray(samples, dtype="<i2")
+        data = s.tobytes()
+        byte_rate = sample_rate * 2           # mono, 16-bit
+        fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate,
+                          2, 16)
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        if len(data) % 2:                     # RIFF chunks word-align
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @staticmethod
+    def decode(blob: bytes) -> tuple[int, np.ndarray]:
+        if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
+            raise ValueError("not a RIFF/WAVE blob")
+        pos, n = 12, len(blob)
+        rate = None
+        samples = None
+        while pos + 8 <= n:
+            tag = bytes(blob[pos:pos + 4])
+            (length,) = struct.unpack_from("<I", blob, pos + 4)
+            body = blob[pos + 8:pos + 8 + length]
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+            if tag == b"fmt ":
+                wformat, channels, rate, _br, _ba, bits = \
+                    struct.unpack_from("<HHIIHH", body)
+                if (wformat, channels, bits) != (1, 1, 16):
+                    raise NotImplementedError(
+                        "WavCodec decodes canonical PCM 16-bit mono; "
+                        f"got format={wformat} channels={channels} "
+                        f"bits={bits} — lib-backed formats go through "
+                        "the ffmpeg/soundfile integration point")
+            elif tag == b"data":
+                samples = np.frombuffer(bytes(body), dtype="<i2")
+        if rate is None or samples is None:
+            raise ValueError("WAVE without fmt/data chunk")
+        return int(rate), samples
+
+
 class FakeAudioCodec:
     """Deterministic stand-in audio format: header + little-endian
-    int16 samples.  A real deployment would hold an ffmpeg/soundfile
-    handle per actor (same integration point as PillowImageDecoder)."""
+    int16 samples.  Real WAV goes through :class:`WavCodec`; a real
+    deployment of compressed formats (mp3/opus) would hold an
+    ffmpeg/soundfile handle per actor (same integration point as
+    PillowImageDecoder)."""
 
     @staticmethod
     def encode(sample_rate: int, samples: np.ndarray) -> bytes:
@@ -402,34 +460,54 @@ class FakeAudioCodec:
 
 def synthesize_audio_column(batch: pa.Table, text_col: str = "text",
                             id_col: str = "doc_id",
-                            sample_rate: int = 16_000) -> pa.Table:
-    """Deterministic audio-like column: the utf-8 text bytes become
-    int16 samples (zero-copy widen) so the chunking/feature plumbing
-    runs without real media files."""
+                            sample_rate: int = 16_000,
+                            codec=None) -> pa.Table:
+    """Deterministic audio column: the utf-8 text bytes become int16
+    samples (zero-copy widen), containerized as REAL RIFF/WAVE PCM16
+    by default (``codec=WavCodec``) — the blobs play in any standard
+    audio tool; pass ``codec=FakeAudioCodec`` for the header-only
+    stand-in.  Same sample values either way, so downstream features
+    (and the SQL oracle replaying them from the text) are
+    container-independent."""
+    codec = codec or WavCodec
     blobs = []
     for t in batch.column(text_col).to_pylist():
         raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
         # (byte - 128) * 128 stays within int16 for every byte value
         samples = (raw.astype(np.int16) - 128) * 128
-        blobs.append(FakeAudioCodec.encode(sample_rate, samples))
+        blobs.append(codec.encode(sample_rate, samples))
     return pa.table({
         id_col: batch.column(id_col),
         "audio": pa.array(blobs, type=pa.large_binary()),
     })
 
 
+class _SniffAudioDecoder:
+    """Container-sniffing decoder: real RIFF/WAVE blobs go through
+    :class:`WavCodec`, the FAUD stand-in through
+    :class:`FakeAudioCodec` — so a mixed corpus (or a stage default)
+    needs no per-file format hint."""
+
+    @staticmethod
+    def decode(blob: bytes) -> tuple[int, np.ndarray]:
+        if bytes(blob[:4]) == b"RIFF":
+            return WavCodec.decode(blob)
+        return FakeAudioCodec.decode(blob)
+
+
 class AudioChunkStage:
-    """Actor-pool stage: decode a binary audio column and explode each
-    clip into fixed-duration chunks with per-chunk features (RMS and
-    peak) — the 1→n shape of VAD / segment-level feature extraction.
-    Codec per actor; numpy-vectorized per clip."""
+    """Actor-pool stage: decode a binary audio column (REAL RIFF/WAVE
+    via WavCodec, or the FAUD stand-in — sniffed per blob) and explode
+    each clip into fixed-duration chunks with per-chunk features (RMS
+    and peak) — the 1→n shape of VAD / segment-level feature
+    extraction.  Codec per actor; numpy-vectorized per clip."""
 
     def __init__(self, binary_col: str = "audio", id_col: str = "doc_id",
                  chunk_ms: int = 25, decoder=None):
         self.binary_col = binary_col
         self.id_col = id_col
         self.chunk_ms = chunk_ms
-        self.decoder = decoder or FakeAudioCodec()
+        self.decoder = decoder or _SniffAudioDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, chunk_idx, n_samp, rms, peak = [], [], [], [], []

@@ -378,6 +378,70 @@ def test_audio_codec_and_chunk_stage():
     assert all(r["rms"] > 0 and r["peak"] > 0 for r in doc1)
 
 
+def test_wav_codec_real_riff_roundtrip():
+    """WavCodec writes canonical RIFF/WAVE PCM16 mono readable by the
+    stdlib `wave` module, and its chunk walk survives extra metadata
+    chunks and word-alignment padding."""
+    import io
+    import struct
+    import wave
+
+    from parquet_producers_ray.stages.multimodal import WavCodec
+
+    samples = np.arange(-500, 500, 10, dtype=np.int16)
+    blob = WavCodec.encode(16000, samples)
+
+    # independent reader: the stdlib wave module accepts the container
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 16000
+        frames = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert np.array_equal(frames, samples)
+
+    rate, back = WavCodec.decode(blob)
+    assert rate == 16000 and np.array_equal(back, samples)
+
+    # odd-length data chunk → pad byte; decode must not include it
+    odd = WavCodec.encode(8000, np.array([7], dtype=np.int16))
+    # splice a LIST metadata chunk between fmt and data (real-world
+    # WAV files carry these); decode must skip it
+    pos = odd.index(b"data")
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = odd[:pos] + meta + odd[pos:]
+    spliced = (spliced[:4]
+               + struct.pack("<I", len(spliced) - 8) + spliced[8:])
+    rate2, back2 = WavCodec.decode(spliced)
+    assert rate2 == 8000 and back2.tolist() == [7]
+
+    # non-mono / non-16-bit is the documented lib-backed boundary
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(stereo_fmt) + 8)
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(stereo_fmt))
+           + stereo_fmt + b"data" + struct.pack("<I", 0))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        WavCodec.decode(bad)
+
+
+def test_audio_chunk_stage_decodes_real_wav():
+    """synthesize_audio_column now emits genuine WAV containers and
+    the chunk stage decodes them (sniffing WAV vs the FAUD stand-in
+    per blob) — feature values identical across containers."""
+    from parquet_producers_ray.stages.multimodal import (
+        AudioChunkStage, FakeAudioCodec, synthesize_audio_column)
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": ["hello world " * 40, "x"]})
+    wav_audio = synthesize_audio_column(docs)
+    assert all(bytes(b[:4]) == b"RIFF"
+               for b in wav_audio.column("audio").to_pylist())
+    faud_audio = synthesize_audio_column(docs, codec=FakeAudioCodec)
+    out_wav = AudioChunkStage()(wav_audio)
+    out_faud = AudioChunkStage()(faud_audio)
+    assert out_wav.equals(out_faud)
+
+
 def test_bpe_token_counts_examples():
     t = pa.table({"text": ["Hello, world! I'm fine.", "", "don't stop 42x"]})
     out = text.bpe_token_counts(t)

@@ -19,12 +19,18 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# the in-window queries whose output carries float64 derived from
-# aggregation (the flakiness class); int-only queries cannot flake
+# queries whose output carries float64 derived from aggregation (the
+# flakiness class); int-only queries cannot flake.  Includes the
+# out-of-window entries the round-3 cents rewrite modified AFTER their
+# last driver row (u6_partial_avg, broadcast_join, salted_join,
+# join3_topk, windowed_agg, sliding_window) so pytest pins them even
+# though the driver gate no longer sees them.
 FLOAT_QUERIES = [
     "u10_join", "window_cumsum", "left_join", "full_outer_join",
     "stats_agg", "time_bucket", "zscore", "moving_avg", "bloom_join",
     "mad", "percentile_cont", "engine_join_view",
+    "u6_partial_avg", "broadcast_join", "salted_join", "join3_topk",
+    "windowed_agg", "sliding_window",
 ]
 
 
