@@ -378,6 +378,52 @@ def test_audio_codec_and_chunk_stage():
     assert all(r["rms"] > 0 and r["peak"] > 0 for r in doc1)
 
 
+def test_png_codec_roundtrip_all_filters():
+    """PngCodec encode cycles all five scanline filters; decode must
+    reconstruct pixels bit-exactly for arbitrary grids (incl. 1-wide
+    and 1-tall edge shapes where Sub/Paeth predictors degenerate)."""
+    from parquet_producers_ray.stages.multimodal import PngCodec
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (1, 17), (17, 1), (6, 6), (13, 40), (48, 64)]:
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        blob = PngCodec.encode(px)
+        assert bytes(blob[:8]) == b"\x89PNG\r\n\x1a\n"
+        back = PngCodec.decode_pixels(blob)
+        assert np.array_equal(back, px), (h, w)
+
+
+def test_png_thumbnail_stage_matches_bruteforce():
+    """Decode → NN-resample → re-encode → re-decode digests equal a
+    plain numpy replay of the same rule."""
+    from parquet_producers_ray.stages.multimodal import (
+        PngCodec, PngThumbnailStage, synthesize_png_column)
+
+    docs = pa.table({"doc_id": pa.array([3, 70, 113], pa.int64()),
+                     "text": ["the quick brown fox " * 30,
+                              "tiny", "z" * 5000]})
+    pngs = synthesize_png_column(docs)
+    out = PngThumbnailStage(width=16, height=16)(pngs)
+    wgt = np.arange(1, 257, dtype=np.int64)
+    for row in out.to_pylist():
+        i = row["doc_id"]
+        text = docs.column("text")[
+            docs.column("doc_id").to_pylist().index(i)].as_py()
+        w, h = i % 64 + 1, i % 48 + 1
+        raw = np.frombuffer(text.encode(), np.uint8)[:w * h]
+        grid = np.zeros(w * h, np.uint8)
+        grid[:len(raw)] = raw
+        grid = grid.reshape(h, w)
+        ri = (np.arange(16) * h) // 16
+        ci = (np.arange(16) * w) // 16
+        want = grid[np.ix_(ri, ci)].reshape(-1).astype(np.int64)
+        assert row["payload_sum"] == int(want.sum())
+        assert row["payload_wsum"] == int((want * wgt).sum())
+        # the emitted thumbnail is itself a valid PNG of those pixels
+        back = PngCodec.decode_pixels(row["thumb"])
+        assert np.array_equal(back.reshape(-1).astype(np.int64), want)
+
+
 def test_wav_codec_real_riff_roundtrip():
     """WavCodec writes canonical RIFF/WAVE PCM16 mono readable by the
     stdlib `wave` module, and its chunk walk survives extra metadata
