@@ -49,9 +49,12 @@ def _scaled_parts(ds, floor: int, per_part_bytes: int = 128 << 20,
     keeps toy-scale parallelism (and preserves the historical
     partition counts exactly at test scale); past floor × 128 MiB the
     count grows with the data.  Parquet metadata makes ``size_bytes``
-    available pre-execution on read lineages; lazy transformed
-    lineages (size unknown) stay at the floor, which every such call
-    site bounds with a pre-shrunk (grid/candidate-sized) input."""
+    available pre-execution on read lineages.  NEVER pass a lazy
+    transformed lineage: Ray computes ``size_bytes`` of an unexecuted
+    transform by EXECUTING it, so the pipeline would run twice — size
+    from the metadata-backed read or an already-materialized stage and
+    let the proportionality carry (band/bucket/pair streams grow with
+    the corpus like their sources)."""
     import math
     nbytes = ds.size_bytes() or 0
     return max(floor, min(cap, math.ceil(nbytes / per_part_bytes)))
@@ -869,19 +872,22 @@ def q_dedup_substring(sf_dir: str, kgram: int = _SUBSTR_K,
                       max_df: int = _SUBSTR_MAX_DF):
     import numpy as np
 
-    from ..engine.produce import colocate_key_groups
+    from ..engine.produce import (_keyed_exchange_materialize,
+                                  colocate_key_groups)
     from ..functions.text import window_hash_rows
 
-    g = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    src = _read(sf_dir, "documents", ["doc_id", "text"])
+    g = src.map_batches(
         lambda b: window_hash_rows(b, "doc_id", "text", kgram),
         batch_format="pyarrow")
     # the window-hash stream is ~corpus-byte-sized (one row per
     # distinct k-byte window per doc), so the exchange must be sized
-    # by BYTES, not a constant: colocate_key_groups is the shared
-    # policy (tiny corpora skip to one block; larger ones pay ONE
-    # _exchange_partitions-sized keyed exchange, flip→materialize→
-    # restore so hash shuffle never leaks into later stages)
-    co = colocate_key_groups(g, ["h"])
+    # by BYTES, not a constant — from the metadata-backed READ (the
+    # stream is proportional to it; sizing the lazy hash lineage
+    # itself would execute it once just to measure it).  One
+    # flip→materialize→restore keyed exchange co-locates each hash.
+    co = _keyed_exchange_materialize(
+        g, lambda d: d.repartition(_scaled_parts(src, 8), keys=["h"]))
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
@@ -1027,7 +1033,11 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
                         schema=_pair_schema)
 
     _enable_hash_shuffle(bands)
-    pairs = (bands.repartition(_scaled_parts(bands, 8),
+    # sized from the metadata-backed read (band rows ∝ corpus bytes);
+    # sizing the lazy band lineage itself would EXECUTE it once just
+    # to measure it (Ray computes size_bytes of unexecuted transforms
+    # by running them)
+    pairs = (bands.repartition(_scaled_parts(docs, 8),
                          keys=["band", "band_hash"])
              .map_batches(pairs_block, batch_format="pyarrow",
                           batch_size=None)
@@ -1146,7 +1156,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
     t_num, t_den = frac.numerator, frac.denominator
 
     _enable_hash_shuffle(half)
-    edges = (half.repartition(_scaled_parts(half, 8),
+    edges = (half.repartition(_scaled_parts(docs, 8),
                         keys=["id_a", "id_b"])
              .map_batches(verify_block, batch_format="pyarrow",
                           batch_size=None))
@@ -1399,7 +1409,10 @@ def _jaccard_pairs_from_grams(grams):
     pair_keys = ["pair"] if packable else ["id_a", "id_b"]
     partial = (grams.repartition(_scaled_parts(grams, 32), keys=["gram"])
                .map_batches(lp, batch_format="pyarrow", batch_size=None))
-    return (partial.repartition(_scaled_parts(partial, 32), keys=pair_keys)
+    # pair-exchange count sized from the MATERIALIZED gram table (the
+    # pair stream grows with the corpus like the gram stream; sizing
+    # the lazy pair lineage would execute it twice)
+    return (partial.repartition(_scaled_parts(grams, 32), keys=pair_keys)
             .map_batches(fp, batch_format="pyarrow", batch_size=None))
 
 
@@ -1587,7 +1600,8 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.45,
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    return (binned.repartition(_scaled_parts(binned, 8), keys=["bucket"])
+    # sized from the metadata-backed read (bucketed rows ≈ read rows)
+    return (binned.repartition(_scaled_parts(ds, 8), keys=["bucket"])
             .map_batches(pairs_block, batch_format="pyarrow",
                          batch_size=None))
 
@@ -1670,7 +1684,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
         ds.context.max_hash_shuffle_aggregators = max(1, cpus // 2)
     binned = ds.map_batches(ivf_assign, batch_format="pyarrow",
                             fn_kwargs={"centroids": centroids})
-    cands = (binned.repartition(_scaled_parts(binned, 8), keys=["bucket"])
+    cands = (binned.repartition(_scaled_parts(ds, 8), keys=["bucket"])
              .map_batches(IVFTopK, batch_format="pyarrow",
                           batch_size=None, concurrency=2,
                           fn_constructor_args=(

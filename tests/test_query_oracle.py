@@ -27,7 +27,30 @@ NEW_QUERIES = [
     "inverted_index", "mad", "co_occurrence",
     "entropy", "pack_sequences", "fuzzy_pairs", "embed_quantize",
     "salted_join", "row_number_global", "html_extract",
+    "media_thumbnail", "embed_neardup_lsh", "dedup_substring",
+    "audio_chunks",
 ]
+
+
+def test_scaled_parts_policy():
+    """_scaled_parts: floor preserves toy-scale parallelism, the count
+    grows with bytes past floor x 128 MiB, unsized lineages stay at
+    the floor, and the cap bounds runaway inputs."""
+    from parquet_producers_ray.pipelines.queries import _scaled_parts
+
+    class FakeDs:
+        def __init__(self, nbytes):
+            self._n = nbytes
+
+        def size_bytes(self):
+            return self._n
+
+    assert _scaled_parts(FakeDs(None), 16) == 16
+    assert _scaled_parts(FakeDs(0), 16) == 16
+    assert _scaled_parts(FakeDs(10 << 20), 16) == 16
+    assert _scaled_parts(FakeDs(16 * (128 << 20)), 16) == 16
+    assert _scaled_parts(FakeDs(100 * (128 << 20)), 16) == 100
+    assert _scaled_parts(FakeDs(1 << 50), 16) == 4096
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
