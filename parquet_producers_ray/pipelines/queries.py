@@ -1551,11 +1551,24 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.45,
     exchange co-locates each bucket, and the quadratic cosine scoring
     runs INSIDE buckets only — candidate volume ≈ 1/2^p of all-pairs,
     no corpus-sized broadcast or driver state anywhere.  Same oracle
-    contract as dedup_jaccard_capped: the bucket filter is applied
-    IDENTICALLY in the SQL, so the checked pair set is the bucketed
-    one by definition (sign-LSH recall vs the unbucketed set is the
-    standard 1 − θ/π per-plane collision bound; raise recall with
-    multiple tables exactly as dedup_minhash's bands do)."""
+    contract as dedup_jaccard_capped and ann_lsh: the bucket filter is
+    applied IDENTICALLY in the SQL, so the checked pair set is the
+    bucketed one by definition.
+
+    RECALL CONTRACT (measured, pinned by
+    tests/test_functions.py::test_embed_neardup_lsh_recall_on_gate_corpus):
+    per-plane sign collision for a true pair is 1 − θ/π, so one
+    6-plane table catches (1 − θ/π)^6 ≈ 0.08 of pairs at the LOW
+    τ = 0.45 used here (θ ≈ 63°) — measured 0.08–0.14 on the gate
+    corpora, and multi-table unions were measured NOT to help at this
+    τ (random-pair candidate volume explodes past 16 % of all-pairs
+    before recall passes 0.99).  This query is therefore the
+    CANDIDATE-GENERATION primitive: exact within bucket, sub-linear
+    cost, recall-lossy by design at low τ.  Sign-LSH recall rises
+    steeply with similarity ((1 − θ/π) → 1 as θ → 0), so at
+    true near-dup thresholds (τ ≥ 0.9) the same table is effective;
+    for high recall at low τ use `ann_ivf`'s coarse-quantizer routing
+    or the `embed_neardup_pairs` broadcast-verify baseline."""
     import numpy as np
 
     from ..functions.similarity import embedding_matrix, normalize

@@ -470,6 +470,25 @@ def test_wav_codec_real_riff_roundtrip():
         WavCodec.decode(bad)
 
 
+def test_wav_codec_property_roundtrip():
+    """Property: any int16 sample array at any plausible rate
+    round-trips bit-exactly through the real RIFF/WAVE container."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_producers_ray.stages.multimodal import WavCodec
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), max_size=300),
+           st.sampled_from([8000, 16000, 22050, 44100, 48000]))
+    def inner(samples, rate):
+        arr = np.array(samples, dtype=np.int16)
+        r, back = WavCodec.decode(WavCodec.encode(rate, arr))
+        assert r == rate and np.array_equal(back, arr)
+
+    inner()
+
+
 def test_audio_chunk_stage_decodes_real_wav():
     """synthesize_audio_column now emits genuine WAV containers and
     the chunk stage decodes them (sniffing WAV vs the FAUD stand-in
@@ -814,6 +833,42 @@ def test_minhash_lsh_recall_on_gate_corpus():
         f"LSH banding missed {len(missed)} true pairs (recall < 1.0): "
         f"{sorted(missed)[:5]} — dedup_minhash's exact-SQL oracle row "
         "would go red; re-derive num_perm/bands per the docstring bound")
+
+
+def test_embed_neardup_lsh_recall_on_gate_corpus():
+    """Pin embed_neardup_lsh's MEASURED sign-LSH recall against the
+    UNBUCKETED exact cosine pair set.  Unlike dedup_minhash, the
+    bucketed query's SQL oracle applies the same bucket filter — so by
+    construction the driver row cannot catch recall loss; this test is
+    where the recall contract lives.  At the low τ = 0.45 (θ ≈ 63°)
+    one 6-plane table catches ≈ (1 − θ/π)^6 ≈ 0.08 of true pairs (the
+    query docstring documents why multi-table unions don't rescue this
+    τ); the corpora are deterministic, so the measured recalls are
+    exact constants — a generator or bucket-function change shows up
+    here, in pytest, not as silent divergence."""
+    import pyarrow.parquet as pq
+
+    from parquet_producers_ray.functions.similarity import (
+        embedding_matrix, normalize)
+
+    # (exact-pair count, bucketed recall) measured 2026-08-20
+    expected = {"sf0.001": (7, 1 / 7), "sf0.01": (14, 2 / 14)}
+    for sf, (n_want, r_want) in expected.items():
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = normalize(embedding_matrix(t))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        hit = sims[iu, ju] >= 0.45
+        assert int(hit.sum()) == n_want, (sf, int(hit.sum()))
+        bucket = (m[:, :6] > 0).astype(np.int64) @ (1 << np.arange(6))
+        same = bucket[iu[hit]] == bucket[ju[hit]]
+        recall = same.sum() / len(same)
+        assert abs(recall - r_want) < 1e-9, (
+            f"{sf}: sign-LSH bucket recall {recall:.4f} != pinned "
+            f"{r_want:.4f} — bucket function or corpus changed; "
+            "re-measure and update the query docstring's contract")
 
 
 def test_window_hash_rows_matches_naive_reference():
