@@ -952,8 +952,152 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+_MINHASH_EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+# candidate-pair rows above this stay distributed (semi joins +
+# distributed components); below it the driver broadcast formulation
+# is cheaper and deterministic-trivial — same cost model as the
+# engine's PRESERVE_JOIN_THRESHOLD
+MINHASH_PAIR_BROADCAST_ROWS = 2_000_000
+
+
+def _minhash_verify_fn(t_num: int, t_den: int):
+    """Per-block exact-Jaccard verify over co-located COMPLETE pair
+    groups (each pair's side-0/side-1 half rows adjacent after the
+    in-block sort) — shared by the broadcast and distributed minhash
+    tails.  Integer cross-multiply keeps the τ compare bit-identical
+    to the SQL oracle's."""
+    import numpy as np
+
+    def verify_block(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows < 2:
+            return _MINHASH_EDGE.empty_table()
+        b = b.sort_by([("id_a", "ascending"), ("id_b", "ascending"),
+                       ("side", "ascending")])
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)
+        side = b.column("side").to_numpy(zero_copy_only=False)
+        first = np.ones(len(ia), dtype=bool)
+        first[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        lead = np.flatnonzero(first)
+        ok = (lead + 1 < len(ia)) & (side[lead] == 0)
+        ok &= np.where(lead + 1 < len(ia),
+                       side[np.minimum(lead + 1, len(ia) - 1)] == 1, False)
+        grams = b.column("grams").to_pylist()
+        src, dst = [], []
+        for k in lead[ok]:
+            a = np.frombuffer(grams[k], dtype=np.uint64)
+            c = np.frombuffer(grams[k + 1], dtype=np.uint64)
+            inter = len(np.intersect1d(a, c, assume_unique=True))
+            union = len(a) + len(c) - inter
+            if union > 0 and t_den * inter >= t_num * union:
+                src.append(ia[k])
+                dst.append(ib[k])
+        return pa.table([pa.array(src, pa.int64()),
+                         pa.array(dst, pa.int64())],
+                        schema=_MINHASH_EDGE)
+
+    return verify_block
+
+
+def _minhash_tail_distributed(docs, pairs, t_num: int, t_den: int,
+                              emit: str):
+    """Past-broadcast-threshold minhash verify/rep stages: the
+    candidate pair table NEVER lands on the driver.  Semantics are
+    identical to the broadcast tail, pinned by
+    tests/test_functions.py::test_minhash_distributed_tail_differential:
+
+    - global pair distinct: ONE keyed exchange + per-block distinct
+      (replaces the driver-side np.unique);
+    - candidate shingle side-table: docs left_semi-join the distinct
+      endpoint id Dataset (replaces the ray.put membership filter);
+    - half emission: TWO candidate-sized hash joins (pairs ⋈ packed
+      shingles on each endpoint) instead of the broadcast pair probe;
+    - rep assignment (emit="reps"): distributed connected components
+      over the verified edge Dataset (functions/graph.py, which has
+      its own broadcast→join label ladder) + a left_outer label join,
+      replacing the driver fixpoint.
+    Every join goes through produce._safe_join (empty/small-side
+    resolution ladder) with byte-scaled partition counts; join
+    results are materialized before the union + exchange (the
+    engine's join-in-plan rule)."""
+    import numpy as np
+
+    from ..engine.produce import (_distinct_key_ds, _exchange_partitions,
+                                  _keyed_exchange_materialize, _safe_join)
+    from ..functions.dedup import _token_hashes
+
+    parts = _exchange_partitions(pairs)
+    pairs = _distinct_key_ds(pairs, ["id_a", "id_b"], parts)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        ends = pa.concat_arrays([b.column("id_a").combine_chunks(),
+                                 b.column("id_b").combine_chunks()])
+        return pa.table({"doc_id": ends})
+
+    cand = _distinct_key_ds(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        ["doc_id"], parts)
+    cdocs = _safe_join(docs, cand, "left_semi", on=("doc_id",),
+                       parts=parts)
+
+    _packed_schema = pa.schema([("doc_id", pa.int64()),
+                                ("grams", pa.large_binary())])
+
+    def pack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _packed_schema.empty_table()
+        h, counts = _token_hashes(b, "text", 2)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(counts)
+        packed = pa.array(
+            [np.unique(h[offs[k]:offs[k + 1]]).tobytes()
+             for k in range(b.num_rows)], pa.large_binary())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "grams": packed})
+
+    packed = cdocs.map_batches(pack, batch_format="pyarrow").materialize()
+
+    halves = []
+    for side_val, key in ((0, "id_a"), (1, "id_b")):
+        j = _safe_join(pairs, packed, "inner", on=(key,),
+                       right_on=("doc_id",), parts=parts)
+
+        def tag(b: pa.Table, _s=side_val) -> pa.Table:
+            return pa.table({
+                "id_a": b.column("id_a"), "id_b": b.column("id_b"),
+                "side": pa.array(np.full(b.num_rows, _s, np.int8)),
+                "grams": b.column("grams")})
+
+        halves.append(j.map_batches(tag, batch_format="pyarrow")
+                      .materialize())
+    half = halves[0].union(halves[1])
+    co = _keyed_exchange_materialize(
+        half, lambda d: d.repartition(parts, keys=["id_a", "id_b"]))
+    edges = co.map_batches(_minhash_verify_fn(t_num, t_den),
+                           batch_format="pyarrow", batch_size=None)
+    if emit == "pairs":
+        return edges.rename_columns(["id_a", "id_b"])
+    from ..functions.graph import connected_components
+    labels = connected_components(edges.materialize(),
+                                  num_partitions=parts)
+    lab_join = _safe_join(docs.select_columns(["doc_id"]),
+                          labels.materialize(), "left_outer",
+                          on=("doc_id",), right_on=("node",),
+                          parts=parts)
+
+    def rep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "rep_id": pc.coalesce(b.column("component"),
+                                  b.column("doc_id"))})
+
+    return lab_join.map_batches(rep, batch_format="pyarrow")
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
-                    emit: str = "pairs"):
+                    emit: str = "pairs",
+                    pair_broadcast_rows: int | None = None):
     """MinHash+LSH near-dup, distributed end to end: shingle → minhash
     → band rows → bucket groupby emits candidate pairs → DISTRIBUTED
     exact-Jaccard verify (a candidate-only shingle side-table hash-
@@ -981,18 +1125,28 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
 
     Scale shape: the band exchange is corpus × bands rows; candidate
     pairs, the shingle side-table and the two verify joins are all
-    CANDIDATE-sized (a small corpus fraction by LSH design); the only
-    driver-side state is the candidate pair/ID tables (broadcast once
-    via ray.put — past the broadcast threshold these become semi
-    joins).  The verified edges are a subset of that already-collected
-    pair table, so their component fixpoint runs driver-side as a
-    vectorized hash-min loop; unbounded graphs use the distributed
-    functions/graph.connected_components instead (graph_components /
-    dedup_cluster).  No driver-side pair loop, no driver doc scan."""
+    CANDIDATE-sized (a small corpus fraction by LSH design).  Below
+    ``pair_broadcast_rows`` (default MINHASH_PAIR_BROADCAST_ROWS) the
+    candidate pair/ID tables broadcast once via ray.put and the
+    verified-edge component fixpoint runs driver-side as a vectorized
+    hash-min loop — cheaper and deterministic-trivial at that size.
+    PAST the threshold the whole tail switches to
+    `_minhash_tail_distributed`: keyed-exchange pair distinct,
+    left_semi candidate filter, two hash joins for the half rows, and
+    distributed connected components for the reps — the pair table
+    never lands on the driver (differential-pinned against the
+    broadcast tail in pytest).  No driver-side pair loop, no driver
+    doc scan on either path."""
     import numpy as np
     import ray
 
     from ..functions.dedup import _token_hashes, lsh_band_rows
+
+    from fractions import Fraction
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
+    if pair_broadcast_rows is None:
+        pair_broadcast_rows = MINHASH_PAIR_BROADCAST_ROWS
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1046,6 +1200,12 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
     def self_rep(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "rep_id": b.column("doc_id")})
+
+    if pairs.count() > pair_broadcast_rows:
+        # pair table too big for the driver/broadcast: the fully
+        # distributed tail (keyed distinct, semi-join filter, hash-join
+        # halves, distributed components)
+        return _minhash_tail_distributed(docs, pairs, t_num, t_den, emit)
 
     # Candidate pairs are bounded (≪ corpus by LSH design) — the same
     # bound that lets the membership set broadcast.  Collect them once:
@@ -1115,45 +1275,11 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.7,
 
     half = docs.map_batches(half_rows, batch_format="pyarrow")
 
-    _edge = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-
-    def verify_block(b: pa.Table) -> pa.Table:
-        # the block holds COMPLETE pair groups: sort so each pair's
-        # side-0/side-1 rows are adjacent, then one exact-Jaccard
-        # check per candidate pair (a candidate-sized numpy loop —
-        # the exact set intersection is irreducibly per-pair)
-        if b.num_columns == 0 or b.num_rows < 2:
-            return _edge.empty_table()
-        b = b.sort_by([("id_a", "ascending"), ("id_b", "ascending"),
-                       ("side", "ascending")])
-        ia = b.column("id_a").to_numpy(zero_copy_only=False)
-        ib = b.column("id_b").to_numpy(zero_copy_only=False)
-        side = b.column("side").to_numpy(zero_copy_only=False)
-        first = np.ones(len(ia), dtype=bool)
-        first[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
-        # complete pairs: a side-0 row directly followed by its side-1
-        lead = np.flatnonzero(first)
-        ok = (lead + 1 < len(ia)) & (side[lead] == 0)
-        ok &= np.where(lead + 1 < len(ia),
-                       side[np.minimum(lead + 1, len(ia) - 1)] == 1, False)
-        grams = b.column("grams").to_pylist()
-        src, dst = [], []
-        for k in lead[ok]:
-            a = np.frombuffer(grams[k], dtype=np.uint64)
-            c = np.frombuffer(grams[k + 1], dtype=np.uint64)
-            inter = len(np.intersect1d(a, c, assume_unique=True))
-            union = len(a) + len(c) - inter
-            # integer cross-multiply: exact τ compare, bit-identical
-            # to the oracle's 10·inter ≥ 7·union at the default τ
-            if union > 0 and t_den * inter >= t_num * union:
-                src.append(ia[k])
-                dst.append(ib[k])
-        return pa.table([pa.array(src, pa.int64()),
-                         pa.array(dst, pa.int64())], schema=_edge)
-
-    from fractions import Fraction
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    t_num, t_den = frac.numerator, frac.denominator
+    # per-block exact-Jaccard verify (shared with the distributed
+    # tail): the block holds COMPLETE pair groups after the keyed
+    # exchange; integer cross-multiply keeps the τ compare
+    # bit-identical to the oracle's 10·inter ≥ 7·union at default τ
+    verify_block = _minhash_verify_fn(t_num, t_den)
 
     _enable_hash_shuffle(half)
     edges = (half.repartition(_scaled_parts(docs, 8),

@@ -835,6 +835,31 @@ def test_minhash_lsh_recall_on_gate_corpus():
         "would go red; re-derive num_perm/bands per the docstring bound")
 
 
+def test_minhash_distributed_tail_differential(ray_session):
+    """Force dedup_minhash's past-broadcast-threshold tail
+    (pair_broadcast_rows=0: keyed-exchange pair distinct, left_semi
+    candidate filter, hash-join half emission, distributed connected
+    components for reps) and assert BOTH emit modes return exactly the
+    broadcast formulation's result on the gate corpus."""
+    import pandas as pd
+
+    from parquet_producers_ray.pipelines.queries import q_dedup_minhash
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds, cols):
+        df = ds.to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    for emit, cols in (("pairs", ["id_a", "id_b"]),
+                       ("reps", ["doc_id", "rep_id"])):
+        want = canon(q_dedup_minhash(sf, emit=emit), cols)
+        got = canon(q_dedup_minhash(sf, emit=emit,
+                                    pair_broadcast_rows=0), cols)
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_embed_neardup_lsh_recall_on_gate_corpus():
     """Pin embed_neardup_lsh's MEASURED sign-LSH recall against the
     UNBUCKETED exact cosine pair set.  Unlike dedup_minhash, the
