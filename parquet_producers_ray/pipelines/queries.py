@@ -1389,7 +1389,8 @@ WHERE 10 * len(list_intersect(a.g, b.g))
 
 
 def q_dedup_jaccard(sf_dir: str,
-                    max_gram_rows: int | None = None):
+                    max_gram_rows: int | None = None,
+                    count_broadcast_rows: int | None = None):
     """Exact n-gram (word-bigram) Jaccard near-dup pairs at τ = 0.5 via
     the distributed inverted index: distinct (gram, doc) rows → ONE
     hash exchange on ``gram`` co-locates each posting list → pairwise
@@ -1437,7 +1438,7 @@ def q_dedup_jaccard(sf_dir: str,
                 "dedup_jaccard runs the exact (uncapped) quadratic "
                 "pair explosion — prefer dedup_jaccard_capped beyond "
                 "toy scale", stacklevel=2)
-    return _jaccard_pairs_from_grams(grams)
+    return _jaccard_pairs_from_grams(grams, count_broadcast_rows)
 
 
 # uncapped exact Jaccard is for oracle-parity scale only; ~10M gram rows
@@ -1445,27 +1446,55 @@ def q_dedup_jaccard(sf_dir: str,
 _JACCARD_UNCAPPED_MAX_GRAM_ROWS = 10_000_000
 
 
-def _jaccard_pairs_from_grams(grams):
+# per-doc count rows above this stay a Dataset and the τ filter runs
+# as two hash joins; below it the count table broadcasts (one int64
+# pair per doc — bounded and deterministic-trivial at that size)
+JACCARD_COUNT_BROADCAST_ROWS = 10_000_000
+
+
+def _jaccard_pairs_from_grams(grams,
+                              count_broadcast_rows: int | None = None):
     """Shared tail of the exact-Jaccard family: materialized inverted
-    index rows (gram, doc_id, n_grams) → τ=½ near-dup pairs."""
+    index rows (gram, doc_id, n_grams) → τ=½ near-dup pairs.
+
+    The per-doc distinct-gram counts are computed DISTRIBUTED (per-
+    block pre-reduce, then a doc-sized groupby — the gram stream never
+    lands on the driver).  Below ``count_broadcast_rows`` (default
+    JACCARD_COUNT_BROADCAST_ROWS) the resulting count table broadcasts
+    once via ray.put and the τ filter runs inline in the pair-exchange
+    block; PAST it the filter becomes two hash joins of the candidate
+    pair table against the count Dataset
+    (tests/test_functions.py::test_jaccard_count_join_differential
+    pins both paths equal)."""
+    from ray.data.aggregate import Max
+
     from ..functions.dedup import combine_pair_counts, gram_pair_rows
-    # the per-doc distinct-gram counts are one tiny row per doc —
-    # broadcast them once (at 10^12 docs this becomes a hash join of
-    # the few surviving pairs against the count table instead)
     import numpy as np
     import ray
 
-    count_batches = [
-        b.group_by("doc_id").aggregate([("n_grams", "max")])
-        for b in grams.iter_batches(batch_format="pyarrow")]
-    if not count_batches:   # empty corpus / no doc with >= 2 tokens
+    if count_broadcast_rows is None:
+        count_broadcast_rows = JACCARD_COUNT_BROADCAST_ROWS
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_grams_max", pa.int64())]).empty_table()
+        return b.group_by("doc_id").aggregate([("n_grams", "max")])
+
+    counts_ds = (grams.map_batches(block_counts, batch_format="pyarrow")
+                 .groupby("doc_id")
+                 .aggregate(Max("n_grams_max", alias_name="n"))
+                 .materialize())
+    n_docs = counts_ds.count()
+    if n_docs == 0:   # empty corpus / no doc with >= 2 tokens
         import ray.data
         return ray.data.from_arrow(pa.table(
             {"id_a": pa.array([], pa.int64()),
              "id_b": pa.array([], pa.int64())}))
-    counts_tbl = pa.concat_tables(count_batches)
-    counts_tbl = counts_tbl.group_by("doc_id").aggregate(
-        [("n_grams_max", "max")]).rename_columns(["doc_id", "n"])
+    if n_docs > count_broadcast_rows:
+        return _jaccard_pairs_count_join(grams, counts_ds)
+    counts_tbl = pa.concat_tables(
+        list(counts_ds.iter_batches(batch_format="pyarrow")))
     raw_ids = counts_tbl.column("doc_id").to_numpy(zero_copy_only=False)
     order = np.argsort(raw_ids)
     doc_ids = raw_ids[order]
@@ -1540,6 +1569,68 @@ def _jaccard_pairs_from_grams(grams):
     # the lazy pair lineage would execute it twice)
     return (partial.repartition(_scaled_parts(grams, 32), keys=pair_keys)
             .map_batches(fp, batch_format="pyarrow", batch_size=None))
+
+
+def _jaccard_pairs_count_join(grams, counts_ds):
+    """Past-broadcast-threshold τ filter for the exact-Jaccard tail:
+    the per-doc count table stays a Dataset and each candidate pair
+    picks up its two endpoint counts through hash joins — no
+    doc-cardinality driver/broadcast state.  Candidate pairs come from
+    the same gram exchange + per-pair intersection sum as the
+    broadcast path (two-column key form; the int64 pair packing is a
+    31-bit-id optimization that no longer applies at this
+    cardinality).  Joins go through produce._safe_join and the join
+    results materialize before reuse (engine join rules)."""
+    import numpy as np
+
+    from ..engine.produce import _exchange_partitions, _safe_join
+    from ..functions.dedup import combine_pair_counts, gram_pair_rows
+
+    def local_pairs(block: pa.Table) -> pa.Table:
+        g = combine_pair_counts(gram_pair_rows(block, half_tau_prune=True))
+        return pa.table({
+            "id_a": g.column("id_a"),
+            "id_b": g.column("id_b"),
+            "inter": g.column("inter").cast(pa.int64())})
+
+    def final_sums(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("inter", pa.int64())]).empty_table()
+        g = block.group_by(["id_a", "id_b"]).aggregate([("inter", "sum")])
+        return pa.table({"id_a": g.column("id_a"),
+                         "id_b": g.column("id_b"),
+                         "inter": g.column("inter_sum")})
+
+    surv = (grams.repartition(_scaled_parts(grams, 32), keys=["gram"])
+            .map_batches(local_pairs, batch_format="pyarrow",
+                         batch_size=None)
+            .repartition(_scaled_parts(grams, 32),
+                         keys=["id_a", "id_b"])
+            .map_batches(final_sums, batch_format="pyarrow",
+                         batch_size=None)
+            .materialize())
+    parts = _exchange_partitions(surv, counts_ds)
+    j1 = _safe_join(surv, counts_ds, "inner", on=("id_a",),
+                    right_on=("doc_id",), parts=parts)
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [("na" if c == "n" else c) for c in b.column_names]),
+        batch_format="pyarrow").materialize()
+    j2 = _safe_join(j1, counts_ds, "inner", on=("id_b",),
+                    right_on=("doc_id",), parts=parts)
+
+    def tau_filter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("id_a", pa.int64()),
+                              ("id_b", pa.int64())]).empty_table()
+        inter = b.column("inter").to_numpy(zero_copy_only=False)
+        na = b.column("na").to_numpy(zero_copy_only=False)
+        nb = b.column("n").to_numpy(zero_copy_only=False)
+        m = 2 * inter >= na + nb - inter
+        return b.filter(pa.array(m)).select(["id_a", "id_b"])
+
+    return j2.map_batches(tau_filter, batch_format="pyarrow")
 
 
 SQL_DEDUP_JACCARD = """

@@ -860,6 +860,28 @@ def test_minhash_distributed_tail_differential(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_jaccard_count_join_differential(ray_session):
+    """Force dedup_jaccard's past-broadcast-threshold τ filter
+    (count_broadcast_rows=0: the per-doc count table stays a Dataset,
+    each candidate pair picks up endpoint counts via two hash joins)
+    and assert it returns exactly the broadcast formulation's pairs."""
+    import pandas as pd
+
+    from parquet_producers_ray.pipelines.queries import q_dedup_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["id_a", "id_b"]
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    want = canon(q_dedup_jaccard(sf))
+    got = canon(q_dedup_jaccard(sf, count_broadcast_rows=0))
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_embed_neardup_lsh_recall_on_gate_corpus():
     """Pin embed_neardup_lsh's MEASURED sign-LSH recall against the
     UNBUCKETED exact cosine pair set.  Unlike dedup_minhash, the
