@@ -1653,10 +1653,11 @@ def q_dedup_jaccard_capped(sf_dir: str, max_df: int = 20):
     Dropping stop grams bounds every posting list — the quadratic
     pair-generation term becomes O(Σ min(df, cap)²) — and the metric
     stays oracle-exact because the SQL applies the identical cap.
-    Pipeline: gram rows → per-block df partials merged small → the
-    (small) STOP set broadcast via ray.put → vectorized np.isin filter
-    + per-block re-count of each doc's surviving grams → the shared
-    exact pair pipeline."""
+    Pipeline: gram rows → DISTRIBUTED df (per-block partials →
+    vocabulary-sized groupby sum; only the ≤ Σdf/cap stop grams ever
+    reach the driver) → the (small) STOP set broadcast via ray.put →
+    vectorized np.isin filter + per-block re-count of each doc's
+    surviving grams → the shared exact pair pipeline."""
     import numpy as np
     import ray
 
@@ -1667,22 +1668,37 @@ def q_dedup_jaccard_capped(sf_dir: str, max_df: int = 20):
     _enable_hash_shuffle(grams)
     grams = grams.materialize()
 
-    # document frequency per gram: per-block partial counts, merged on
-    # the driver (≤ |vocabulary| rows); only grams with df > cap — by
-    # construction at most Σdf/cap of them — are broadcast as the stop
-    # set.
-    partials = [b.group_by("gram").aggregate([("doc_id", "count")])
-                for b in grams.iter_batches(batch_format="pyarrow")]
-    if not partials:
+    # document frequency per gram, computed DISTRIBUTED (per-block
+    # partial counts → vocabulary-sized groupby sum); only grams with
+    # df > cap — by construction at most Σdf/cap of them — ever reach
+    # the driver, so there is no vocabulary-sized driver state at any
+    # corpus size.
+    if grams.count() == 0:
         import ray.data
         return ray.data.from_arrow(pa.table(
             {"id_a": pa.array([], pa.int64()),
              "id_b": pa.array([], pa.int64())}))
-    df_tbl = (pa.concat_tables(partials).group_by("gram")
-              .aggregate([("doc_id_count", "sum")]))
-    gvals = df_tbl.column("gram").to_numpy(zero_copy_only=False)
-    dfc = df_tbl.column("doc_id_count_sum").to_numpy(zero_copy_only=False)
-    stop_ref = ray.put(np.sort(gvals[dfc > max_df]))
+    from ray.data.aggregate import Sum as _Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("gram", pa.int64()),
+                              ("pdf", pa.int64())]).empty_table()
+        g = b.group_by("gram").aggregate([("doc_id", "count")])
+        return pa.table({"gram": g.column("gram"),
+                         "pdf": g.column("doc_id_count")})
+
+    def only_stops(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("df"), max_df)) \
+            .select(["gram"])
+
+    stop_tbl = pa.concat_tables(list(
+        grams.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gram").aggregate(_Sum("pdf", alias_name="df"))
+        .map_batches(only_stops, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    stop_ref = ray.put(np.sort(
+        stop_tbl.column("gram").to_numpy(zero_copy_only=False)))
 
     def drop_stop(b: pa.Table) -> pa.Table:
         stop = ray.get(stop_ref)
