@@ -2638,23 +2638,35 @@ def _doc_mirror_after_wave(sf_dir: str, tmp_base: str, stage_name: str,
         batch_format="pyarrow")
     mirror.bootstrap(ups, 1)
 
-    full = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow")))
-    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
-    mod_mask = ids % 100 == 1
-    del_mask = (ids % 97 == 0) & ~mod_mask
-    mod = full.filter(pa.array(mod_mask))
-    mod = mod.set_column(
-        mod.column_names.index("text"), "text",
-        pa.array(["v2 " + t for t in mod.column("text").to_pylist()]))
-    mod = mod.append_column(TYPE_COL, pa.array(
-        np.full(len(mod), UPDATE, np.int8)))
-    dele = full.filter(pa.array(del_mask)).set_column(
-        1, "text", pa.nulls(int(del_mask.sum()), pa.string()))
-    dele = dele.append_column(TYPE_COL, pa.array(
-        np.full(len(dele), DELETE, np.int8)))
-    wave = [mod, dele]
+    # derive the delta wave DISTRIBUTED (the masks are row-local):
+    # the driver collects only the delta-sized mod/delete rows, never
+    # the corpus — same rule as the engine showcases' Dataset waves
+    def wave_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mod_mask = ids % 100 == 1
+        del_mask = (ids % 97 == 0) & ~mod_mask
+        mod = b.filter(pa.array(mod_mask))
+        mod = mod.set_column(
+            mod.column_names.index("text"), "text",
+            pc.binary_join_element_wise(
+                pa.array(np.full(mod.num_rows, "v2"), pa.string()),
+                mod.column("text"), " "))
+        mod = mod.append_column(TYPE_COL, pa.array(
+            np.full(len(mod), UPDATE, np.int8)))
+        dele = b.filter(pa.array(del_mask))
+        dele = dele.set_column(
+            dele.column_names.index("text"), "text",
+            pa.nulls(dele.num_rows, pa.string()))
+        dele = dele.append_column(TYPE_COL, pa.array(
+            np.full(len(dele), DELETE, np.int8)))
+        return pa.concat_tables([mod, dele])
+
+    wave = [pa.concat_tables(list(
+        docs.map_batches(wave_rows, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))]
     if with_adds:
-        new_ids = np.arange(1, 6, dtype=np.int64) + int(ids.max())
+        new_ids = np.arange(1, 6, dtype=np.int64) \
+            + int(docs.max("doc_id"))
         wave.append(pa.table({
             "doc_id": pa.array(new_ids),
             "text": pa.array([f"new {i}" for i in new_ids]),
@@ -4135,17 +4147,26 @@ def q_tf_idf(sf_dir: str, min_tfidf: float = 0.05):
     tf = (_read(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(term_counts, batch_format="pyarrow")).materialize()
 
-    # document frequency: per-block partials merged in a tiny groupby,
-    # collected (≤ |vocabulary| rows) and broadcast once
-    df_parts = [b.select(["word"]).group_by("word").aggregate([("word",
-                                                                "count")])
-                for b in tf.iter_batches(batch_format="pyarrow")]
-    n_docs_parts = [b.select(["doc_id"]).group_by("doc_id").aggregate([])
-                    for b in tf.iter_batches(batch_format="pyarrow")]
-    df_tbl = (pa.concat_tables(df_parts).group_by("word")
-              .aggregate([("word_count", "sum")]))
-    n_docs = pa.concat_tables(n_docs_parts).group_by(
-        "doc_id").aggregate([]).num_rows
+    # document frequency, computed DISTRIBUTED: per-block partials →
+    # a vocabulary-sized groupby sum; only the merged (vocabulary-
+    # sized, documented-bounded) df table and the scalar doc count
+    # reach the driver — the corpus-sized tf stream never does
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["word"]).group_by("word").aggregate(
+            [("word", "count")])
+        return pa.table({"word": g.column("word"),
+                         "pdf": g.column("word_count").cast(pa.int64())})
+
+    df_tbl = pa.concat_tables(list(
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("pdf", alias_name="word_count_sum"))
+        .iter_batches(batch_format="pyarrow")))
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id"]).group_by("doc_id").aggregate([])
+
+    n_docs = (tf.map_batches(doc_partial, batch_format="pyarrow")
+              .groupby("doc_id").count().count())
     ref = ray.put((df_tbl.column("word").combine_chunks(),
                    df_tbl.column("word_count_sum").to_numpy(
                        zero_copy_only=False),
@@ -4200,7 +4221,7 @@ def q_bm25(sf_dir: str, n_terms: int = 3, k1: float = 1.2,
            b_param: float = 0.75):
     import numpy as np
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     def term_counts(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
@@ -4219,22 +4240,33 @@ def q_bm25(sf_dir: str, n_terms: int = 3, k1: float = 1.2,
     tf = (_read(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(term_counts, batch_format="pyarrow")).materialize()
 
-    # corpus statistics from the (vocabulary×doc)-sized tf table:
-    # df per word, N docs, average document length — all tiny
-    df_parts, doc_parts = [], []
-    for blk in tf.iter_batches(batch_format="pyarrow"):
-        df_parts.append(blk.select(["word"]).group_by("word")
-                        .aggregate([("word", "count")]))
-        doc_parts.append(blk.select(["doc_id", "dl"])
-                         .group_by("doc_id").aggregate([("dl", "max")]))
-    df_tbl = (pa.concat_tables(df_parts).group_by("word")
-              .aggregate([("word_count", "sum")]))
-    docs_tbl = (pa.concat_tables(doc_parts).group_by("doc_id")
-                .aggregate([("dl_max", "max")])
-                .rename_columns(["doc_id", "dl_max"]))
-    n_docs = docs_tbl.num_rows
-    avgdl = float(np.sum(docs_tbl.column("dl_max").to_numpy(
-        zero_copy_only=False))) / n_docs
+    # corpus statistics (df per word, N docs, average document length)
+    # computed DISTRIBUTED from per-block partials; only the
+    # vocabulary-sized df table and the doc-sized (doc_id, dl) table's
+    # AGGREGATES reach the driver — the corpus-sized tf stream never
+    # does
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["word"]).group_by("word").aggregate(
+            [("word", "count")])
+        return pa.table({"word": g.column("word"),
+                         "pdf": g.column("word_count").cast(pa.int64())})
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["doc_id", "dl"]).group_by("doc_id").aggregate(
+            [("dl", "max")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "dl": g.column("dl_max")})
+
+    df_tbl = pa.concat_tables(list(
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("pdf", alias_name="word_count_sum"))
+        .iter_batches(batch_format="pyarrow")))
+    docs_ds = (tf.map_batches(doc_partial, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Max("dl", alias_name="dl_max"))
+               .materialize())
+    n_docs = docs_ds.count()
+    avgdl = float(docs_ds.sum("dl_max")) / n_docs
     top = df_tbl.rename_columns(["word", "df"]).sort_by(
         [("df", "descending"), ("word", "ascending")]).slice(0, n_terms)
     ref = ray.put((top.column("word").combine_chunks(),
