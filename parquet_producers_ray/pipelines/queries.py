@@ -5909,7 +5909,7 @@ REGISTRY = {
     "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
     "mad": (q_mad, SQL_MAD),
     "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
-    "entropy": (q_entropy, SQL_ENTROPY),
+    "tf_idf": (q_tf_idf, SQL_TF_IDF),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
@@ -5985,11 +5985,11 @@ REGISTRY = {
     "model_score": (q_model_score, SQL_MODEL_SCORE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "entropy": (q_entropy, SQL_ENTROPY),
     "redact": (q_redact, SQL_REDACT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
-    "tf_idf": (q_tf_idf, SQL_TF_IDF),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "string_agg": (q_string_agg, SQL_STRING_AGG),
