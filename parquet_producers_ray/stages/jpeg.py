@@ -1,0 +1,385 @@
+"""REAL baseline JPEG (ITU-T T.81 / JFIF), pure stdlib+numpy:
+grayscale 8-bit, one component, no subsampling, sequential DCT with
+the spec's Annex K luminance quantization + Huffman tables.
+
+Why it exists: JPEG is the dominant image payload of a Common-Crawl-
+style corpus, and the reference's media path left compressed formats
+at a lib-backed stub.  This module closes that for baseline JPEG with
+public knowledge only — the encoder writes standard JFIF that opens in
+any viewer, the decoder walks the real marker/entropy stream.
+
+Design notes for the actor-pool stages that use it
+(`stages/multimodal.py` conventions):
+
+- The 2-D DCT is the orthonormal matrix form ``C @ X @ C.T`` (exactly
+  T.81's normalization), vectorized over ALL 8x8 blocks of an image
+  with one einsum — no per-block Python in the transform.
+- Entropy coding/decoding is per-symbol Python (bit-serial Huffman is
+  inherently sequential); like FSST's NumPy fallback, a cc kernel is
+  the documented fast path if JPEG throughput ever matters.  Images
+  in the media stages are thumbnails, so the constant is small.
+- JPEG is LOSSY: round-trips are verified by bounded max-pixel-error
+  against the source (quality 95 ⇒ small quant steps), plus exact
+  cases (constant blocks and smooth gradients reconstruct bit-exactly
+  at quality 100, where every quant step is 1).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 — luminance quantization table, natural (row-major) order.
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.int32)
+
+# Annex K.3 / K.5 — standard luminance Huffman tables: BITS (number of
+# codes per length 1..16) and HUFFVAL (symbol values in code order).
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _zigzag_order() -> np.ndarray:
+    """Zigzag position i -> natural (row-major) index, generated from
+    the diagonal walk (T.81 Figure A.6) rather than typed by hand."""
+    out = np.empty(64, np.int64)
+    i = 0
+    for s in range(15):
+        rs = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 \
+            else range(max(0, s - 7), min(s, 7) + 1)
+        for r in rs:
+            out[i] = r * 8 + (s - r)
+            i += 1
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(1 / 8) if _u == 0 else 0.5) \
+            * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _scaled_quant(quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg convention)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tbl = (QUANT_LUMA * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int32)
+
+
+def _build_huffman(bits, vals):
+    """Canonical Huffman per T.81 Annex C: symbol -> (code, length)."""
+    enc = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:               # T.81 B.1.1.5 byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill per spec
+
+
+class _BitReader:
+    """MSB-first reader over the entropy segment with 0xFF00 unstuffing;
+    stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise EOFError("marker inside entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tables(bits, vals):
+    """MINCODE/MAXCODE/VALPTR decode arrays (T.81 F.2.2.3)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr
+
+
+def _read_huff(r: _BitReader, tables, vals) -> int:
+    mincode, maxcode, valptr = tables
+    code = r.bit()
+    ln = 1
+    while code > maxcode[ln]:
+        code = (code << 1) | r.bit()
+        ln += 1
+        if ln > 16:
+            raise ValueError("invalid Huffman code")
+    return vals[valptr[ln] + code - mincode[ln]]
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class JpegCodec:
+    """Baseline sequential JFIF, grayscale: SOI / APP0 / DQT / SOF0 /
+    DHT(DC+AC) / SOS / entropy data / EOI.  ``encode`` emits standard
+    files; ``decode_pixels`` parses real marker streams (multi-table
+    DQT, APPn/COM skipping) for this baseline profile and raises
+    ``NotImplementedError`` for progressive/color/subsampled inputs
+    (the lib-backed integration point)."""
+
+    @staticmethod
+    def encode(pixels: np.ndarray, quality: int = 95) -> bytes:
+        px = np.asarray(pixels, np.uint8)
+        h, w = px.shape
+        if not h or not w:
+            raise ValueError("empty image")
+        quant = _scaled_quant(quality)
+        bh, bw = -(-h // 8), -(-w // 8)
+        pad = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+        coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        qc = np.round(coef / quant).astype(np.int32)
+        zz = qc.reshape(-1, 64)[:, ZIGZAG]
+
+        dc_enc = _build_huffman(DC_BITS, DC_VALS)
+        ac_enc = _build_huffman(AC_BITS, AC_VALS)
+        bw_ = _BitWriter()
+        prev_dc = 0
+        for blk in zz:
+            diff = int(blk[0]) - prev_dc
+            prev_dc = int(blk[0])
+            s = _category(diff)
+            bw_.write(*dc_enc[s])
+            if s:
+                v = diff if diff > 0 else diff + (1 << s) - 1
+                bw_.write(v, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) \
+                else 0
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw_.write(*ac_enc[0xF0])
+                    run -= 16
+                s = _category(v)
+                bw_.write(*ac_enc[(run << 4) | s])
+                bw_.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                bw_.write(*ac_enc[0x00])          # EOB
+        bw_.flush()
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        out = bytearray(b"\xFF\xD8")              # SOI
+        out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xFFDB, b"\x00"
+                   + quant.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+        out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+                   + b"\x01\x11\x00")             # SOF0: 1 comp, 1x1, q0
+        out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        out += seg(0xFFDA, b"\x01\x01\x00\x00\x3F\x00")
+        out += bw_.out
+        out += b"\xFF\xD9"                        # EOI
+        return bytes(out)
+
+    @staticmethod
+    def decode_pixels(blob: bytes) -> np.ndarray:
+        data = bytes(blob)
+        if data[:2] != b"\xFF\xD8":
+            raise ValueError("not a JPEG (no SOI)")
+        pos = 2
+        quants: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], tuple] = {}
+        w = h = None
+        comp_q = 0
+        dc_id = ac_id = 0
+        while True:
+            if data[pos] != 0xFF:
+                raise ValueError("expected marker")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                raise ValueError("EOI before scan data")
+            (ln,) = struct.unpack_from(">H", data, pos)
+            body = data[pos + 2:pos + ln]
+            pos += ln
+            if marker == 0xDB:                    # DQT (maybe several)
+                bp = 0
+                while bp < len(body):
+                    pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                    if pq:
+                        raise NotImplementedError("16-bit quant tables")
+                    tbl = np.frombuffer(body, np.uint8, 64, bp + 1)
+                    nat = np.empty(64, np.int32)
+                    nat[ZIGZAG] = tbl
+                    quants[tq] = nat.reshape(8, 8)
+                    bp += 65
+            elif marker in (0xC0, 0xC1):          # SOF0/1 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", body)
+                if prec != 8 or nc != 1:
+                    raise NotImplementedError(
+                        "JpegCodec decodes 8-bit single-component "
+                        f"baseline; got precision={prec} components={nc}"
+                        " — color/subsampled inputs go through the "
+                        "lib-backed integration point")
+                # 6-byte frame header, then (id, sampling, quant)
+                if body[7] != 0x11:
+                    raise NotImplementedError("subsampled component")
+                comp_q = body[8]
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "progressive/extended JPEG goes through the "
+                    "lib-backed integration point")
+            elif marker == 0xC4:                  # DHT (maybe several)
+                bp = 0
+                while bp < len(body):
+                    tc, th = body[bp] >> 4, body[bp] & 0x0F
+                    bits = list(body[bp + 1:bp + 17])
+                    n = sum(bits)
+                    vals = list(body[bp + 17:bp + 17 + n])
+                    huff[(tc, th)] = (_huff_decode_tables(bits, vals),
+                                      vals)
+                    bp += 17 + n
+            elif marker == 0xDD:
+                raise NotImplementedError("restart intervals")
+            elif marker == 0xDA:                  # SOS
+                ns = body[0]
+                if ns != 1:
+                    raise NotImplementedError("multi-component scan")
+                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                break
+            # APPn / COM / others: skipped via the length walk
+        if w is None or comp_q not in quants:
+            raise ValueError("missing SOF/DQT before SOS")
+        quant = quants[comp_q]
+        dct, dcv = huff[(0, dc_id)]
+        act, acv = huff[(1, ac_id)]
+        bh, bw = -(-h // 8), -(-w // 8)
+        nblk = bh * bw
+        zz = np.zeros((nblk, 64), np.int32)
+        r = _BitReader(data, pos)
+        prev_dc = 0
+        for b in range(nblk):
+            s = _read_huff(r, dct, dcv)
+            if s:
+                v = r.bits(s)
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                prev_dc += v
+            zz[b, 0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _read_huff(r, act, acv)
+                if rs == 0x00:                    # EOB
+                    break
+                if rs == 0xF0:                    # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0x0F
+                v = r.bits(s)
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                if k > 63:
+                    raise ValueError("AC index overrun")
+                zz[b, k] = v
+                k += 1
+        nat = np.zeros((nblk, 64), np.int32)
+        nat[:, ZIGZAG] = zz
+        coef = nat.reshape(nblk, 8, 8).astype(np.float64) * quant
+        blocks = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T)
+        img = (blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+               .reshape(bh * 8, bw * 8) + 128.0)
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]

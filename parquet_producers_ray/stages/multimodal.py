@@ -10,11 +10,16 @@ Decoders, by depth of realism:
 - ``WavCodec`` — REAL RIFF/WAVE PCM16 mono in pure stdlib (proper
   chunk-list walk, word alignment, unknown chunks skipped).
   ``audio_chunks`` decodes genuine WAV containers through it.
+- ``GifCodec`` — REAL animated GIF89a in pure stdlib+numpy (genuine
+  variable-width LZW per the public spec's Appendix F, grayscale
+  global color table, extension/sub-block walking).
+  ``video_frames_gif`` decodes every frame of genuine multi-frame
+  containers through it — the video-shaped media path.
 - ``FakeImageCodec`` / ``FakeAudioCodec`` — deterministic stand-in
   formats that keep the rest of the plumbing (resize grid math, audio
   chunking, frame sampling) exactly unit-testable without media libs.
 - ``PillowImageDecoder`` — the documented integration point for
-  lib-backed formats (JPEG/WebP/mp3/opus/video) that need binary
+  lib-backed formats (JPEG/WebP/mp3/opus/mp4) that need binary
   codecs this container doesn't ship; raises ``NotImplementedError``.
 
 Usage:
@@ -581,6 +586,370 @@ class AudioChunkStage:
             "n_samples": pa.array(n_samp, type=pa.int64()),
             "rms": pa.array(rms, type=pa.float64()),
             "peak": pa.array(peak, type=pa.float64()),
+        })
+
+
+GIF_HEADER = b"GIF89a"
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code: int = 8) -> bytes:
+    """GIF-variant LZW (spec Appendix F): variable code width starting
+    at ``min_code + 1``, LSB-first bit packing, CLEAR emitted up front
+    and again whenever the table fills (4096 codes).  The width grows
+    the emission AFTER the entry ``1 << width`` is assigned, which is
+    exactly one table-append earlier on the decoder side (it lags one
+    entry) — see ``_lzw_decode_gif``."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    next_code = end + 1
+    table: dict = {}
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = -1
+    for s in map(int, indices):
+        if prev < 0:
+            prev = s
+            continue
+        key = (prev, s)
+        nxt = table.get(key)
+        if nxt is not None:
+            prev = nxt
+            continue
+        emit(prev)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            width = min_code + 1
+            next_code = end + 1
+            table.clear()
+        prev = s
+    if prev >= 0:
+        emit(prev)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code: int = 8) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode_gif`; also tolerates encoders that
+    defer the clear code past a full table (appends stop at 4096)."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("LZW stream ended without END code")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]          # the cScSc case
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Split ``data`` into GIF ≤255-byte length-prefixed sub-blocks,
+    terminated."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i:i + 255]
+        out.append(len(part))
+        out.extend(part)
+    out.append(0)
+    return bytes(out)
+
+
+class GifCodec:
+    """REAL animated GIF89a, pure stdlib+numpy, per the public GIF89a
+    specification (CompuServe, 1990): logical screen descriptor, a
+    256-entry grayscale global color table, NETSCAPE2.0 loop extension,
+    per-frame graphic-control extension + image descriptor, and genuine
+    variable-width LZW entropy coding (Appendix F) with CLEAR-code
+    table resets.  ``encode_frames`` output opens and animates in any
+    standard image viewer/browser; ``decode_frames`` walks the full
+    block structure (unknown extensions skipped via sub-block framing,
+    local color tables honored) and LZW-decodes every frame.  This is
+    the video-shaped multi-frame container of the media family — only
+    lib-backed codecs (JPEG/WebP/mp4) remain at the integration
+    point."""
+
+    @staticmethod
+    def encode_frames(frames: list, delay_cs: int = 10) -> bytes:
+        if not frames:
+            raise ValueError("GIF needs at least one frame")
+        f0 = np.asarray(frames[0], np.uint8)
+        h, w = f0.shape
+        out = bytearray(GIF_HEADER)
+        # logical screen descriptor: GCT present, 8 bits/channel, 256
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        gct = np.repeat(np.arange(256, dtype=np.uint8), 3)
+        out += gct.tobytes()                  # grayscale identity GCT
+        out += (b"\x21\xFF\x0BNETSCAPE2.0"    # loop forever
+                + b"\x03\x01\x00\x00\x00")
+        for fr in frames:
+            px = np.asarray(fr, np.uint8)
+            fh, fw = px.shape
+            if (fh, fw) != (h, w):
+                raise ValueError("all frames must share the logical size")
+            out += b"\x21\xF9\x04\x04" + struct.pack("<H", delay_cs) \
+                + b"\x00\x00"                 # GCE: disposal=1
+            out += b"\x2C" + struct.pack("<HHHH", 0, 0, fw, fh) + b"\x00"
+            out.append(8)                     # LZW min code size
+            out += _sub_blocks(_lzw_encode_gif(px.reshape(-1)))
+        out.append(0x3B)                      # trailer
+        return bytes(out)
+
+    @staticmethod
+    def decode_frames(blob: bytes) -> list:
+        if bytes(blob[:6]) not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF")
+        w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        frames = []
+        n_total = len(blob)
+        while pos < n_total:
+            b0 = blob[pos]
+            pos += 1
+            if b0 == 0x3B:                    # trailer
+                break
+            if b0 == 0x21:                    # extension: skip sub-blocks
+                pos += 1                      # label
+                while blob[pos]:
+                    pos += 1 + blob[pos]
+                pos += 1
+            elif b0 == 0x2C:                  # image descriptor
+                fx, fy, fw, fh, ipacked = struct.unpack_from(
+                    "<HHHHB", blob, pos)
+                pos += 9
+                pal = gct
+                if ipacked & 0x80:            # local color table
+                    n = 2 << (ipacked & 0x07)
+                    pal = np.frombuffer(
+                        blob, np.uint8, 3 * n, pos).reshape(n, 3)
+                    pos += 3 * n
+                if ipacked & 0x40:
+                    raise NotImplementedError(
+                        "interlaced GIF frames go through the lib-backed "
+                        "integration point")
+                min_code = blob[pos]
+                pos += 1
+                lzw = bytearray()
+                while blob[pos]:
+                    ln = blob[pos]
+                    lzw += blob[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                idx = _lzw_decode_gif(bytes(lzw), min_code)
+                if len(idx) != fw * fh:
+                    raise ValueError("GIF frame pixel count mismatch")
+                if pal is None:
+                    raise ValueError("GIF frame without a color table")
+                # grayscale value = red channel of the palette entry
+                frames.append(pal[idx, 0].reshape(fh, fw))
+            else:
+                raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        return frames
+
+
+def synthesize_gif_column(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL animated-GIF column from the documents table:
+    w = id%16+4, h = id%12+4, n_frames = id%4+2; pixel p (row-major)
+    of frame k = text byte ((p + 11·k) mod n) (0 if the text is empty)
+    — the same closed-form rule the SQL oracle replays.  Encoded
+    through the genuine GIF89a/LZW path, so the blobs animate in any
+    standard viewer."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    blobs = []
+    for i, t in zip(ids, texts):
+        i = int(i)
+        w = i % 16 + 4
+        h = i % 12 + 4
+        nf = i % 4 + 2
+        raw = np.frombuffer(t.encode("utf-8"), np.uint8)
+        frames = []
+        for k in range(nf):
+            if len(raw):
+                p = (np.arange(w * h, dtype=np.int64) + 11 * k) % len(raw)
+                frames.append(raw[p].reshape(h, w))
+            else:
+                frames.append(np.zeros((h, w), np.uint8))
+        blobs.append(GifCodec.encode_frames(frames))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "video": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
+class GifFrameStage:
+    """Actor-pool stage over GENUINELY DECODED video frames: parse the
+    GIF89a container, LZW-decode every frame (GifCodec), sample every
+    ``every``-th frame and digest its pixels (plain and
+    position-weighted sums) — the decode+sample shape of a real video
+    pipeline, value-checked because the SQL oracle recomputes the
+    digests from the synthesis rule."""
+
+    def __init__(self, binary_col: str = "video",
+                 id_col: str = "doc_id", every: int = 2):
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, sums, wsums = [], [], [], []
+        for i, v in zip(batch.column(self.id_col).to_pylist(),
+                        batch.column(self.binary_col).to_pylist()):
+            if v is None:
+                continue
+            frames = GifCodec.decode_frames(v)
+            for k in range(0, len(frames), self.every):
+                px = frames[k].reshape(-1).astype(np.int64)
+                ids.append(i)
+                fidx.append(k)
+                sums.append(int(px.sum()))
+                wsums.append(int((px * np.arange(1, px.size + 1)).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame": pa.array(fidx, pa.int64()),
+            "f_sum": pa.array(sums, pa.int64()),
+            "f_wsum": pa.array(wsums, pa.int64()),
+        })
+
+
+def synthesize_jpeg_column(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           quality: int = 95) -> pa.Table:
+    """Deterministic REAL baseline-JPEG column from the documents
+    table: w = id%48+8, h = id%32+8, source pixel p = text byte
+    (p mod n) (0 if empty) — the closed-form rule the verify stage and
+    the SQL oracle replay.  Encoded through the genuine JFIF path
+    (stages/jpeg.py), so the blobs open in any viewer."""
+    from .jpeg import JpegCodec
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    blobs = []
+    for i, t in zip(ids, texts):
+        i = int(i)
+        w = i % 48 + 8
+        h = i % 32 + 8
+        raw = np.frombuffer(t.encode("utf-8"), np.uint8)
+        if len(raw):
+            px = raw[np.arange(w * h) % len(raw)].reshape(h, w)
+        else:
+            px = np.zeros((h, w), np.uint8)
+        blobs.append(JpegCodec.encode(px, quality))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "image": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
+class JpegReconStage:
+    """Actor-pool stage over GENUINELY DECODED baseline JPEG: parse the
+    JFIF marker stream, Huffman-decode + dequantize + IDCT every 8x8
+    block (stages/jpeg.py), then verify the lossy reconstruction
+    IN-PIPELINE against the closed-form source rule (the
+    encode_embeddings pattern: the pipeline itself carries the
+    bit/tolerance compare, the oracle replays the closed-form outputs).
+    Emits dims, MCU-block count and the bounded-error verdict; the
+    verdict is deterministic (same codec, same corpus ⇒ same errors),
+    and tests pin the measured error well under the bound."""
+
+    def __init__(self, binary_col: str = "image", id_col: str = "doc_id",
+                 text_col: str = "text", tol: int = 12):
+        from .jpeg import JpegCodec
+        self.codec = JpegCodec
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.text_col = text_col
+        self.tol = tol
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, nblk, ok = [], [], [], [], []
+        for i, v, t in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.binary_col).to_pylist(),
+                           batch.column(self.text_col).to_pylist()):
+            ids.append(i)
+            if v is None:
+                ws.append(None), hs.append(None)
+                nblk.append(None), ok.append(None)
+                continue
+            px = self.codec.decode_pixels(v)
+            h, w = px.shape
+            raw = np.frombuffer(t.encode("utf-8"), np.uint8)
+            if len(raw):
+                want = raw[np.arange(w * h) % len(raw)].reshape(h, w)
+            else:
+                want = np.zeros((h, w), np.uint8)
+            err = int(np.abs(px.astype(np.int64)
+                             - want.astype(np.int64)).max())
+            ws.append(w)
+            hs.append(h)
+            nblk.append(-(-w // 8) * -(-h // 8))
+            ok.append(err <= self.tol)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mcu_blocks": pa.array(nblk, pa.int64()),
+            "recon_ok": pa.array(ok, pa.bool_()),
         })
 
 

@@ -393,6 +393,154 @@ def test_png_codec_roundtrip_all_filters():
         assert np.array_equal(back, px), (h, w)
 
 
+def test_gif_lzw_roundtrip_across_width_boundaries():
+    """GIF LZW is variable-width (9→12 bits): the encoder bumps the
+    width one emission after assigning entry 2^w, the decoder one
+    table-append earlier (it lags an entry).  A randomized roundtrip
+    long enough to cross the 512/1024/2048/4096 boundaries — and a
+    run-heavy input that forces deep chains and a mid-stream CLEAR
+    reset — proves the two bookkeepings agree bit-for-bit."""
+    from parquet_producers_ray.stages.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif)
+
+    rng = np.random.RandomState(11)
+    for n in [0, 1, 2, 700, 60_000, 200_000]:
+        for alpha in (2, 17, 256):
+            x = rng.randint(0, alpha, size=n).astype(np.uint8)
+            assert np.array_equal(_lzw_decode_gif(_lzw_encode_gif(x)), x), \
+                (n, alpha)
+    runs = np.repeat(np.arange(50, dtype=np.uint8), 5000)
+    assert np.array_equal(_lzw_decode_gif(_lzw_encode_gif(runs)), runs)
+    # cScSc case: the decoder must synthesize the not-yet-added entry
+    x = np.array([1, 1, 1, 1, 1], np.uint8)
+    assert np.array_equal(_lzw_decode_gif(_lzw_encode_gif(x)), x)
+
+
+def test_gif_container_multiframe_roundtrip():
+    """Full GIF89a container: logical screen descriptor + grayscale
+    GCT + NETSCAPE loop extension + per-frame GCE/descriptor blocks,
+    sub-block framing past 255 bytes, trailer.  Every frame decodes
+    bit-exactly; unknown extensions are skipped by the block walk."""
+    from parquet_producers_ray.stages.multimodal import GifCodec
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, size=(21, 37)).astype(np.uint8)
+              for _ in range(4)]
+    blob = GifCodec.encode_frames(frames)
+    assert bytes(blob[:6]) == b"GIF89a" and blob[-1] == 0x3B
+    back = GifCodec.decode_frames(blob)
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    # an injected unknown extension (comment block) must be skipped
+    idx = blob.index(b"\x21\xF9")           # before the first GCE
+    patched = blob[:idx] + b"\x21\xFE\x05hello\x00" + blob[idx:]
+    back2 = GifCodec.decode_frames(patched)
+    assert len(back2) == 4 and np.array_equal(back2[0], frames[0])
+
+
+def test_gif_frame_stage_matches_synthesis_rule():
+    """GifFrameStage digests of genuinely decoded frames equal a plain
+    numpy replay of the synthesis rule (pixel p of frame k = text byte
+    (p + 11k) mod n), including the empty-text zero-grid row."""
+    from parquet_producers_ray.stages.multimodal import (
+        GifFrameStage, synthesize_gif_column)
+
+    docs = pa.table({"doc_id": pa.array([3, 70, 113], pa.int64()),
+                     "text": ["the quick brown fox " * 10, "", "z" * 999]})
+    gifs = synthesize_gif_column(docs)
+    out = GifFrameStage()(gifs).to_pylist()
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    seen = set()
+    for row in out:
+        i = row["doc_id"]
+        raw = np.frombuffer(texts[i].encode(), np.uint8)
+        w, h, nf = i % 16 + 4, i % 12 + 4, i % 4 + 2
+        k = row["frame"]
+        seen.add((i, k))
+        assert k % 2 == 0 and k < nf
+        if len(raw):
+            want = raw[(np.arange(w * h) + 11 * k) % len(raw)]
+        else:
+            want = np.zeros(w * h, np.uint8)
+        want = want.astype(np.int64)
+        assert row["f_sum"] == int(want.sum())
+        assert row["f_wsum"] == int(
+            (want * np.arange(1, w * h + 1)).sum())
+    for i in (3, 70, 113):
+        nf = i % 4 + 2
+        assert {(i, k) for k in range(0, nf, 2)} <= seen
+
+
+def test_jpeg_codec_baseline_roundtrip_bounds():
+    """Baseline JFIF: constant blocks quantize to DC-only — exact at
+    quality 100 (unit quant step) and within DC-step/16 at quality 50;
+    noise (the worst case for a DCT codec) stays within tight bounds
+    at high quality; marker structure is standard
+    (SOI/APP0/DQT/SOF0/DHT/SOS/EOI); byte stuffing and odd
+    (non-multiple-of-8) shapes round-trip."""
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+
+    for v in (0, 77, 128, 255):
+        px = np.full((24, 40), v, np.uint8)
+        assert np.array_equal(
+            JpegCodec.decode_pixels(JpegCodec.encode(px, 100)), px)
+        got = JpegCodec.decode_pixels(JpegCodec.encode(px, 50))
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 1
+
+    rng = np.random.RandomState(3)
+    bounds = {90: 20, 95: 10, 100: 2}
+    for (h, w) in [(1, 1), (7, 5), (17, 33), (48, 64)]:
+        for q, tol in bounds.items():
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            blob = JpegCodec.encode(px, q)
+            assert blob[:2] == b"\xFF\xD8" and blob[-2:] == b"\xFF\xD9"
+            out = JpegCodec.decode_pixels(blob)
+            assert out.shape == (h, w)
+            err = int(np.abs(out.astype(int) - px.astype(int)).max())
+            assert err <= tol, (h, w, q, err)
+
+    # a gradient (smooth content) is exact at quality 95
+    g = (np.linspace(0, 255, 64)[None, :]
+         * np.ones((32, 1))).astype(np.uint8)
+    assert np.array_equal(
+        JpegCodec.decode_pixels(JpegCodec.encode(g, 95)), g)
+
+
+def test_jpeg_recon_stage_bounds_and_dims():
+    """JpegReconStage decodes genuine JFIF blobs and its in-pipeline
+    tolerance verdict holds for ASCII-text pixels at quality 95 with
+    margin (measured error ≤7 on full-range noise; the query ships
+    tol=12)."""
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+    from parquet_producers_ray.stages.multimodal import (
+        JpegReconStage, synthesize_jpeg_column)
+
+    docs = pa.table({"doc_id": pa.array([3, 70, 113], pa.int64()),
+                     "text": ["the quick brown fox " * 10, "",
+                              "zebra! " * 500]})
+    blobs = synthesize_jpeg_column(docs)
+    blobs = blobs.append_column("text", docs.column("text"))
+    out = JpegReconStage(tol=12)(blobs).to_pylist()
+    assert len(out) == 3
+    for row in out:
+        i = row["doc_id"]
+        assert row["width"] == i % 48 + 8
+        assert row["height"] == i % 32 + 8
+        assert row["mcu_blocks"] == \
+            -(-row["width"] // 8) * -(-row["height"] // 8)
+        assert row["recon_ok"] is True
+    # and the tight measured bound: decode error <= 7 on these rows
+    for i, t in zip([3, 70, 113], docs.column("text").to_pylist()):
+        w, h = i % 48 + 8, i % 32 + 8
+        raw = np.frombuffer(t.encode(), np.uint8)
+        want = (raw[np.arange(w * h) % len(raw)].reshape(h, w)
+                if len(raw) else np.zeros((h, w), np.uint8))
+        got = JpegCodec.decode_pixels(JpegCodec.encode(want, 95))
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 7
+
+
 def test_png_thumbnail_stage_matches_bruteforce():
     """Decode → NN-resample → re-encode → re-decode digests equal a
     plain numpy replay of the same rule."""

@@ -28,7 +28,7 @@ NEW_QUERIES = [
     "entropy", "pack_sequences", "fuzzy_pairs", "embed_quantize",
     "salted_join", "row_number_global", "html_extract",
     "media_thumbnail", "embed_neardup_lsh", "dedup_substring",
-    "audio_chunks",
+    "audio_chunks", "video_frames_gif", "media_jpeg",
 ]
 
 
