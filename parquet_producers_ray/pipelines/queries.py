@@ -29,10 +29,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, num_blocks=None):
+    """Column-pruned parquet read; ``num_blocks`` splits the read at
+    the METADATA level (no shuffle) for CPU-bound downstream stages
+    that would otherwise serialize on a single toy-scale block — at
+    100 TB the read is many files/blocks and the override is a no-op
+    cost-wise."""
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+                           columns=columns,
+                           override_num_blocks=num_blocks)
 
 
 
@@ -2243,10 +2249,12 @@ def q_video_frames_gif(sf_dir: str, every: int = 2):
     ``concurrency`` scales it; binary payloads stay off the driver."""
     from ..stages.multimodal import GifFrameStage, synthesize_gif_column
 
-    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+    # LZW encode/decode is bit-serial per blob: split the single-file
+    # read (metadata-level, no shuffle) so synthesis parallelizes
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
           .map_batches(synthesize_gif_column, batch_format="pyarrow"))
     return ds.map_batches(GifFrameStage, batch_format="pyarrow",
-                          batch_size=64, concurrency=2,
+                          batch_size=64, concurrency=(2, 8),
                           fn_constructor_kwargs={"every": every})
 
 
@@ -2296,10 +2304,14 @@ def q_media_jpeg(sf_dir: str, quality: int = 95, tol: int = 12):
         t = synthesize_jpeg_column(b, quality=quality)
         return t.append_column("text", b.column("text"))
 
-    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+    # the synth stage is CPU-bound per row (bit-serial Huffman): split
+    # the single-file read (metadata-level, no shuffle) to parallelize
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
           .map_batches(synth, batch_format="pyarrow"))
+    # bit-serial Huffman is the per-row cost here: scale the actor
+    # pool (2..8) rather than the batch — payloads are small thumbs
     return ds.map_batches(JpegReconStage, batch_format="pyarrow",
-                          batch_size=64, concurrency=2,
+                          batch_size=64, concurrency=(2, 8),
                           fn_constructor_kwargs={"tol": tol})
 
 

@@ -133,70 +133,87 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first reader over the entropy segment with 0xFF00 unstuffing;
-    stops at any real marker."""
+    """MSB-first windowed reader over the entropy segment with 0xFF00
+    unstuffing; a real marker ends the stream (reads past it pad with
+    zeros, the spec's defined behavior for the final partial byte)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.eof = False
 
-    def _fill(self) -> None:
+    def _fill(self, want: int) -> None:
         d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
+        n = len(d)
+        while self.nbits < want:
+            if self.eof or self.pos >= n:
+                self.eof = True
+                self.acc <<= 8
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < n and d[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    self.eof = True          # a real marker: pad zeros
+                    self.acc <<= 8
+                    self.nbits += 8
+                    continue
             else:
-                raise EOFError("marker inside entropy stream")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
 
-    def bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if self.nbits < n:
+            self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
-def _huff_decode_tables(bits, vals):
-    """MINCODE/MAXCODE/VALPTR decode arrays (T.81 F.2.2.3)."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals):
+    """16-bit-peek Huffman LUT (the classic libjpeg acceleration):
+    entry i = (symbol, code length) for the code prefixing the 16-bit
+    window i.  Length 0 marks an invalid prefix.  Cached by table
+    content — the stages decode many images with the same Annex K
+    tables, so the build cost is paid once per process."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, np.uint8)
+    ln = np.zeros(1 << 16, np.uint8)
     code = 0
     k = 0
-    for ln in range(1, 17):
-        if bits[ln - 1]:
-            valptr[ln] = k
-            mincode[ln] = code
-            code += bits[ln - 1]
-            k += bits[ln - 1]
-            maxcode[ln] = code - 1
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base:base + span] = vals[k]
+            ln[base:base + span] = length
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr
-
-
-def _read_huff(r: _BitReader, tables, vals) -> int:
-    mincode, maxcode, valptr = tables
-    code = r.bit()
-    ln = 1
-    while code > maxcode[ln]:
-        code = (code << 1) | r.bit()
-        ln += 1
-        if ln > 16:
-            raise ValueError("invalid Huffman code")
-    return vals[valptr[ln] + code - mincode[ln]]
+    pair = (sym.tolist(), ln.tolist())
+    _LUT_CACHE[key] = pair
+    return pair
 
 
 def _category(v: int) -> int:
@@ -329,8 +346,7 @@ class JpegCodec:
                     bits = list(body[bp + 1:bp + 17])
                     n = sum(bits)
                     vals = list(body[bp + 17:bp + 17 + n])
-                    huff[(tc, th)] = (_huff_decode_tables(bits, vals),
-                                      vals)
+                    huff[(tc, th)] = _huff_lut(bits, vals)
                     bp += 17 + n
             elif marker == 0xDD:
                 raise NotImplementedError("restart intervals")
@@ -344,15 +360,20 @@ class JpegCodec:
         if w is None or comp_q not in quants:
             raise ValueError("missing SOF/DQT before SOS")
         quant = quants[comp_q]
-        dct, dcv = huff[(0, dc_id)]
-        act, acv = huff[(1, ac_id)]
+        dc_sym, dc_len = huff[(0, dc_id)]
+        ac_sym, ac_len = huff[(1, ac_id)]
         bh, bw = -(-h // 8), -(-w // 8)
         nblk = bh * bw
         zz = np.zeros((nblk, 64), np.int32)
         r = _BitReader(data, pos)
         prev_dc = 0
         for b in range(nblk):
-            s = _read_huff(r, dct, dcv)
+            p16 = r.peek16()
+            s = dc_sym[p16]
+            ln = dc_len[p16]
+            if not ln:
+                raise ValueError("invalid DC Huffman code")
+            r.skip(ln)
             if s:
                 v = r.bits(s)
                 if v < (1 << (s - 1)):
@@ -361,7 +382,12 @@ class JpegCodec:
             zz[b, 0] = prev_dc
             k = 1
             while k < 64:
-                rs = _read_huff(r, act, acv)
+                p16 = r.peek16()
+                rs = ac_sym[p16]
+                ln = ac_len[p16]
+                if not ln:
+                    raise ValueError("invalid AC Huffman code")
+                r.skip(ln)
                 if rs == 0x00:                    # EOB
                     break
                 if rs == 0xF0:                    # ZRL
