@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import (alp, bitpack, bss, delta, dictionary, for_, fsst, plain,
-               prefix, rle)
+               prefix, rle, xor)
 from .base import Encoded
 
 CODECS = {
@@ -36,13 +36,14 @@ CODECS = {
     prefix.NAME: prefix,
     bss.NAME: bss,
     alp.NAME: alp,
+    xor.NAME: xor,
 }
 
 # trial order is a mild prior; selection is purely by sampled size
 _CANDIDATE_ORDER = [rle.NAME, dictionary.NAME, delta.NAME,
                     for_.NAME, bitpack.NAME,
-                    prefix.NAME, fsst.NAME, alp.NAME, bss.NAME,
-                    plain.NAME]
+                    prefix.NAME, fsst.NAME, alp.NAME, xor.NAME,
+                    bss.NAME, plain.NAME]
 
 
 def candidates(typ: pa.DataType) -> list:

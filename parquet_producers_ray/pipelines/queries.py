@@ -5984,8 +5984,11 @@ REGISTRY = {
     # correctness gate's visible set.  ROUND-4 ROTATION: every entry
     # MODIFIED this round (byte-scaled keyed exchanges, WAV decode,
     # dedup_substring rework, engine colocate refactor) sits inside so
-    # its driver row attests the shipped code, plus the new
-    # media_thumbnail, the float/window family (also pytest-pinned by
+    # its driver row attests the shipped code, plus the NEW
+    # video_frames_gif/media_jpeg (real GIF-LZW / baseline-JPEG decode
+    # paths — ntile and dense_rank rotated out to make room; both hold
+    # green r03 rows and are untouched since), media_thumbnail, the
+    # float/window family (also pytest-pinned by
     # test_gate_determinism), and the sentinel engine/codec cores.
     # Everything rotated OUT is byte-identical to code holding a green
     # hash row in CORRECTNESS_r01/r02/r03 ---
@@ -6000,8 +6003,8 @@ REGISTRY = {
     "window_cumsum": (q_window_cumsum, SQL_WINDOW_CUMSUM),
     "window_lead": (q_window_lead, SQL_WINDOW_LEAD),
     "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
-    "ntile": (q_ntile, SQL_NTILE),
-    "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
+    "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
+    "media_jpeg": (q_media_jpeg, SQL_MEDIA_JPEG),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
@@ -6043,6 +6046,8 @@ REGISTRY = {
     # since its green CORRECTNESS_r01/r02/r03 hash row (round-4 diff
     # did not touch their code paths) AND keeps its value oracle ---
     "host_agg": (q_host_agg, SQL_HOST_AGG),
+    "ntile": (q_ntile, SQL_NTILE),
+    "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
     "profile_stats": (q_profile_stats, SQL_PROFILE_STATS),
@@ -6102,8 +6107,6 @@ REGISTRY = {
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "approx_topk": (q_approx_topk, SQL_APPROX_TOPK),
-    "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
-    "media_jpeg": (q_media_jpeg, SQL_MEDIA_JPEG),
 }
 
 

@@ -326,16 +326,48 @@ class PngThumbnailStage:
         })
 
 
+class _SniffImageDecoder:
+    """Container-sniffing image decoder: real PNG/JPEG/GIF blobs route
+    to their genuine decoders, the FIMG stand-in to FakeImageCodec —
+    a mixed crawl corpus needs no per-file format hint (the image
+    counterpart of :class:`_SniffAudioDecoder`).  Emits the common
+    feature dict (width/height/n_bytes/checksum of DECODED pixels;
+    for animated GIF, n_bytes and checksum cover every frame)."""
+
+    def decode(self, blob: bytes) -> dict:
+        head = bytes(blob[:8])
+        if head == PNG_SIG:
+            return PngCodec.decode(blob)
+        if head[:2] == b"\xFF\xD8":
+            from .jpeg import JpegCodec
+            px = JpegCodec.decode_pixels(blob)
+            h, w = px.shape
+            return {"width": w, "height": h, "n_bytes": int(px.size),
+                    "checksum": zlib.crc32(px.tobytes())}
+        if head[:6] in (b"GIF89a", b"GIF87a"):
+            frames = GifCodec.decode_frames(blob)
+            h, w = frames[0].shape
+            crc = 0
+            for f in frames:
+                crc = zlib.crc32(f.tobytes(), crc)
+            return {"width": w, "height": h,
+                    "n_bytes": sum(int(f.size) for f in frames),
+                    "checksum": crc}
+        return FakeImageCodec.decode(blob)
+
+
 class ImageFeatureStage:
     """Actor-pool stage: decode a binary image column into feature
     columns.  The codec is constructed ONCE per actor (``__init__``),
-    batches stream through ``__call__``."""
+    batches stream through ``__call__``; the default decoder sniffs
+    the container, so mixed PNG/JPEG/GIF/FIMG corpora stream through
+    one stage."""
 
     def __init__(self, binary_col: str = "image",
                  id_col: str = "doc_id", decoder=None):
         self.binary_col = binary_col
         self.id_col = id_col
-        self.decoder = decoder or FakeImageCodec()
+        self.decoder = decoder or _SniffImageDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.binary_col)

@@ -250,6 +250,36 @@ def test_bss_float_list_property(rows):
     assert arrays_bit_identical(dec, arr)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(width=64, allow_nan=True, allow_infinity=True),
+                max_size=150))
+def test_xor_flat_float_property(vals):
+    """Gorilla-style XOR is pure bit ops: every IEEE value (NaN
+    payloads, signed zeros, infinities, subnormals) must round-trip
+    bit-identically."""
+    arr = pa.array(np.array(vals, dtype=np.float64), type=pa.float64())
+    enc = CODECS["xor"].encode(arr)
+    dec = codecs.decode(enc)
+    assert dec.type == arr.type
+    assert arrays_bit_identical(dec, arr)
+
+
+def test_xor_wins_on_repeat_heavy_series():
+    """The codec's target shape: runs of identical / slowly-drifting
+    readings (sensor gauges).  XOR deltas are zero or narrow there, so
+    it must beat both plane-split (bss) and plain post-zstd — and the
+    auto-selector must therefore pick it."""
+    from parquet_producers_ray.codecs.auto import stored_size
+
+    rng = np.random.default_rng(5)
+    gauge = np.repeat(rng.normal(50.0, 3.0, 40), 100)
+    arr = pa.array(gauge, type=pa.float64())
+    x = stored_size(CODECS["xor"].encode(arr))
+    assert x < stored_size(CODECS["bss"].encode(arr))
+    assert x < stored_size(CODECS["plain"].encode(arr))
+    assert encode_auto(arr).codec == "xor"
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.lists(st.one_of(st.none(), st.binary(max_size=60)), max_size=80))
 def test_prefix_hypothesis_binary(vals):

@@ -541,6 +541,36 @@ def test_jpeg_recon_stage_bounds_and_dims():
         assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 7
 
 
+def test_sniff_image_decoder_routes_all_formats():
+    """One feature stage over a mixed corpus: PNG, JPEG, animated GIF
+    and the FIMG stand-in all decode through the sniffing default."""
+    import zlib
+
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+    from parquet_producers_ray.stages.multimodal import (
+        FakeImageCodec, GifCodec, ImageFeatureStage, PngCodec)
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(12, 20)).astype(np.uint8)
+    frames = [px, (px[::-1]).copy()]
+    blobs = [PngCodec.encode(px),
+             JpegCodec.encode(px, 95),
+             GifCodec.encode_frames(frames),
+             FakeImageCodec.encode(20, 12, px.tobytes())]
+    batch = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "image": pa.array(blobs, pa.large_binary())})
+    out = ImageFeatureStage()(batch).to_pylist()
+    assert [(r["width"], r["height"]) for r in out] == [(20, 12)] * 4
+    # PNG is lossless: checksum equals the source pixels' crc
+    assert out[0]["checksum"] == zlib.crc32(px.tobytes())
+    # GIF covers every frame
+    assert out[2]["n_bytes"] == 2 * px.size
+    crc = zlib.crc32(frames[0].tobytes())
+    assert out[2]["checksum"] == zlib.crc32(frames[1].tobytes(), crc)
+    # JPEG is lossy but dims + byte count are exact
+    assert out[1]["n_bytes"] == px.size
+
+
 def test_png_thumbnail_stage_matches_bruteforce():
     """Decode → NN-resample → re-encode → re-decode digests equal a
     plain numpy replay of the same rule."""
