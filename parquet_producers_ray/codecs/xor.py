@@ -12,7 +12,7 @@ consecutive values (the common time-series case) cost one zero control
 byte; slowly-drifting values cost a few mantissa bytes instead of
 eight.
 
-Decode XOR-scans the deltas back with a log-doubling prefix scan —
+Decode XOR-scans the deltas back with ``np.bitwise_xor.accumulate`` —
 bit-identical reconstruction for every IEEE value including NaNs and
 signed zeros (pure bit operations end to end).
 
@@ -96,9 +96,6 @@ def decode(enc: Encoded) -> pa.Array:
         - np.repeat(offsets[:-1], sig)
     db[rows * k + starts + within] = payload
     d = db.view(_UINT[typ.bit_width])
-    # inclusive XOR prefix scan (Hillis–Steele doubling): deltas → values
-    s = 1
-    while s < n:
-        d[s:] ^= d[:-s].copy()
-        s <<= 1
+    # inclusive XOR prefix scan: deltas → values, one C pass
+    np.bitwise_xor.accumulate(d, out=d)
     return pa.array(d.view(_FLOAT[typ.bit_width]), type=typ)

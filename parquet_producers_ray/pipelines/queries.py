@@ -2236,7 +2236,12 @@ FROM f CROSS JOIN unnest(range(0, CAST(n AS BIGINT), 4)) AS t(frame)
 """
 
 
-def q_video_frames_gif(sf_dir: str, every: int = 2):
+# sampling stride shared by the pipeline AND its oracle SQL below —
+# a per-call override would silently diverge from the fixed SQL
+_GIF_FRAME_EVERY = 2
+
+
+def q_video_frames_gif(sf_dir: str, every: int = _GIF_FRAME_EVERY):
     """Video pipeline over GENUINELY DECODED frames: synthesize a REAL
     animated GIF89a column (grayscale GCT, genuine variable-width LZW
     per the public spec — the blobs animate in any standard viewer),
@@ -2263,7 +2268,7 @@ def q_video_frames_gif(sf_dir: str, every: int = 2):
 # text byte ((p + 11k) mod n); sampled frames are 0, 2, 4, ...  The
 # corpus is pure ASCII (octet_length == length at every sf), so
 # VARCHAR indexing equals byte indexing.
-SQL_VIDEO_FRAMES_GIF = """
+SQL_VIDEO_FRAMES_GIF = f"""
 WITH src AS (
   SELECT doc_id, text,
          doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h,
@@ -2272,7 +2277,8 @@ WITH src AS (
   FROM documents),
 fr AS (
   SELECT doc_id, w, h, n, text, k AS frame
-  FROM src CROSS JOIN unnest(range(0, CAST(nf AS BIGINT), 2)) AS t(k)),
+  FROM src CROSS JOIN unnest(
+    range(0, CAST(nf AS BIGINT), {_GIF_FRAME_EVERY})) AS t(k)),
 px AS (
   SELECT doc_id, frame, p,
          CASE WHEN n > 0
@@ -2287,7 +2293,16 @@ FROM px GROUP BY doc_id, frame
 """
 
 
-def q_media_jpeg(sf_dir: str, quality: int = 95, tol: int = 12):
+# quality/tol pair shared by the pipeline and the recon_ok=TRUE claim
+# in the oracle: the tolerance must cover the measured decode error at
+# this quality (≤7 on pure noise, tests/test_functions.py) — lowering
+# quality without raising tol would flip recon_ok rows false
+_JPEG_QUALITY = 95
+_JPEG_TOL = 12
+
+
+def q_media_jpeg(sf_dir: str, quality: int = _JPEG_QUALITY,
+                 tol: int = _JPEG_TOL):
     """REAL lossy-image pipeline: synthesize a genuine baseline-JFIF
     JPEG column (stages/jpeg.py — spec Annex K tables, DCT+Huffman;
     the blobs open in any viewer), then an actor-pool stage parses the

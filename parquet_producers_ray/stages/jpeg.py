@@ -186,18 +186,23 @@ class _BitReader:
 
 
 _LUT_CACHE: dict = {}
+_LUT_CACHE_MAX = 8       # ~1 MB per entry; real corpora carry
+                         # per-image optimized tables, so bound it
 
 
 def _huff_lut(bits, vals):
     """16-bit-peek Huffman LUT (the classic libjpeg acceleration):
     entry i = (symbol, code length) for the code prefixing the 16-bit
     window i.  Length 0 marks an invalid prefix.  Cached by table
-    content — the stages decode many images with the same Annex K
-    tables, so the build cost is paid once per process."""
+    content with FIFO eviction — the stages decode many images with
+    the same Annex K tables (one build per process), while a corpus of
+    per-image optimized tables can't grow the actor's heap unboundedly."""
     key = (tuple(bits), tuple(vals))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     sym = np.zeros(1 << 16, np.uint8)
     ln = np.zeros(1 << 16, np.uint8)
     code = 0
@@ -395,6 +400,8 @@ class JpegCodec:
                     continue
                 k += rs >> 4
                 s = rs & 0x0F
+                if s == 0:               # run>0,size=0: not baseline
+                    raise ValueError(f"invalid AC symbol 0x{rs:02x}")
                 v = r.bits(s)
                 if v < (1 << (s - 1)):
                     v -= (1 << s) - 1
