@@ -662,16 +662,18 @@ def colocate_key_groups(ds, key_cols):
     """Co-locate complete key groups, one block per partition — the
     shared prelude of every vectorized per-group stage.  Single home
     of the policy (produce_adds' grouped path and pipeline's content
-    ranking both call it): materialize-if-unsized so the byte size can
+    ranking both call it): pin the input ONCE so the byte size can
     pick the strategy, tiny inputs skip straight to one block, larger
-    ones pay ONE byte-sized keyed exchange."""
+    ones pay ONE byte-sized keyed exchange.
+
+    The materialize is UNCONDITIONAL: calling ``size_bytes()`` on a
+    lazy transformed lineage makes Ray EXECUTE the transform just to
+    measure it and then re-execute it downstream (the CLAUDE.md
+    hazard) — it returns a number, not None, so a measure-then-
+    maybe-pin order runs the producing stage twice.  For an already-
+    materialized input the call is free."""
+    ds = ds.materialize()
     nbytes = ds.size_bytes()
-    if nbytes is None:
-        # lazy lineage (e.g. straight out of read_sources): pin it once
-        # — the size decides the exchange strategy and downstream
-        # stages re-read the data anyway
-        ds = ds.materialize()
-        nbytes = ds.size_bytes()
     if nbytes is not None and nbytes < TINY_GROUPED_BYTES:
         # a tiny delta fits one block: co-location is trivial and the
         # keyed exchange's fixed setup would dominate

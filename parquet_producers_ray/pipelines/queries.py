@@ -1029,14 +1029,22 @@ def _minhash_tail_distributed(docs, pairs, t_num: int, t_den: int,
     engine's join-in-plan rule)."""
     import numpy as np
 
-    from ..engine.produce import (_distinct_key_ds, _exchange_partitions,
+    from ..engine.produce import (_distinct_key_ds,
                                   _keyed_exchange_materialize, _safe_join)
     from ..functions.dedup import _token_hashes
 
-    parts = _exchange_partitions(pairs)
+    # byte-scaled and UNCAPPED (engine _exchange_partitions caps at 32
+    # for its delta-sized waves; this tail only activates on pair
+    # tables past the broadcast threshold, where a fixed cap would be
+    # the 1000x funnel) — `pairs` is materialized by the caller, so
+    # sizing it is metadata-only
+    parts = _scaled_parts(pairs, 2)
     pairs = _distinct_key_ds(pairs, ["id_a", "id_b"], parts)
 
     def endpoints(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            # a zero-row hash-shuffle partition arrives schema-less
+            return pa.table({"doc_id": pa.array([], pa.int64())})
         ends = pa.concat_arrays([b.column("id_a").combine_chunks(),
                                  b.column("id_b").combine_chunks()])
         return pa.table({"doc_id": ends})
@@ -1589,10 +1597,16 @@ def _jaccard_pairs_count_join(grams, counts_ds):
     results materialize before reuse (engine join rules)."""
     import numpy as np
 
-    from ..engine.produce import _exchange_partitions, _safe_join
+    from ..engine.produce import _safe_join
     from ..functions.dedup import combine_pair_counts, gram_pair_rows
 
+    _pairs_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("inter", pa.int64())])
+
     def local_pairs(block: pa.Table) -> pa.Table:
+        if block.num_columns == 0 or block.num_rows == 0:
+            # a zero-row hash-shuffle partition arrives schema-less
+            return _pairs_schema.empty_table()
         g = combine_pair_counts(gram_pair_rows(block, half_tau_prune=True))
         return pa.table({
             "id_a": g.column("id_a"),
@@ -1616,7 +1630,8 @@ def _jaccard_pairs_count_join(grams, counts_ds):
             .map_batches(final_sums, batch_format="pyarrow",
                          batch_size=None)
             .materialize())
-    parts = _exchange_partitions(surv, counts_ds)
+    # uncapped byte-scaled join partitions (both sides materialized)
+    parts = max(_scaled_parts(surv, 2), _scaled_parts(counts_ds, 2))
     j1 = _safe_join(surv, counts_ds, "inner", on=("id_a",),
                     right_on=("doc_id",), parts=parts)
     j1 = j1.map_batches(

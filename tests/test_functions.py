@@ -1038,6 +1038,40 @@ def test_minhash_distributed_tail_differential(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_minhash_distributed_tail_real_hash_join(ray_session, monkeypatch):
+    """Same differential, but with _safe_join's small-side broadcast
+    ladder DISABLED (small_rows=0) so every join in the distributed
+    tail takes the actual Ray hash-join branch — the only regime the
+    tail ever runs in production (at sf0.001 the default ladder
+    resolves every join by broadcast, leaving the hash-join path
+    untested)."""
+    import functools
+
+    import pandas as pd
+
+    from parquet_producers_ray.engine import produce
+    from parquet_producers_ray.pipelines.queries import q_dedup_minhash
+
+    real = produce._safe_join
+    monkeypatch.setattr(
+        produce, "_safe_join",
+        functools.partial(real, small_rows=0))
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds, cols):
+        df = ds.to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    for emit, cols in (("pairs", ["id_a", "id_b"]),
+                       ("reps", ["doc_id", "rep_id"])):
+        want = canon(q_dedup_minhash(sf, emit=emit), cols)
+        got = canon(q_dedup_minhash(sf, emit=emit,
+                                    pair_broadcast_rows=0), cols)
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_jaccard_count_join_differential(ray_session):
     """Force dedup_jaccard's past-broadcast-threshold τ filter
     (count_broadcast_rows=0: the per-doc count table stays a Dataset,
@@ -1046,6 +1080,34 @@ def test_jaccard_count_join_differential(ray_session):
     import pandas as pd
 
     from parquet_producers_ray.pipelines.queries import q_dedup_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["id_a", "id_b"]
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    want = canon(q_dedup_jaccard(sf))
+    got = canon(q_dedup_jaccard(sf, count_broadcast_rows=0))
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_jaccard_count_join_real_hash_join(ray_session, monkeypatch):
+    """Count-join differential with the broadcast ladder disabled
+    (small_rows=0): the two endpoint-count joins must survive the
+    actual Ray hash-join branch they use past the threshold."""
+    import functools
+
+    import pandas as pd
+
+    from parquet_producers_ray.engine import produce
+    from parquet_producers_ray.pipelines.queries import q_dedup_jaccard
+
+    monkeypatch.setattr(
+        produce, "_safe_join",
+        functools.partial(produce._safe_join, small_rows=0))
 
     sf = "/root/testdata/sf0.001"
     cols = ["id_a", "id_b"]
