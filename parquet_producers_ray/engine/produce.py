@@ -343,14 +343,41 @@ def label_feed_sorted(spec: StageSpec, flagged_sorted):
 
     summaries = flagged_sorted.map_batches(
         summarize, batch_size=None, batch_format="pyarrow").take_all()
-    # order blocks exactly as the dataset sort did (per-column stable
-    # passes honoring descending target-key flags)
+    # order blocks exactly as the dataset sort did — with a
+    # derived_sort_key the physical order is (derived cols, tk, sk,
+    # _seq), so the summaries walk must apply the SAME derived columns
+    # (computed on each block's first tk) ahead of the raw tk passes;
+    # walking in raw-tk order would visit blocks out of physical order
+    # and mis-stitch runs straddling block boundaries (duplicate Add
+    # labels + restarted _upd_seq)
     desc = spec.target_sort_desc()
-    for c in reversed(sk + [SEQ_COL]):
-        summaries.sort(key=lambda r, c=c: r["key_" + c])
-    for i in range(len(tk) - 1, -1, -1):
-        summaries.sort(key=lambda r, c=tk[i]: r["first_" + c],
-                       reverse=desc[i])
+    if spec.derived_sort_key is not None and len(summaries) > 1:
+        tk_schema = pa.schema([spec.out_schema.field(c) for c in tk])
+        mirror = pa.table(
+            {c: pa.array([r["first_" + c] for r in summaries],
+                         type=tk_schema.field(c).type) for c in tk})
+        for c in sk + [SEQ_COL]:
+            mirror = mirror.append_column(
+                "key_" + c, pa.array([r["key_" + c]
+                                      for r in summaries]))
+        mirror = mirror.append_column(
+            "_i", pa.array(np.arange(len(summaries))))
+        mirror = _append_derived(spec, mirror)
+        dnames = _derived_names(spec)
+        keys = [(n, "descending" if d else "ascending")
+                for n, d in zip(dnames, _derived_desc(spec, len(dnames)))]
+        keys += [(c, "descending" if d else "ascending")
+                 for c, d in zip(tk, desc)]
+        keys += [("key_" + c, "ascending") for c in sk + [SEQ_COL]]
+        order = mirror.sort_by(keys).column("_i").to_pylist()
+        summaries = [summaries[i] for i in order]
+    else:
+        # per-column stable passes honoring descending tk flags
+        for c in reversed(sk + [SEQ_COL]):
+            summaries.sort(key=lambda r, c=c: r["key_" + c])
+        for i in range(len(tk) - 1, -1, -1):
+            summaries.sort(key=lambda r, c=tk[i]: r["first_" + c],
+                           reverse=desc[i])
     # walk blocks in key order tracking (carry_tk, carry_cnt) = the tk
     # of the last run seen and its accumulated row count; a block whose
     # first tk equals carry_tk starts mid-group: its first run is not
@@ -987,6 +1014,31 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
         # Bootstrap: everything is the delta, every target key is new.
         # No driver-side key sets here — at 10^12-row initial loads the
         # delta IS the dataset and must stay distributed.
+        if spec.produce_rows is not None:
+            # the per-key/grouped paths enforce the no-mixed-Delete
+            # rule in-group (reference ParquetProduction.cs:326-337);
+            # the row-wise path filters deletes before produce, so a
+            # bootstrap wave mixing Delete+upserts on one key would
+            # otherwise succeed SILENTLY here while raising on every
+            # other path.  Deletes in a bootstrap are rare: pay one
+            # streaming count, and only when nonzero collect the
+            # (delete-sized) key set for the membership probe.
+            dels = source_updates.filter(expr=f"{TYPE_COL} == {DELETE}")
+            if dels.count():
+                del_sks = _collect_tuples(dels, raw_sk)
+                mixed_rows = (source_updates
+                              .filter(expr=f"{TYPE_COL} != {DELETE}")
+                              .map_batches(
+                                  _broadcast_filter(
+                                      [(raw_sk, del_sks, True)]),
+                                  batch_format="pyarrow"))
+                sample = mixed_rows.limit(5)
+                if sample.count():
+                    mixed = sorted(_collect_tuples(sample, raw_sk))
+                    raise ValueError(
+                        f"stage {spec.name}: keys carry both Delete "
+                        f"and upserts in one batch (reference "
+                        f"ParquetProduction.cs:326-337 rule): {mixed}")
         if adds.count() == 0:
             return (ray.data.from_arrow(spec.content_schema().empty_table()),
                     ray.data.from_arrow(spec.mapping_schema().empty_table()),

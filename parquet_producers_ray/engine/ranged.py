@@ -169,18 +169,25 @@ class RangedTable:
         if not vs:
             return {"pruned_versions": 0, "freed_bytes": 0}
         keep_from = min(keep_from, vs[-1])   # always keep the newest
-        freed = 0
-        pruned = 0
-        for v in vs:
-            if v >= keep_from:
-                continue
+        doomed = [v for v in vs if v < keep_from]
+        # account by INODE across the whole pruned set: a file
+        # hardlink-shared only among pruned versions IS reclaimed once
+        # the last of them goes, so its bytes must count exactly once —
+        # the old per-file st_nlink == 1 test undercounted those to
+        # zero (and a per-version stat order could not see siblings)
+        inodes: dict = {}
+        for v in doomed:
             vdir = self._vdir(v)
             for fname in os.listdir(vdir):
-                p = os.path.join(vdir, fname)
-                st = os.stat(p)
-                if st.st_nlink == 1:         # last link → bytes freed
-                    freed += st.st_size
-            shutil.rmtree(vdir)
+                st = os.stat(os.path.join(vdir, fname))
+                size, nlink, seen = inodes.get(
+                    st.st_ino, (st.st_size, st.st_nlink, 0))
+                inodes[st.st_ino] = (size, nlink, seen + 1)
+        freed = sum(size for size, nlink, seen in inodes.values()
+                    if seen >= nlink)   # every remaining link is pruned
+        pruned = 0
+        for v in doomed:
+            shutil.rmtree(self._vdir(v))
             pruned += 1
         return {"pruned_versions": pruned, "freed_bytes": freed}
 
@@ -272,8 +279,10 @@ class RangedTable:
                                 .cast(vals.type), value_set=vals)
                 tables.append(t.filter(mask))
             else:
-                mask = [_key_tuple(t, pre_cols, j) in key_tuples
-                        for j in range(len(t))]
+                # column-wise tuple probe (produce's compound-key
+                # membership helper) — not a per-CELL .as_py() loop
+                from .produce import _membership_mask
+                mask = _membership_mask(t, pre_cols, key_tuples)
                 tables.append(t.filter(pa.array(mask)))
         return pa.concat_tables(tables) if tables else None
 
@@ -494,9 +503,13 @@ class RangedTable:
                     target_rows, out_dir, stem):
             t = pq.read_table(path)
             if drops:
-                mask = [tuple(t.column(c)[j].as_py() for c in drop_cols)
-                        not in drops for j in range(len(t))]
-                t = t.filter(pa.array(mask))
+                # vectorized membership (pc.is_in / column-wise tuple
+                # probe) — the old per-cell .as_py() loop was O(rows ×
+                # cols) interpreter work per rewrite task
+                from parquet_producers_ray.engine.produce import \
+                    _membership_mask
+                mask = _membership_mask(t, drop_cols, drops)
+                t = t.filter(pa.array(~mask))
             if add_tbl is not None and len(add_tbl):
                 t = pa.concat_tables([t, add_tbl.cast(t.schema)])
             t = t.sort_by([(c, "ascending") for c in sort_cols])

@@ -92,7 +92,12 @@ def _first_col_values(tbl: pa.Table, col: str) -> np.ndarray | None:
     leading type (caller falls back to ds.sort)."""
     arr = tbl.column(col).combine_chunks()
     if pa.types.is_integer(arr.type) or pa.types.is_temporal(arr.type):
-        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        try:
+            return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        except (pa.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+            # uint64 >= 2^63, intervals, …: no int64 coarsening —
+            # the caller falls back to ds.sort instead of crashing
+            return None
     if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
             or pa.types.is_binary(arr.type)
             or pa.types.is_large_binary(arr.type)):
@@ -198,10 +203,21 @@ def storage_sort(ds, cols: list, descending=None,
     os.makedirs(spill_dir, exist_ok=True)
 
     # -- pass 2: spill each block by range ------------------------------
-    def spill(b: pa.Table) -> pa.Table:
+    # Raw Ray tasks over the MATERIALIZED block refs, one per block,
+    # with the block ORDINAL in every spill name: a retried task
+    # rewrites exactly its own files (blocks are immutable, names are
+    # a pure function of (ordinal, slice start)) while two different
+    # blocks can never collide — content-digest names did collide when
+    # distinct blocks shared identical content (hot-key runs, bulk
+    # duplicate rows), silently dropping rows via os.replace.  This is
+    # one of the few justified raw-task spots (the Dataset API has no
+    # stable per-block ordinal inside map_batches).
+    import ray as _ray
+
+    @_ray.remote
+    def _spill_block(b: pa.Table, bidx: int) -> int:
         if b.num_rows == 0:
-            return pa.table({"range": pa.array([], pa.int64()),
-                             "rows": pa.array([], pa.int64())})
+            return 0
         v = _first_col_values(b, first)
         rid = np.searchsorted(bounds, v, side="right")
         order = np.argsort(rid, kind="stable")
@@ -211,29 +227,22 @@ def storage_sort(ds, cols: list, descending=None,
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(b)]))
         opts = pa.ipc.IpcWriteOptions(compression="lz4")
-        out = []
-        # one content digest for the whole block keeps retries
-        # idempotent (a retried task overwrites its own files)
-        from ..engine import manifest as mf
-        btag = mf.column_digest(b.column(first))[:16]
         for s, e in zip(starts, ends):
             r = int(rid[s])
             d = os.path.join(spill_dir, f"r{r:05d}")
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"{btag}_{s}.arrows")
+            path = os.path.join(d, f"b{bidx:06d}_{s}.arrows")
             tmp = f"{path}.{os.getpid()}.tmp"
             sl = b.slice(s, e - s)
             with pa.OSFile(tmp, "wb") as f, \
                     pa.ipc.new_stream(f, sl.schema, options=opts) as w:
                 w.write_table(sl)
             os.replace(tmp, path)
-            out.append({"range": r, "rows": int(e - s)})
-        return pa.Table.from_pylist(
-            out, schema=pa.schema([pa.field("range", pa.int64()),
-                                   pa.field("rows", pa.int64())]))
+        return b.num_rows
 
     # barrier by design: all spills must exist before ranges reduce
-    ds.map_batches(spill, batch_format="pyarrow").materialize()
+    _ray.get([_spill_block.remote(ref, i)
+              for i, ref in enumerate(ds.to_arrow_refs())])
 
     schema = ds.schema()
     empty = pa.schema([pa.field(n, t) for n, t in
@@ -263,8 +272,10 @@ def storage_sort(ds, cols: list, descending=None,
 
     # reducers do NOT delete their spills: the returned Dataset is lazy
     # and a consumer may legally execute it more than once.  Spill dirs
-    # are reclaimed at process exit (and by explicit cleanup_spills()).
-    _SPILL_DIRS.append(spill_dir)
+    # are reclaimed at process exit (and by explicit cleanup_spills());
+    # when WE created the temp root, register the root itself so the
+    # mkdtemp wrapper doesn't leak one empty dir per sort
+    _SPILL_DIRS.append(spill_dir if spill_root else root)
     # global order of the result = block order of this map stage; the
     # streaming executor only guarantees that under preserve_order
     # (ds.sort's own all-to-all is ordered regardless, but map stages

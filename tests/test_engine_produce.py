@@ -330,3 +330,104 @@ def test_updates_from_dataset_matches_table_wave(ray_session):
     a = c_a.to_pandas().sort_values(["count", "_sk_key", "copy"])
     b = c_b.to_pandas().sort_values(["count", "_sk_key", "copy"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_label_feed_sorted_derived_order_multiblock(ray_session):
+    """Regression: the feed-labeling block-summary walk ordered blocks
+    by RAW target key even when the spec's derived_sort_key had sorted
+    the data by derived columns — so a key run straddling two blocks
+    was visited out of physical order, double-labeling Add and
+    restarting _upd_seq.  Drive label_feed_sorted directly with two
+    physically derived-ordered blocks (word DESC) whose 'b' run
+    straddles the boundary."""
+    import numpy as np
+    import ray.data
+
+    from parquet_producers_ray.engine.model import (SEQ_COL, StageSpec,
+                                                    UPD_SEQ_COL, ADD,
+                                                    UPDATE, TYPE_COL)
+    from parquet_producers_ray.engine.produce import (ISNEW_COL,
+                                                      label_feed_sorted)
+
+    spec = StageSpec(
+        name="desc_words", produce=lambda k, v: None,
+        source_key=["sid"], target_key=["word"], value_columns=["n"],
+        source_value_columns=["word"],
+        out_schema=pa.schema([pa.field("word", pa.string()),
+                              pa.field("n", pa.int64())]),
+        source_schema=pa.schema([pa.field("sid", pa.int64()),
+                                 pa.field("word", pa.string())]),
+        derived_sort_key=lambda t: pa.table(
+            {"w": t.column("word")}),
+        derived_descending=[True])
+
+    def blk(words, sks, seqs):
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(list(range(len(words))), pa.int64()),
+            "_sk_sid": pa.array(sks, pa.int64()),
+            SEQ_COL: pa.array(seqs, pa.int64()),
+            ISNEW_COL: pa.array(np.ones(len(words), np.int8))})
+
+    # physical order = word DESC: [c, b, b] | [b, a]
+    b1 = blk(["c", "b", "b"], [10, 11, 12], [0, 0, 0])
+    b2 = blk(["b", "a"], [13, 14], [0, 0])
+    flagged = ray.data.from_arrow([b1, b2]).materialize()
+    feed = label_feed_sorted(spec, flagged)
+    rows = {(r["word"], r["n"]): (r[TYPE_COL], r[UPD_SEQ_COL])
+            for r in pa.concat_tables(
+                list(feed.iter_batches(batch_format="pyarrow"))).to_pylist()}
+    assert rows[("c", 0)] == (ADD, 0)
+    assert rows[("b", 1)] == (ADD, 0)      # first b of the run
+    assert rows[("b", 2)] == (UPDATE, 1)
+    assert rows[("b", 0)] == (UPDATE, 2)   # straddling block: carries on
+    assert rows[("a", 1)] == (ADD, 0)
+
+
+def test_produce_rows_bootstrap_rejects_mixed_delete(ray_session):
+    """Regression: the row-wise produce path silently dropped Delete
+    rows at bootstrap, skipping the mixed Delete/upsert rule the
+    per-key and grouped paths enforce (reference
+    ParquetProduction.cs:326-337).  A bootstrap wave mixing both on
+    one source key must raise on every path."""
+    import ray.data
+
+    from parquet_producers_ray.engine.model import (DELETE, TYPE_COL,
+                                                    UPDATE, StageSpec,
+                                                    UPD_SEQ_COL)
+    from parquet_producers_ray.engine.produce import apply_updates
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "word": batch.column("word"),
+            "_sk_sid": batch.column("sid"),
+            "n": pa.array([1] * n, pa.int64()),
+            "_row": pa.array(list(range(n)), pa.int64())})
+
+    spec = StageSpec(
+        name="rows_boot", produce=lambda k, v: None,
+        source_key=["sid"], target_key=["word"], value_columns=["n"],
+        source_value_columns=["word"],
+        out_schema=pa.schema([pa.field("word", pa.string()),
+                              pa.field("n", pa.int64())]),
+        source_schema=pa.schema([pa.field("sid", pa.int64()),
+                                 pa.field("word", pa.string())]),
+        produce_rows=rows_fn)
+
+    upd = pa.table({
+        "sid": pa.array([1, 1, 2], pa.int64()),
+        "word": pa.array(["a", "b", "c"], pa.string()),
+        TYPE_COL: pa.array([UPDATE, DELETE, UPDATE], pa.int8()),
+        UPD_SEQ_COL: pa.array([0, 1, 0], pa.int64())})
+    with pytest.raises(ValueError, match="Delete"):
+        apply_updates(spec, ray.data.from_arrow(upd))
+
+    # a clean delete-free bootstrap still works
+    ok = pa.table({
+        "sid": pa.array([1, 2], pa.int64()),
+        "word": pa.array(["a", "c"], pa.string()),
+        TYPE_COL: pa.array([UPDATE, UPDATE], pa.int8()),
+        UPD_SEQ_COL: pa.array([0, 0], pa.int64())})
+    content, mappings, feed = apply_updates(spec, ray.data.from_arrow(ok))
+    assert content.count() == 2

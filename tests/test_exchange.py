@@ -18,9 +18,13 @@ from parquet_producers_ray.stages.exchange import storage_sort
 
 @pytest.fixture(autouse=True)
 def _force_storage_path(monkeypatch):
-    # test inputs are far below the production small-sort cutoff;
-    # drop it so the range/spill path (the thing under test) runs
+    # test inputs are far below the production small-sort cutoffs;
+    # drop BOTH so the range/spill path (the thing under test) runs —
+    # zeroing only SMALL_SORT_BYTES let the later TINY_SORT_BYTES
+    # shortcut swallow every test input and left the spill path
+    # untested (which is how the spill-name collision bug survived)
     monkeypatch.setattr(exchange, "SMALL_SORT_BYTES", 0)
+    monkeypatch.setattr(exchange, "TINY_SORT_BYTES", 0)
 
 
 def _collect(ds) -> pa.Table:
@@ -96,3 +100,50 @@ def test_storage_sort_empty(ray_session):
     t = pa.table({"k": pa.array([], pa.int64())})
     out = storage_sort(ray.data.from_arrow(t), ["k"])
     assert out.count() == 0
+
+
+def test_storage_sort_identical_leading_blocks_lossless(ray_session):
+    """Regression: spill names were content digests of the LEADING
+    column only, so two blocks whose leading column was identical (a
+    hot key filling several blocks, or bulk duplicate rows) wrote the
+    same file name and os.replace silently dropped one block's rows.
+    Names now carry the block ordinal.  Three blocks: two with an
+    identical all-hot leading column (different payloads), one diverse
+    tail to satisfy the distinct-values guard."""
+    hot_a = pa.table({"k": pa.array([7] * 4000, pa.int64()),
+                      "v": pa.array(range(4000), pa.int64())})
+    hot_b = pa.table({"k": pa.array([7] * 4000, pa.int64()),
+                      "v": pa.array(range(4000, 8000), pa.int64())})
+    rng = np.random.default_rng(11)
+    tail = pa.table({"k": pa.array(rng.integers(100, 10_000, 4000),
+                                   pa.int64()),
+                     "v": pa.array(range(8000, 12000), pa.int64())})
+    ds = ray.data.from_arrow([hot_a, hot_b, tail])
+    got = _collect(storage_sort(ds, ["k", "v"], num_partitions=4))
+    exp = _expect(pa.concat_tables([hot_a, hot_b, tail]),
+                  ["k", "v"], [False, False])
+    assert got.num_rows == 12000
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    assert got.column("v").to_pylist() == exp.column("v").to_pylist()
+
+
+def test_storage_sort_duplicate_content_blocks_lossless(ray_session):
+    """Even two ENTIRELY identical blocks (bulk duplicate rows — the
+    dedup corpora shape) must both survive the spill."""
+    dup = pa.table({"k": pa.array(list(range(2000)), pa.int64()),
+                    "v": pa.array([1] * 2000, pa.int64())})
+    ds = ray.data.from_arrow([dup, dup])
+    got = _collect(storage_sort(ds, ["k", "v"], num_partitions=4))
+    assert got.num_rows == 4000
+    assert got.column("k").to_pylist() == sorted(list(range(2000)) * 2)
+
+
+def test_storage_sort_uint64_highbit_falls_back(ray_session):
+    """uint64 leading values >= 2^63 have no int64 coarsening: the
+    sort must fall back to ds.sort, not crash in the sample pass."""
+    t = pa.table({"k": pa.array([2**63 + 5, 3, 2**64 - 1, 17] * 500,
+                                pa.uint64()),
+                  "v": pa.array(range(2000), pa.int64())})
+    got = _collect(storage_sort(ray.data.from_arrow(t), ["k"]))
+    ks = got.column("k").to_pylist()
+    assert ks == sorted(ks) and len(ks) == 2000
