@@ -234,14 +234,18 @@ def spill_buckets(batch: pa.Table, num_buckets: int, shuffle_dir: str,
     Arrow IPC spill file per (input block, bucket) under the bucket's
     own directory, bypassing the object store entirely — the
     shuffle-service pattern (Spark external shuffle / Magnet / cloud
-    shuffle storage).  Spill names are a digest of the slice's key
-    column, so a retried map task atomically overwrites its own files
-    instead of duplicating rows, and each reduce task discovers its
-    inputs by listing ONE directory — no driver-side path state at any
-    scale.  On multi-node, `shuffle_dir` lives on the shared store the
-    encoded output already targets.  ``codec``: lz4 (default) is the
-    local-throughput choice; pick zstd when spills cross a slow network
-    or constrained shared store (the reader auto-detects either)."""
+    shuffle storage).  Spill names carry a fresh per-invocation tag
+    (two blocks can never collide, even byte-identical ones); retry
+    safety comes from the reduce side consuming ONLY the files the
+    materialized spill manifest records, so a failed attempt's orphans
+    are ignored.  The manifest flows as a metadata Dataset — no
+    driver-side path state at any scale.  On multi-node, `shuffle_dir`
+    lives on the shared store the encoded output already targets.
+    ``codec``: lz4 (default) is the local-throughput choice; pick zstd
+    when spills cross a slow network or constrained shared store (the
+    reader auto-detects either)."""
+    import uuid as _uuid
+
     batch = add_bucket(batch, num_buckets, key)
     batch = batch.sort_by("_bucket")
     buckets = batch.column("_bucket").to_numpy(zero_copy_only=False)
@@ -251,13 +255,20 @@ def spill_buckets(batch: pa.Table, num_buckets: int, shuffle_dir: str,
     payload = batch.drop_columns(["_bucket"])
     opts = pa.ipc.IpcWriteOptions(compression=codec)
     rows = []
+    # one fresh tag per INVOCATION: spill names must be unique per
+    # (block, bucket) — content-digest names collided whenever two
+    # different blocks produced byte-identical key slices (duplicate
+    # input blocks, hot constant keys), silently dropping rows.
+    # Retry-safety moves to the REDUCE side: only files recorded in
+    # the materialized spill manifest are read, so a failed attempt's
+    # orphans are never consumed (see encode_pipeline).
+    tag = _uuid.uuid4().hex[:16]
     for s, e in zip(starts, ends):
         part = int(buckets[s])
         sl = payload.slice(s, e - s)
-        tag = mf.column_digest(sl.column(key))[:16]
         d = os.path.join(shuffle_dir, f"b{part:05d}")
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"{tag}.arrows")
+        path = os.path.join(d, f"{tag}_{s}.arrows")
         tmp = f"{path}.{os.getpid()}.tmp"
         with pa.OSFile(tmp, "wb") as f, \
                 pa.ipc.new_stream(f, sl.schema, options=opts) as w:
@@ -311,12 +322,22 @@ class StorageBucketEncoder(BucketEncoder):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import glob as _glob
+        import json as _json
         import shutil as _shutil
         rows = []
-        for part in batch.column("part").to_pylist():
+        has_lists = "files" in batch.column_names
+        for i, part in enumerate(batch.column("part").to_pylist()):
             part = int(part)
             d = os.path.join(self.shuffle_dir, f"b{part:05d}")
-            files = sorted(_glob.glob(os.path.join(d, "*.arrows")))
+            if has_lists:
+                # read EXACTLY the files the materialized spill
+                # manifest recorded — orphans from failed/retried map
+                # attempts in the same directory are never consumed
+                files = [os.path.join(d, f) for f in
+                         _json.loads(batch.column("files")[i].as_py())]
+                files = [p for p in files if os.path.exists(p)]
+            else:
+                files = sorted(_glob.glob(os.path.join(d, "*.arrows")))
             if not files:
                 # spills already consumed by a completed earlier run
                 done = mf.completed_partition(self.out_dir, part)
@@ -425,8 +446,9 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
       shuffle files / Magnet / cloud shuffle storage).  Measured here:
       70→102 MB/s at 4→16 CPUs vs 54→61 for the object-store path,
       because it sidesteps Ray's per-block aggregator/IPC overheads;
-      spills are retry-idempotent (content-digest names, atomic
-      rename) and there is NO driver-side path state.  Multi-node
+      spills are retry-safe (per-attempt unique names; reducers read
+      only the materialized spill manifest's files, atomic rename)
+      and there is NO driver-side path state.  Multi-node
       needs `out_dir` on shared storage — true for the encoded output
       anyway at 10^12-doc scale.
     - ``"object_store"``: Ray Data's hash repartition.  The in-memory
@@ -470,22 +492,38 @@ def encode_pipeline(ds, out_dir: str, num_buckets: int | None = None,
         import ray.data
 
         shuffle_dir = os.path.join(out_dir, "_shuffle")
-        # stale spills from an INTERRUPTED earlier run may have been
-        # written under a different input block split (different
-        # digests) — mixing them with this run's spills would duplicate
-        # rows, so start clean; completed partitions still skip via
-        # their manifests (retry-idempotency WITHIN the run comes from
-        # the digest names + atomic rename)
+        # stale spills from an INTERRUPTED earlier run would sit in
+        # the same directories — reducers only read THIS run's spill
+        # manifest so they'd merely leak, but start clean anyway;
+        # completed partitions still skip via their manifests
         shutil.rmtree(shuffle_dir, ignore_errors=True)
         # barrier by design: every spill must exist before any bucket
         # reduces (the manifest Dataset holds metadata rows only — the
         # shuffled bytes live in the spill files)
-        ds.map_batches(spill_buckets, batch_format="pyarrow",
-                       fn_kwargs={"num_buckets": num_buckets,
-                                  "shuffle_dir": shuffle_dir,
-                                  "key": key}).materialize()
-        parts = ray.data.from_items(
-            [{"part": p} for p in range(num_buckets)])
+        spill_meta = ds.map_batches(
+            spill_buckets, batch_format="pyarrow",
+            fn_kwargs={"num_buckets": num_buckets,
+                       "shuffle_dir": shuffle_dir,
+                       "key": key}).materialize()
+
+        # per-part file lists from the MATERIALIZED spill manifest:
+        # reducers read exactly these files, so orphan spills from a
+        # failed/retried map attempt (names are per-attempt unique now)
+        # are never consumed, and the lists flow as a metadata Dataset
+        # — no driver-side path state.  repartition spreads one part
+        # per block so batch_size=1 below still yields one reduce task
+        # per bucket.
+        def _part_files(g: pa.Table) -> pa.Table:
+            import json as _json
+            return pa.table({
+                "part": pa.array([int(g.column("part")[0].as_py())],
+                                 pa.int64()),
+                "files": pa.array([_json.dumps(sorted(
+                    g.column("file").to_pylist()))])})
+
+        parts = (spill_meta.groupby("part")
+                 .map_groups(_part_files, batch_format="pyarrow")
+                 .repartition(num_buckets))
 
         # task pool, not actor pool: reducers carry no cross-batch
         # state and a lazily-scaled actor pool serializes the first

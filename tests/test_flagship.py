@@ -310,3 +310,25 @@ def test_exchange_backend_parity(encoded_dir, table, tmp_path,
     # the storage backend consumed and removed its spills
     assert not os.path.exists(os.path.join(out + "/enc", "_shuffle")) or \
         not os.listdir(os.path.join(out + "/enc", "_shuffle"))
+
+
+def test_storage_exchange_duplicate_blocks_lossless(ray_session, tmp_path):
+    """Regression: spill names were content digests of each slice's
+    key column, so two input blocks with identical key content (e.g.
+    literally duplicated input shards — recrawls, double-uploaded
+    files) collided and one block's rows silently vanished.  Names now
+    carry a per-invocation tag and reducers consume exactly the files
+    the materialized spill manifest records."""
+    import ray.data as rd
+
+    from parquet_producers_ray.pipelines import flagship as F
+    from parquet_producers_ray.sources.webpages import generate_shard
+
+    t = generate_shard(0, 500)
+    ds = rd.from_arrow([t, t])          # two byte-identical blocks
+    out = str(tmp_path / "enc")
+    man = F.encode_pipeline(ds, out, num_buckets=4)
+    summary = F.summarize(man)
+    assert summary["rows"] == 1000      # both copies survive
+    back = F.decode_pipeline(out).take_all()
+    assert len(back) == 1000
