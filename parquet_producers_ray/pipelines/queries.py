@@ -47,6 +47,21 @@ def _enable_hash_shuffle(ds):
     return enable_hash_shuffle(ds)
 
 
+def _sort_agg_view(ds):
+    """Fresh-context view of a MATERIALIZED dataset for aggregation
+    stages: re-wraps the same object-store blocks (zero copy) in a
+    dataset that captures the DEFAULT DataContext, so a ``groupby`` on
+    it uses the sort-based aggregator even when the source lineage was
+    flipped to HASH_SHUFFLE for its keyed repartitions.  The leak
+    otherwise costs ~5 s of idle hash-aggregator setup per aggregation
+    at toy scale (measured: 6.8 s hash vs 1.1 s sort for the capped-
+    jaccard df groupby) and serializes at ≤4 CPUs (the CLAUDE.md
+    deadlock quirk).  The input MUST be materialized — wrapping a lazy
+    lineage would execute it here and again downstream."""
+    import ray.data
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
 def _scaled_parts(ds, floor: int, per_part_bytes: int = 128 << 20,
                   cap: int = 4096) -> int:
     """Keyed-exchange partition count scaled to input BYTES — never a
@@ -1495,7 +1510,11 @@ def _jaccard_pairs_from_grams(grams,
                               ("n_grams_max", pa.int64())]).empty_table()
         return b.group_by("doc_id").aggregate([("n_grams", "max")])
 
-    counts_ds = (grams.map_batches(block_counts, batch_format="pyarrow")
+    # _sort_agg_view: grams is materialized and its lineage is
+    # hash-flipped for the pair exchange — the count groupby must use
+    # the default sort aggregator (leaked hash setup cost, CLAUDE.md)
+    counts_ds = (_sort_agg_view(grams)
+                 .map_batches(block_counts, batch_format="pyarrow")
                  .groupby("doc_id")
                  .aggregate(Max("n_grams_max", alias_name="n"))
                  .materialize())
@@ -1713,8 +1732,12 @@ def q_dedup_jaccard_capped(sf_dir: str, max_df: int = 20):
         return b.filter(pc.greater(b.column("df"), max_df)) \
             .select(["gram"])
 
+    # _sort_agg_view: the grams lineage is hash-flipped for the later
+    # keyed pair exchange; the df groupby must NOT inherit that (the
+    # leaked hash aggregator cost ~5 s here — measured)
     stop_tbl = pa.concat_tables(list(
-        grams.map_batches(df_partial, batch_format="pyarrow")
+        _sort_agg_view(grams)
+        .map_batches(df_partial, batch_format="pyarrow")
         .groupby("gram").aggregate(_Sum("pdf", alias_name="df"))
         .map_batches(only_stops, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")))
