@@ -123,13 +123,22 @@ def connected_components(edges, num_partitions: int = 8,
                 .rename_columns(["node", "label"]).materialize()
         else:
             # at-scale path: the label table no longer broadcasts —
-            # same semantics through Ray's hash joins.  Propagation:
-            # edges pick up label[u], grouped min per nbr (self-loops
-            # retain the old label).  Jump: one self-join of the label
-            # table, a pure per-row map afterwards (one row per node).
-            cand = (edges_sym.join(labels, join_type="inner",
-                                   num_partitions=num_partitions,
-                                   on=("node",))
+            # same semantics through Ray's hash joins, routed through
+            # produce._safe_join (both sides are materialized, so
+            # counting is metadata-only).  A raw .join crashed when
+            # distinct join-key values fell below the partition count
+            # (late rounds collapse labels to a few components; Ray's
+            # join aggregator rejects a schema-less zero-row partition
+            # side — the CLAUDE.md rule), and the partition count now
+            # scales with BYTES instead of a constant.
+            from ..engine.produce import _safe_join
+
+            parts = max(2, num_partitions,
+                        int(-(-((edges_sym.size_bytes() or 0)
+                                + (labels.size_bytes() or 0))
+                            // (256 << 20))))
+            cand = (_safe_join(edges_sym, labels, "inner", ("node",),
+                               parts=parts)
                     .map_batches(lambda b: pa.table(
                         {"node": b.column("nbr"),
                          "label": b.column("label")}),
@@ -137,9 +146,8 @@ def connected_components(edges, num_partitions: int = 8,
             merged = _min_by_key(cand, "node", "label") \
                 .rename_columns(["node", "label"]).materialize()
             parents = merged.rename_columns(["label", "label2"])
-            labels = (merged.join(parents, join_type="left_outer",
-                                  num_partitions=num_partitions,
-                                  on=("label",))
+            labels = (_safe_join(merged, parents.materialize(),
+                                 "left_outer", ("label",), parts=parts)
                       .map_batches(lambda b: pa.table(
                           {"node": b.column("node"),
                            "label": pc.min_element_wise(
@@ -223,17 +231,23 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
         return pa.concat_tables(list(
             ds.iter_batches(batch_format="pyarrow")))
 
-    deg_t = _table(deg)
-    deg_nodes = deg_t.column("node").to_numpy(zero_copy_only=False)
-    deg_vals = deg_t.column("sum(deg)").to_numpy(
-        zero_copy_only=False).astype(np.float64)
-    order = np.argsort(deg_nodes)
-    deg_ref = ray.put((deg_nodes[order], deg_vals[order]))
+    # the degree table is node-sized: collect + broadcast it ONLY on
+    # the small path (lazily, once) — the at-scale path joins against
+    # the `deg` Dataset and must not materialize it on the driver
+    deg_ref = None
 
     base = 1.0 - damping
     for _ in range(iterations):
         small = (ranks.size_bytes() or 0) <= broadcast_threshold
         if small:
+            if deg_ref is None:
+                deg_t = _table(deg)
+                deg_nodes = deg_t.column("node").to_numpy(
+                    zero_copy_only=False)
+                deg_vals = deg_t.column("sum(deg)").to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                order = np.argsort(deg_nodes)
+                deg_ref = ray.put((deg_nodes[order], deg_vals[order]))
             t = _table(ranks)
             rn = t.column("node").to_numpy(zero_copy_only=False)
             rv = t.column("rank").to_numpy(zero_copy_only=False)
@@ -271,11 +285,16 @@ def pagerank(edges, iterations: int = 5, damping: float = 0.85,
             def upd(b: pa.Table, _cr=c_ref) -> pa.Table:
                 cn, cv = ray.get(_cr)
                 ns = b.column("node").to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(cn, ns)
-                idx = np.minimum(idx, max(len(cn) - 1, 0))
-                found = (len(cn) > 0) & (cn[idx] == ns)
-                val = np.where(found, cv[idx], 0).astype(np.float64) \
-                    / PR_QUANTUM
+                if len(cn) == 0:
+                    # guard BEFORE indexing: `&` does not short-circuit,
+                    # so cn[idx] inside the expression would raise first
+                    val = np.zeros(len(ns))
+                else:
+                    idx = np.minimum(np.searchsorted(cn, ns),
+                                     len(cn) - 1)
+                    found = cn[idx] == ns
+                    val = np.where(found, cv[idx], 0).astype(
+                        np.float64) / PR_QUANTUM
                 return pa.table({"node": b.column("node"),
                                  "rank": pa.array(base + damping * val)})
 

@@ -20,15 +20,35 @@ import pyarrow as pa
 
 
 def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    """Zero-copy-ish (n, d) float64 matrix from a list<float> column."""
+    """Zero-copy-ish (n, d) float64 matrix from a list<float> column.
+
+    Rejects null or ragged rows EXPLICITLY: a null/short embedding
+    shifts every following row in the flattened buffer, and when the
+    total still divides evenly the reshape would succeed with every
+    row silently misaligned (wrong neighbors, no error)."""
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    values = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
     if n == 0:
         return np.zeros((0, 0))
+    if arr.null_count:
+        raise ValueError(
+            f"embedding_matrix: column {col!r} has {arr.null_count} "
+            "null embeddings — drop or impute them before similarity")
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    if len(values) % n:
+        raise ValueError(
+            f"embedding_matrix: ragged {col!r} lists "
+            f"({len(values)} values over {n} rows)")
     d = len(values) // n
+    import pyarrow.compute as pc
+    lens = pc.list_value_length(arr)
+    lo, hi = pc.min_max(lens).values()
+    if lo.as_py() != hi.as_py():
+        raise ValueError(
+            f"embedding_matrix: ragged {col!r} lists "
+            f"(lengths {lo} .. {hi})")
     return values.reshape(n, d).astype(np.float64)
 
 
@@ -60,7 +80,9 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = normalize(embedding_matrix(batch, self.col))
-        if m.shape[0] == 0:
+        if m.shape[0] == 0 or self.qm.shape[0] == 0:
+            # empty batch OR empty query set: np.stack below needs at
+            # least one per-query row
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "neighbor_id": pa.array([], type=pa.int64()),
                              "sim": pa.array([], type=pa.float64())})

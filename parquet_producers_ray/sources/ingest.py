@@ -39,11 +39,10 @@ def _normalize(batch: pa.Table) -> pa.Table:
         arr = batch.column(field.name).combine_chunks()
         if arr.type == field.type:
             cols[field.name] = arr
-        elif field.name == "warc_ts" and pa.types.is_string(arr.type):
-            # Arrow's cast parses ISO-8601 with or without fractional
-            # seconds (isoformat() omits ".ffffff" at exactly 0 µs)
-            cols[field.name] = arr.cast(field.type)
         else:
+            # one cast covers every transported representation —
+            # including ISO-8601 `warc_ts` strings (Arrow parses them
+            # with or without fractional seconds)
             cols[field.name] = arr.cast(field.type)
     return pa.table(cols, schema=SCHEMA)
 
@@ -71,13 +70,11 @@ def read_webpages_csv(paths) -> "ray.data.Dataset":  # noqa: F821
 # blank-line separator.  Parsed vectorized: one split per file, then
 # numpy field extraction — no per-record Python loop over lines.
 
-_REC_SEP = "\r\n\r\n"
 _HDR_URI = "WARC-Target-URI: "
 _HDR_DATE = "WARC-Date: "
 
 # Any WARC/1.x minor version (real Common Crawl ships both 1.0 and
 # 1.1); matching only 1.0 would silently drop 1.1 records.
-_WARC_MAGIC_RE = re.compile(r"WARC/1\.\d+\r\n")
 _WARC_MAGIC_BYTES_RE = re.compile(rb"WARC/1\.\d+\r\n")
 
 
@@ -117,24 +114,47 @@ def write_wet(table: pa.Table, path: str) -> None:
 
 
 def _parse_wet_bytes(blob: bytes) -> pa.Table:
-    txt = blob.decode("utf-8", "replace")
-    recs = _WARC_MAGIC_RE.split(txt)
+    """Length-delimited scan, Content-Length authoritative (the same
+    discipline as ``_parse_warc_bytes``): payload bytes survive
+    EXACTLY — including trailing newlines and text that itself
+    contains ``WARC/1.0`` lines, both of which a magic-split +
+    rstrip parser silently corrupts.  Records without Content-Length
+    (non-conforming producers) fall back to splitting at the next
+    record magic, with the record separator trimmed."""
     urls, tss, texts = [], [], []
-    for rec in recs:
-        if _HDR_URI not in rec:
-            continue
-        head, _, body = rec.partition(_REC_SEP)
+    pos = 0
+    n = len(blob)
+    while True:
+        m = _WARC_MAGIC_BYTES_RE.search(blob, pos)
+        if m is None:
+            break
+        head_end = blob.find(b"\r\n\r\n", m.start())
+        if head_end < 0:
+            break
+        head = blob[m.end():head_end].decode("latin-1")
         url = ts = None
+        clen = -1
         for line in head.split("\r\n"):
             if line.startswith(_HDR_URI):
                 url = line[len(_HDR_URI):]
             elif line.startswith(_HDR_DATE):
                 ts = line[len(_HDR_DATE):]
+            elif line.startswith(_HDR_CLEN):
+                clen = int(line[len(_HDR_CLEN):])
+        content_start = head_end + 4
+        if clen >= 0:
+            body = blob[content_start:content_start + clen]
+            pos = min(content_start + clen, n)
+        else:
+            nxt = _WARC_MAGIC_BYTES_RE.search(blob, content_start)
+            end = nxt.start() if nxt else n
+            body = blob[content_start:end].rstrip(b"\r\n")
+            pos = end
         if url is None:
             continue
         urls.append(url)
         tss.append(ts)
-        texts.append(body.rstrip("\r\n"))
+        texts.append(body.decode("utf-8", "replace"))
     t = pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": _ts_array(tss),
@@ -143,31 +163,36 @@ def _parse_wet_bytes(blob: bytes) -> pa.Table:
     return _normalize(t)
 
 
-def read_webpages_wet(paths) -> "ray.data.Dataset":  # noqa: F821
-    """WET-style record files → canonical webpage Dataset (html/lang
-    null — WET carries extracted text only).  One task per file; a
-    100 TB crawl is tens of thousands of ~1 GiB WET files, which is
-    exactly Ray Data's file-parallel regime."""
+def _read_record_files(paths, parse_fn) -> "ray.data.Dataset":  # noqa: F821
+    """Shared loader for WET/WARC record streams: one task per file
+    (the 100 TB regime is tens of thousands of ~1 GiB segment files —
+    exactly Ray Data's file-parallel shape), gzip-transparent by
+    extension, directory paths expanded to their sorted entries."""
+    import gzip
+    import os
+
     import ray.data
 
     def _load(batch: pa.Table) -> pa.Table:
-        import gzip
         tables = []
         for p in batch.column("path").to_pylist():
-            # real Common-Crawl WET segments ship gzipped
-            # (*.warc.wet.gz) — decompress transparently by extension
             opener = gzip.open if p.endswith(".gz") else open
             with opener(p, "rb") as f:
-                tables.append(_parse_wet_bytes(f.read()))
+                tables.append(parse_fn(f.read()))
         return pa.concat_tables(tables) if tables \
             else SCHEMA.empty_table()
 
-    import os
     if isinstance(paths, str):
         paths = ([os.path.join(paths, p) for p in sorted(os.listdir(paths))]
                  if os.path.isdir(paths) else [paths])
     return (ray.data.from_items([{"path": p} for p in paths])
             .map_batches(_load, batch_format="pyarrow", batch_size=1))
+
+
+def read_webpages_wet(paths) -> "ray.data.Dataset":  # noqa: F821
+    """WET-style record files → canonical webpage Dataset (html/lang
+    null — WET carries extracted text only)."""
+    return _read_record_files(paths, _parse_wet_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -257,24 +282,5 @@ def _parse_warc_bytes(blob: bytes) -> pa.Table:
 
 def read_webpages_warc(paths) -> "ray.data.Dataset":  # noqa: F821
     """WARC-style response files → canonical webpage Dataset (html
-    populated, text/lang null until an extraction stage fills them).
-    One task per file, gzip transparent (*.warc.gz)."""
-    import gzip
-    import os
-
-    import ray.data
-
-    def _load(batch: pa.Table) -> pa.Table:
-        tables = []
-        for p in batch.column("path").to_pylist():
-            opener = gzip.open if p.endswith(".gz") else open
-            with opener(p, "rb") as f:
-                tables.append(_parse_warc_bytes(f.read()))
-        return pa.concat_tables(tables) if tables \
-            else SCHEMA.empty_table()
-
-    if isinstance(paths, str):
-        paths = ([os.path.join(paths, p) for p in sorted(os.listdir(paths))]
-                 if os.path.isdir(paths) else [paths])
-    return (ray.data.from_items([{"path": p} for p in paths])
-            .map_batches(_load, batch_format="pyarrow", batch_size=1))
+    populated, text/lang null until an extraction stage fills them)."""
+    return _read_record_files(paths, _parse_warc_bytes)

@@ -1190,3 +1190,42 @@ def test_window_hash_rows_matches_naive_reference():
     # identical docs produce identical hash sets
     assert {h for d, h in got_set if d == 0} == \
         {h for d, h in got_set if d == 4}
+
+
+def test_connected_components_at_scale_path_collapsed_labels(ray_session):
+    """Regression: the past-broadcast-threshold join path crashed when
+    distinct labels fell below the partition count (late rounds of a
+    giant component) because raw Ray joins reject zero-row partition
+    sides.  Force the at-scale path (broadcast_threshold=0) on a graph
+    that collapses to ONE component and assert the labels."""
+    import ray.data
+
+    from parquet_producers_ray.functions.graph import connected_components
+
+    # a single chain 0-1-2-...-9: one component, min id 0
+    edges = pa.table({"src": pa.array(list(range(9)), pa.int64()),
+                      "dst": pa.array(list(range(1, 10)), pa.int64())})
+    out = connected_components(ray.data.from_arrow(edges),
+                               num_partitions=8,
+                               broadcast_threshold=0).to_pandas()
+    assert sorted(out["node"]) == list(range(10))
+    assert set(out["component"]) == {0}
+
+
+def test_embedding_matrix_rejects_null_and_ragged():
+    """Regression: a null/short embedding shifted every later row in
+    the flattened buffer; when the total still divided evenly the
+    reshape silently misaligned ALL rows.  Both now raise."""
+    import pytest as _pytest
+
+    from parquet_producers_ray.functions.similarity import embedding_matrix
+
+    nulled = pa.table({"embedding": pa.array(
+        [[1.0, 0.0, 0.0, 0.0], None, [0.0, 1.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0]], pa.list_(pa.float32()))})
+    with _pytest.raises(ValueError, match="null"):
+        embedding_matrix(nulled)
+    ragged = pa.table({"embedding": pa.array(
+        [[1.0, 2.0], [3.0, 4.0, 5.0], [6.0]], pa.list_(pa.float32()))})
+    with _pytest.raises(ValueError, match="ragged"):
+        embedding_matrix(ragged)

@@ -240,3 +240,29 @@ def test_warc_wet_writers_skip_null_keys(ray_session, tmp_path_factory):
     gc = pa.Table.from_pylist(I.read_webpages_warc([pc_]).take_all(),
                               schema=W.SCHEMA)
     assert gc.column("url").to_pylist() == ["https://x/1"]
+
+
+def test_wet_roundtrip_byte_exact_payloads(ray_session, tmp_path):
+    """Regression: the WET parser split on the record magic and
+    rstripped newlines, corrupting payloads that end in newlines or
+    contain 'WARC/1.0' lines themselves.  Content-Length is now
+    authoritative, so both survive exactly."""
+    import datetime
+
+    import pyarrow as pa
+
+    from parquet_producers_ray.sources.ingest import (read_webpages_wet,
+                                                      write_wet)
+
+    ts = datetime.datetime(2017, 3, 22, 17, 15, 2)
+    texts = ["hello\nworld\n\n",
+             "before\r\nWARC/1.0\r\nafter",
+             "plain"]
+    t = pa.table({
+        "url": pa.array([f"http://e.com/{i}" for i in range(3)]),
+        "warc_ts": pa.array([ts] * 3, pa.timestamp("us")),
+        "text": pa.array(texts)})
+    p = str(tmp_path / "x.warc.wet")
+    write_wet(t, p)
+    back = read_webpages_wet([p]).to_pandas().sort_values("url")
+    assert list(back["text"]) == texts
