@@ -1020,7 +1020,23 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
             # the row-wise path filters deletes before produce, so a
             # bootstrap wave mixing Delete+upserts on one key would
             # otherwise succeed SILENTLY here while raising on every
-            # other path.  Deletes in a bootstrap are rare: pay one
+            # other path.  DELIBERATELY STRICTER THAN THE REFERENCE:
+            # ParquetProduction.cs:320-337 raises only when a Delete
+            # is FOLLOWED by more updates for the same key —
+            # upserts-then-Delete is legal there and nets out to a
+            # delete.  This engine rejects ANY key carrying both,
+            # regardless of _upd_seq order, because the row-wise path
+            # drops deletes before produce: honouring the legal
+            # ordering would require last-writer-wins resolution here,
+            # and silently PRODUCING a key the reference would DELETE
+            # is the failure mode this check exists to prevent.  The
+            # policy is pinned (in the reference-legal upserts-then-
+            # Delete order) by tests/test_engine_produce.py::
+            # test_rowwise_mixed_delete_upsert_raises and
+            # ::test_produce_rows_bootstrap_rejects_mixed_delete;
+            # batches with a legal upserts-then-Delete must be split
+            # into two waves (upserts, then the delete) by the caller.
+            # Deletes in a bootstrap are rare: pay one
             # streaming count, and only when nonzero collect the
             # (delete-sized) key set for the membership probe.
             dels = source_updates.filter(expr=f"{TYPE_COL} == {DELETE}")
@@ -1054,7 +1070,9 @@ def apply_updates(spec: StageSpec, source_updates, prev_content=None,
         add_pairs = _collect_tuples(adds, sk + tk)
         if spec.produce_rows is not None:
             # the per-key path enforces this in-group; the vectorized
-            # path checks it on the (delta-sized) key sets
+            # path checks it on the (delta-sized) key sets — order-
+            # blind on purpose, same stricter-than-reference policy
+            # as the bootstrap check above (see that comment)
             import pyarrow.compute as pc  # noqa: F401
             del_sks = _collect_tuples(
                 source_updates.filter(expr=f"{TYPE_COL} == {DELETE}"),

@@ -333,9 +333,32 @@ class StorageBucketEncoder(BucketEncoder):
                 # read EXACTLY the files the materialized spill
                 # manifest recorded — orphans from failed/retried map
                 # attempts in the same directory are never consumed
-                files = [os.path.join(d, f) for f in
-                         _json.loads(batch.column("files")[i].as_py())]
-                files = [p for p in files if os.path.exists(p)]
+                recorded = [os.path.join(d, f) for f in
+                            _json.loads(batch.column("files")[i].as_py())]
+                files = [p for p in recorded if os.path.exists(p)]
+                if files and len(files) < len(recorded):
+                    # SOME recorded spills vanished: a prior reduce
+                    # attempt died mid-rmtree.  Its encode either
+                    # completed (partition manifest present → resume,
+                    # exactly like the all-missing branch) or it
+                    # didn't — and encoding the surviving SUBSET would
+                    # silently drop rows from a partition that can
+                    # never be reconstructed.  Raise so Ray's retry
+                    # surfaces the loss instead of laundering it.
+                    done = mf.completed_partition(self.out_dir, part)
+                    if done is not None:
+                        done = dict(done)
+                        done["skipped"] = True
+                        rows.extend(_manifest_rows([done]).to_pylist())
+                        _shutil.rmtree(d, ignore_errors=True)
+                        continue
+                    missing = sorted(os.path.basename(p) for p in recorded
+                                     if not os.path.exists(p))
+                    raise RuntimeError(
+                        f"bucket {part}: {len(missing)}/{len(recorded)} "
+                        f"manifest-recorded spill files missing with no "
+                        f"completed partition manifest — partial spill "
+                        f"loss, refusing to encode a subset: {missing[:5]}")
             else:
                 files = sorted(_glob.glob(os.path.join(d, "*.arrows")))
             if not files:

@@ -56,10 +56,13 @@ def _sort_agg_view(ds):
     otherwise costs ~5 s of idle hash-aggregator setup per aggregation
     at toy scale (measured: 6.8 s hash vs 1.1 s sort for the capped-
     jaccard df groupby) and serializes at ≤4 CPUs (the CLAUDE.md
-    deadlock quirk).  The input MUST be materialized — wrapping a lazy
-    lineage would execute it here and again downstream."""
+    deadlock quirk).  ``materialize()`` below is the lazy-lineage
+    guard: free (a no-op ref bump) for the already-materialized inputs
+    every current caller passes, and for a future lazy caller it pins
+    the blocks ONCE so ``to_arrow_refs()`` cannot silently execute the
+    lineage here and again downstream."""
     import ray.data
-    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+    return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
 
 
 def _scaled_parts(ds, floor: int, per_part_bytes: int = 128 << 20,

@@ -131,7 +131,11 @@ def _parse_wet_bytes(blob: bytes) -> pa.Table:
         head_end = blob.find(b"\r\n\r\n", m.start())
         if head_end < 0:
             break
-        head = blob[m.end():head_end].decode("latin-1")
+        # WARC (ISO 28500 §4) headers are UTF-8; decoding latin-1 here
+        # would mojibake non-ASCII WARC-Target-URIs and break key joins
+        # against the CSV reader's representation of the same URL.
+        # Offsets stay byte-based, so the decode never shifts the scan.
+        head = blob[m.end():head_end].decode("utf-8", "replace")
         url = ts = None
         clen = -1
         for line in head.split("\r\n"):
@@ -234,8 +238,10 @@ def write_warc(table: pa.Table, path: str) -> None:
 
 
 def _parse_warc_bytes(blob: bytes) -> pa.Table:
-    """Length-delimited scan: headers decode as latin-1 (byte-exact),
-    bodies stay raw bytes — html is NOT assumed to be valid UTF-8."""
+    """Length-delimited scan: headers decode as UTF-8 (ISO 28500 §4 —
+    same policy as ``_parse_wet_bytes``, so a non-ASCII target URI
+    joins bit-identically against the CSV reader's form of the same
+    URL), bodies stay raw bytes — html is NOT assumed valid UTF-8."""
     urls, tss, bodies = [], [], []
     pos = 0
     n = len(blob)
@@ -247,7 +253,7 @@ def _parse_warc_bytes(blob: bytes) -> pa.Table:
         head_end = blob.find(b"\r\n\r\n", start)
         if head_end < 0:
             break
-        head = blob[m.end():head_end].decode("latin-1")
+        head = blob[m.end():head_end].decode("utf-8", "replace")
         url = ts = None
         clen = -1
         rtype = ""

@@ -12,8 +12,12 @@ spill_buckets``), generalized to RANGE partitioning:
    the, usually already materialized, input) and cut P-1 range bounds;
 2. **Spill**: each map task slices its block by ``searchsorted(bounds)``
    and writes one lz4'd Arrow IPC file per touched range under that
-   range's own directory — retry-idempotent (content-digest names +
-   atomic rename), no driver-side path state;
+   range's own directory — named by the producing BLOCK's ordinal
+   (never content-addressed: two blocks can carry byte-identical
+   slices — duplicate shards, hot constant keys — and a digest name
+   silently drops one via os.replace; see CLAUDE.md spill-naming
+   invariant), written via temp-file + atomic rename so a retried
+   task overwrites its own file idempotently;
 3. **Reduce**: one task per range lists its directory, concatenates and
    fully sorts its slice with the complete multi-column (and
    per-column descending) spec.

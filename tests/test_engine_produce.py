@@ -281,6 +281,13 @@ def test_rowwise_produce_multi_version(ray_session):
 
 
 def test_rowwise_mixed_delete_upsert_raises(ray_session):
+    """Pins the DELIBERATELY STRICTER-than-reference mixed-Delete
+    policy (see apply_updates' bootstrap comment): the wave below is
+    upsert-then-Delete on key 1 — LEGAL in the reference
+    (ParquetProduction.cs:320-337 raises only for Delete-then-upsert;
+    this order nets out to a delete) — but this engine rejects both
+    orders because the row-wise path drops deletes before produce and
+    must never silently PRODUCE a key the reference would DELETE."""
     import ray.data
     table = pa.Table.from_pylist(
         [rupd(1, "a"), rupd(1, type_=DELETE)],

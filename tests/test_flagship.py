@@ -332,3 +332,42 @@ def test_storage_exchange_duplicate_blocks_lossless(ray_session, tmp_path):
     assert summary["rows"] == 1000      # both copies survive
     back = F.decode_pipeline(out).take_all()
     assert len(back) == 1000
+
+
+def test_storage_reduce_partial_spill_loss(ray_session, tmp_path):
+    """A reduce retry that finds SOME but not ALL manifest-recorded
+    spill files (a prior attempt died mid-rmtree) must NOT encode the
+    surviving subset over a complete partition — that is silent row
+    loss.  With no completed partition manifest it raises; with one it
+    resumes (skipped row), exactly like the all-missing branch."""
+    import json
+
+    from parquet_producers_ray.pipelines.flagship import \
+        StorageBucketEncoder
+    from parquet_producers_ray.sources.webpages import generate_shard
+
+    t = generate_shard(0, 50)
+    shuffle = tmp_path / "shuffle"
+    d = shuffle / "b00000"
+    d.mkdir(parents=True)
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    for name in ("s1.arrows", "s2.arrows"):
+        with pa.OSFile(str(d / name), "wb") as f, \
+                pa.ipc.new_stream(f, t.schema, options=opts) as w:
+            w.write_table(t)
+    (d / "s2.arrows").unlink()          # partial loss
+    batch = pa.table({
+        "part": pa.array([0], pa.int64()),
+        "files": pa.array([json.dumps(["s1.arrows", "s2.arrows"])])})
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    enc = StorageBucketEncoder(out, str(shuffle))
+    with pytest.raises(RuntimeError, match="partial spill loss"):
+        enc(batch)
+
+    # a completed partition manifest flips the same call into a resume
+    enc._encode_group(0, pa.concat_tables([t, t]))
+    rows = enc(batch).to_pylist()
+    assert len(rows) == 1 and rows[0]["skipped"]
+    assert not os.path.exists(d)        # stale spills swept

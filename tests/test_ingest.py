@@ -266,3 +266,37 @@ def test_wet_roundtrip_byte_exact_payloads(ray_session, tmp_path):
     write_wet(t, p)
     back = read_webpages_wet([p]).to_pandas().sort_values("url")
     assert list(back["text"]) == texts
+
+
+def test_warc_headers_decode_utf8_uris(ray_session, tmp_path):
+    """WARC/ISO-28500 headers are UTF-8: a non-ASCII WARC-Target-URI
+    must come back as the same unicode string the CSV reader would
+    produce for that URL (latin-1 decoding mojibakes it and breaks
+    cross-source key joins)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from parquet_producers_ray.sources.ingest import (read_webpages_warc,
+                                                      read_webpages_wet,
+                                                      write_warc, write_wet)
+
+    ts = datetime.datetime(2017, 3, 22, 17, 15, 2)
+    url = "http://münchen.example/straße/π"
+    t = pa.table({
+        "url": pa.array([url]),
+        "warc_ts": pa.array([ts], pa.timestamp("us")),
+        "text": pa.array(["körper text"])})
+    p = str(tmp_path / "u.warc.wet")
+    write_wet(t, p)
+    back = read_webpages_wet([p]).take_all()
+    assert back[0]["url"] == url
+
+    th = pa.table({
+        "url": pa.array([url]),
+        "warc_ts": pa.array([ts], pa.timestamp("us")),
+        "html": pa.array(["<p>ok</p>".encode()], pa.large_binary())})
+    ph = str(tmp_path / "u.warc")
+    write_warc(th, ph)
+    backh = read_webpages_warc([ph]).take_all()
+    assert backh[0]["url"] == url
