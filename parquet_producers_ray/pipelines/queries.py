@@ -6,19 +6,18 @@ lineitem events documents embeddings).  Column names of every computed
 column match the SQL aliases exactly (driver hash-compares values after
 sorting columns by name).
 
-CENTS PATTERN — 2-DECIMAL DATA ASSUMPTION.  Every money/value sum runs
-in integer cents on BOTH sides (``round(x*100)`` in pyarrow/numpy,
-``CAST(round(x*100) AS BIGINT/DOUBLE)`` in the SQL oracle) so the
+CENTS PATTERN.  Every money/value sum runs in integer cents on BOTH
+sides via the SAME IEEE-754 expression — ``floor(x*100 + 0.5)``
+(``_cents`` here, ``floor(x * 100 + 0.5)`` in the SQL oracle) — so the
 merge order of float partials can never perturb low-order bits and
-flip the driver's exact hash.  The two ``round``s differ in tie mode —
-pyarrow/numpy round HALF-TO-EVEN, DuckDB ``round()`` HALF-AWAY-FROM-
-ZERO — which only matters when x*100 lands exactly on .5, i.e. when
-the source data carries ≥3 decimal places.  The TPC-H-ish testdata is
-2-decimal (measured: max distance of value*100 to .5 is ~4e-9, pure
-float noise), so the modes agree on every corpus row.  If this
-registry is ever pointed at ≥3-decimal data, switch both sides to an
-explicitly matched rounding — e.g. ``floor(x*100 + 0.5)`` mirrored in
-the pyarrow path and the SQL — before trusting the hash gate.
+flip the driver's exact hash.  ``floor(x*100 + 0.5)`` is deliberately
+NOT ``round``: pyarrow/numpy round HALF-TO-EVEN while DuckDB's
+``round()`` rounds HALF-AWAY-FROM-ZERO, so a corpus with ≥3 decimal
+places (where x*100 lands exactly on .5) would silently flip gate rows
+red.  A single mirrored expression is engine-independent for EVERY
+double — including negatives, which floor downward identically on both
+sides — so the gate no longer rests on a 2-decimal data assumption.
+Pinned by tests/test_query_oracle.py::test_cents_three_decimal_ties.
 """
 
 from __future__ import annotations
@@ -45,6 +44,14 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks=None):
 def _enable_hash_shuffle(ds):
     from .flagship import enable_hash_shuffle
     return enable_hash_shuffle(ds)
+
+
+def _cents(arr, scale: float = 100.0):
+    """Deterministic money→integer-cents: ``floor(x*scale + 0.5)``,
+    mirrored token-for-token by every SQL oracle (module docstring,
+    CENTS PATTERN).  One IEEE-754 expression both engines evaluate
+    identically for every double — no round() tie-mode dependence."""
+    return pc.floor(pc.add(pc.multiply(arr, scale), 0.5))
 
 
 def _sort_agg_view(ds):
@@ -186,13 +193,11 @@ def q_u6_partial_avg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
         # partial sums in integer CENTS: exact, so the merge order of the
         # partials can never perturb low-order float bits (driver gate
-        # hash-compares exactly).  Rounding-mode caveat (half-to-even
-        # here vs half-away in DuckDB) is safe only on 2-decimal data —
+        # hash-compares exactly); floor(x*100+0.5) mirrored in the SQL —
         # see the CENTS PATTERN note in the module docstring.
-        cents = _pc.round(_pc.multiply(b.column("o_totalprice"), 100.0))
+        cents = _cents(b.column("o_totalprice"))
         g = (b.set_column(b.schema.get_field_index("o_totalprice"),
                           "o_totalprice", cents)
              .group_by("o_orderpriority").aggregate(
@@ -218,7 +223,7 @@ def q_u6_partial_avg(sf_dir: str):
 
 SQL_U6 = """
 SELECT o_orderpriority,
-       sum(CAST(round(o_totalprice * 100) AS DOUBLE)) / 100.0
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE)) / 100.0
            / count(o_totalprice) AS avg_price
 FROM orders GROUP BY o_orderpriority
 """
@@ -300,7 +305,7 @@ def q_u10_join(sf_dir: str):
               lambda b: b.set_column(
                   b.schema.get_field_index("l_extendedprice"),
                   "l_extendedprice",
-                  pc.round(pc.multiply(b.column("l_extendedprice"), 100.0))),
+                  _cents(b.column("l_extendedprice"))),
               batch_format="pyarrow")
           .groupby("l_orderkey")
           .aggregate(Sum("l_extendedprice", alias_name="order_cents")))
@@ -326,7 +331,7 @@ SELECT o_orderstatus,
        count(o_orderkey) AS n_orders
 FROM orders JOIN (
   SELECT l_orderkey,
-         sum(CAST(round(l_extendedprice * 100) AS DOUBLE)) AS order_cents
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE)) AS order_cents
   FROM lineitem GROUP BY l_orderkey
 ) li ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
@@ -356,7 +361,7 @@ def q_broadcast_join(sf_dir: str):
             "n_name": pc.take(nt.column("n_name").combine_chunks(), idx),
             "c_custkey": b.column("c_custkey"),
             # integer cents: exact float sums regardless of block order
-            "bal_cents": pc.round(pc.multiply(b.column("c_acctbal"), 100.0))})
+            "bal_cents": _cents(b.column("c_acctbal"))})
 
     agg = (_read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey", "c_acctbal"])
@@ -374,7 +379,7 @@ def q_broadcast_join(sf_dir: str):
 
 SQL_BROADCAST_JOIN = """
 SELECT n_name, count(c_custkey) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS DOUBLE)) / 100.0 AS total_bal
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS DOUBLE)) / 100.0 AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -2408,8 +2413,7 @@ def q_windowed_agg(sf_dir: str):
         return pa.table({"window_start": w,
                          "event_type": b.column("event_type"),
                          # integer cents → order-free exact sums
-                         "value": pc.round(
-                             pc.multiply(b.column("value"), 100.0))})
+                         "value": _cents(b.column("value"))})
     agg = (_read(sf_dir, "events", ["ts", "event_type", "value"])
            .map_batches(window, batch_format="pyarrow")
            .groupby(["window_start", "event_type"])
@@ -2427,7 +2431,7 @@ def q_windowed_agg(sf_dir: str):
 SQL_WINDOWED_AGG = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(value) AS n_events,
-       sum(CAST(round(value * 100) AS DOUBLE)) / 100.0 AS total_value
+       sum(CAST(floor(value * 100 + 0.5) AS DOUBLE)) / 100.0 AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -2450,7 +2454,7 @@ def q_sliding_window(sf_dir: str, size_hours: int = 3):
         starts = np.concatenate(
             [hh - o * HOUR_US for o in range(size_hours)])
         # integer cents → order-free exact sums under any block split
-        vals = np.tile(np.round(v * 100.0), size_hours)
+        vals = np.tile(np.floor(v * 100.0 + 0.5), size_hours)
         return pa.table({
             "window_start": pa.array(starts).cast(pa.timestamp("us")),
             "value": pa.array(vals)})
@@ -2470,7 +2474,7 @@ def q_sliding_window(sf_dir: str, size_hours: int = 3):
 
 SQL_SLIDING_WINDOW = """
 SELECT window_start, count(value) AS n_events,
-       sum(CAST(round(value * 100) AS DOUBLE)) / 100.0 AS total_value
+       sum(CAST(floor(value * 100 + 0.5) AS DOUBLE)) / 100.0 AS total_value
 FROM (
   SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start,
          value
@@ -2990,8 +2994,7 @@ def q_engine_join_view(sf_dir: str, mod: int = 20):
             "okey": b.column("l_orderkey"),
             "kind": pa.array(["L"] * n),
             "custkey": pa.nulls(n, pa.int64()),
-            "amount": pc.round(pc.multiply(
-                b.column("l_extendedprice"), 100.0)),
+            "amount": _cents(b.column("l_extendedprice")),
             TYPE_COL: pa.array(np.full(n, UPDATE, np.int8))})
 
     o_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
@@ -3011,7 +3014,7 @@ def q_engine_join_view(sf_dir: str, mod: int = 20):
 
 SQL_ENGINE_JOIN_VIEW = """
 SELECT o_custkey AS custkey,
-       sum(CAST(round(l_extendedprice * 100) AS DOUBLE)) / 100.0
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE)) / 100.0
            AS total_revenue
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderkey % 20 = 0
@@ -3180,7 +3183,7 @@ def q_window_cumsum(sf_dir: str):
         raw = b.column("value").to_numpy(zero_copy_only=False)
         # prefix sums run over integer CENTS: exact, so the result can't
         # differ from DuckDB's segment-tree windowed sum in low-order bits
-        val = np.round(raw * 100.0)
+        val = np.floor(raw * 100.0 + 0.5)
         starts = np.zeros(len(uid), dtype=bool)
         starts[0] = True
         starts[1:] = uid[1:] != uid[:-1]
@@ -3207,7 +3210,7 @@ def q_window_cumsum(sf_dir: str):
 
 SQL_WINDOW_CUMSUM = """
 SELECT event_id,
-       sum(CAST(round(value * 100) AS DOUBLE))
+       sum(CAST(floor(value * 100 + 0.5) AS DOUBLE))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value,
        lag(value) OVER (PARTITION BY user_id
@@ -3623,10 +3626,8 @@ def q_join3_topk(sf_dir: str):
         # exact integer 1e-4-dollar units: cents(price) × cents(1-disc)
         # — the sum is order-free; /1e4 happens once after the aggregate
         rev = pc.multiply(
-            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
-            pc.round(pc.multiply(
-                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-                100.0)))
+            _cents(b.column("l_extendedprice")),
+            _cents(pc.subtract(pa.scalar(1.0), b.column("l_discount"))))
         return pa.table({"l_orderkey": b.column("l_orderkey"),
                          "revenue": rev})
 
@@ -3652,8 +3653,8 @@ def q_join3_topk(sf_dir: str):
 
 SQL_JOIN3_TOPK = """
 SELECT l_orderkey, o_orderdate,
-       sum(CAST(round(l_extendedprice * 100) AS DOUBLE)
-           * CAST(round((1 - l_discount) * 100) AS DOUBLE)) / 10000.0
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE)
+           * CAST(floor((1 - l_discount) * 100 + 0.5) AS DOUBLE)) / 10000.0
            AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -3742,8 +3743,7 @@ def q_left_join(sf_dir: str):
                  lambda b: pa.table({
                      "o_custkey": b.column("o_custkey"),
                      # integer cents → order-free exact sums
-                     "cents": pc.round(pc.multiply(
-                         b.column("o_totalprice"), 100.0))}),
+                     "cents": _cents(b.column("o_totalprice"))}),
                  batch_format="pyarrow")
              .groupby("o_custkey")
              .aggregate(Sum("cents", alias_name="cents")))
@@ -3763,7 +3763,7 @@ SQL_LEFT_JOIN = """
 SELECT c_custkey, c_name, total_spent
 FROM customer LEFT JOIN (
   SELECT o_custkey,
-         sum(CAST(round(o_totalprice * 100) AS DOUBLE)) / 100.0
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE)) / 100.0
              AS total_spent
   FROM orders GROUP BY o_custkey
 ) s ON c_custkey = o_custkey
@@ -3783,7 +3783,7 @@ def q_full_outer_join(sf_dir: str):
         def fn(b: pa.Table) -> pa.Table:
             return b.set_column(
                 b.schema.get_field_index(col), col,
-                pc.round(pc.multiply(b.column(col), 100.0)))
+                _cents(b.column(col)))
         return fn
 
     ev = (ev_raw.map_batches(cents("value"), batch_format="pyarrow")
@@ -3810,10 +3810,10 @@ def q_full_outer_join(sf_dir: str):
 SQL_FULL_OUTER_JOIN = """
 SELECT coalesce(user_id, o_custkey) AS id, esum, osum
 FROM (SELECT user_id,
-             sum(CAST(round(value * 100) AS DOUBLE)) / 100.0 AS esum
+             sum(CAST(floor(value * 100 + 0.5) AS DOUBLE)) / 100.0 AS esum
       FROM events GROUP BY user_id) e
 FULL OUTER JOIN (SELECT o_custkey,
-                        sum(CAST(round(o_totalprice * 100) AS DOUBLE))
+                        sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE))
                             / 100.0 AS osum
                  FROM orders GROUP BY o_custkey) o
 ON user_id = o_custkey
@@ -3884,8 +3884,8 @@ def q_stats_agg(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partials(b: pa.Table) -> pa.Table:
-        x = pc.round(b.column("l_quantity"))
-        y = pc.round(pc.multiply(b.column("l_discount"), 100.0))
+        x = _cents(b.column("l_quantity"), 1.0)
+        y = _cents(b.column("l_discount"))
         t = pa.table({
             "l_returnflag": b.column("l_returnflag"),
             "pn": pa.array(np.ones(b.num_rows, np.int64)),
@@ -3928,13 +3928,13 @@ SQL_STATS_AGG = """
 WITH p AS (
   SELECT l_returnflag,
          CAST(count(*) AS DOUBLE) AS n, count(*) AS n_out,
-         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
-         CAST(sum(CAST(round(l_quantity) * round(l_quantity) AS BIGINT))
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(floor(l_quantity + 0.5) * floor(l_quantity + 0.5) AS BIGINT))
               AS DOUBLE) AS sxx,
-         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sy,
-         CAST(sum(CAST(round(l_discount * 100) * round(l_discount * 100)
+         CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(floor(l_discount * 100 + 0.5) * floor(l_discount * 100 + 0.5)
                        AS BIGINT)) AS DOUBLE) AS syy,
-         CAST(sum(CAST(round(l_quantity) * round(l_discount * 100)
+         CAST(sum(CAST(floor(l_quantity + 0.5) * floor(l_discount * 100 + 0.5)
                        AS BIGINT)) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n_out AS n,
@@ -4486,7 +4486,7 @@ def q_zscore(sf_dir: str):
         # split; z-scores are computed in cent units on BOTH sides (the
         # score is scale-invariant mathematically, but only an identical
         # float expression over identical exact sums is hash-identical)
-        v = pc.round(pc.multiply(b.column("value"), 100.0))
+        v = _cents(b.column("value"))
         t = pa.table({"event_type": b.column("event_type"),
                       "n": pa.array(np.ones(b.num_rows, np.int64)),
                       "s": v, "ss": pc.multiply(v, v)})
@@ -4512,7 +4512,7 @@ def q_zscore(sf_dir: str):
         # vectorized dictionary lookup — no Python-object round trip
         idx = pc.index_in(b.column("event_type"), value_set=ks).to_numpy(
             zero_copy_only=False)
-        v = pc.round(pc.multiply(b.column("value"), 100.0)).to_numpy(
+        v = _cents(b.column("value")).to_numpy(
             zero_copy_only=False)
         return pa.table({"event_id": b.column("event_id"),
                          "znorm": pa.array((v - mu[idx]) / sg[idx])})
@@ -4523,12 +4523,12 @@ def q_zscore(sf_dir: str):
 SQL_ZSCORE = """
 WITH st AS (
   SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
-         CAST(sum(CAST(round(value * 100) * round(value * 100) AS BIGINT))
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s,
+         CAST(sum(CAST(floor(value * 100 + 0.5) * floor(value * 100 + 0.5) AS BIGINT))
               AS DOUBLE) AS ss
   FROM events GROUP BY event_type)
 SELECT event_id,
-       (round(value * 100) - s / n)
+       (floor(value * 100 + 0.5) - s / n)
            / sqrt((ss - s * s / n) / (n - 1)) AS znorm
 FROM events JOIN st USING (event_type)
 """
@@ -4581,8 +4581,7 @@ def q_time_bucket(sf_dir: str):
         month = pc.floor_temporal(b.column("o_orderdate"), unit="month")
         t = pa.table({"month": month,
                       # integer cents → order-free exact sums
-                      "revenue": pc.round(pc.multiply(
-                          b.column("o_totalprice"), 100.0)),
+                      "revenue": _cents(b.column("o_totalprice")),
                       "n": pa.array([1] * b.num_rows, pa.int64())})
         return (t.group_by(["month"])
                 .aggregate([("revenue", "sum"), ("n", "sum")])
@@ -4603,7 +4602,7 @@ def q_time_bucket(sf_dir: str):
 
 SQL_TIME_BUCKET = """
 SELECT date_trunc('month', o_orderdate) AS month,
-       sum(CAST(round(o_totalprice * 100) AS DOUBLE)) / 100.0 AS revenue,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE)) / 100.0 AS revenue,
        count(*) AS n
 FROM orders GROUP BY 1
 """
@@ -4867,8 +4866,8 @@ def q_moving_avg(sf_dir: str, window: int = 4):
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         # window sums over integer CENTS: prefix-sum differences are
         # exact, so they can't drift from DuckDB's windowed aggregation
-        val = np.round(
-            b.column("value").to_numpy(zero_copy_only=False) * 100.0)
+        val = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5)
         n = len(uid)
         starts = np.zeros(n, dtype=bool)
         starts[0] = True
@@ -4890,7 +4889,7 @@ def q_moving_avg(sf_dir: str, window: int = 4):
 
 SQL_MOVING_AVG = """
 SELECT event_id,
-       sum(CAST(round(value * 100) AS DOUBLE))
+       sum(CAST(floor(value * 100 + 0.5) AS DOUBLE))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0
            / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -5086,7 +5085,7 @@ def q_bloom_join(sf_dir: str):
                 lambda b: b.set_column(
                     b.schema.get_field_index("o_totalprice"),
                     "o_totalprice",
-                    pc.round(pc.multiply(b.column("o_totalprice"), 100.0))),
+                    _cents(b.column("o_totalprice"))),
                 batch_format="pyarrow")
             .groupby("o_orderpriority")
             .aggregate(Count("o_orderkey", alias_name="n_orders"),
@@ -5101,7 +5100,7 @@ def q_bloom_join(sf_dir: str):
 
 SQL_BLOOM_JOIN = """
 SELECT o_orderpriority, count(o_orderkey) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS DOUBLE)) / 100.0
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE)) / 100.0
            AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -6013,7 +6012,7 @@ def q_salted_join(sf_dir: str, salt: int = 8):
                     b.schema.get_field_index("o_totalprice"),
                     "o_totalprice",
                     # integer cents → order-free exact sums
-                    pc.round(pc.multiply(b.column("o_totalprice"), 100.0))),
+                    _cents(b.column("o_totalprice"))),
                 batch_format="pyarrow")
             .groupby("c_nationkey")
             .aggregate(Count("o_custkey", alias_name="n_orders"),
@@ -6028,7 +6027,7 @@ def q_salted_join(sf_dir: str, salt: int = 8):
 
 SQL_SALTED_JOIN = """
 SELECT c_nationkey, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS DOUBLE)) / 100.0
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE)) / 100.0
            AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey

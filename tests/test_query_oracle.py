@@ -82,3 +82,60 @@ def test_query_matches_oracle(ray_session, sf_dir, oracle_con, name):
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=1e-5)
+
+
+def test_cents_three_decimal_ties(ray_session, tmp_path):
+    """The CENTS PATTERN's latent-risk closer (queries.py module
+    docstring): on >=3-decimal data, x*100 lands exactly on .5 for
+    many rows, where pyarrow round() (half-to-even) and DuckDB
+    round() (half-away-from-zero) DISAGREE.  Both sides now compute
+    floor(x*100 + 0.5), so a query over a 3-decimal corpus must stay
+    EXACTLY hash-identical to its oracle.  The fixture is built to
+    contain genuine double-precision ties (asserted below) plus
+    negative values, and u6_partial_avg runs unmodified over it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_producers_ray.pipelines.queries import (SQL_U6, _cents,
+                                                         q_u6_partial_avg)
+
+    # 3-decimal money values; include known exact ties (0.005*100 is
+    # exactly 0.5 in float64) and negatives
+    vals = np.concatenate([
+        np.round(np.arange(-400, 400) * 0.005, 3),      # *.005 steps
+        np.arange(2000) * 0.001,                        # 3-decimal sweep
+        [2.675, -2.675, 0.005, -0.005, 1.015, -1.015],
+    ])
+    scaled = vals * 100.0
+    frac = scaled - np.floor(scaled)
+    n_ties = int((frac == 0.5).sum())
+    assert n_ties >= 100, f"fixture must carry real ties, got {n_ties}"
+    # ...and on those ties the two round() tie modes genuinely differ,
+    # i.e. this fixture would have flipped the OLD pattern red:
+    ties = scaled[frac == 0.5]
+    half_even = np.asarray(pc.round(pa.array(ties)))
+    half_away = np.sign(ties) * np.floor(np.abs(ties) + 0.5)
+    assert (half_even != half_away).any()
+
+    prios = np.array(["A", "B", "C"])[np.arange(len(vals)) % 3]
+    t = pa.table({"o_orderpriority": pa.array(prios),
+                  "o_totalprice": pa.array(vals)})
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    got = _canon(q_u6_partial_avg(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    want = _canon(con.execute(SQL_U6).fetchdf())
+    # exact — the whole point is bit-identical agreement on ties
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    # the helper itself mirrors DuckDB floor() for every fixture value
+    eng = np.asarray(_cents(pa.array(vals)))
+    sql = con.execute(
+        "SELECT floor(o_totalprice * 100 + 0.5) AS c FROM orders"
+    ).fetchnumpy()["c"]
+    assert (eng == sql).all()
