@@ -192,3 +192,28 @@ void sortkey8(const uint8_t *data, const int64_t *offs, int64_t n,
         out[i] = k;
     }
 }
+
+/* Intersection sizes of adjacent sorted-unique uint64 runs: for each
+ * pair p, rows rows0[p] and rows0[p]+1 of the ragged array (data,
+ * element offsets offs) hold the two halves' hash sets, each sorted
+ * ascending and internally unique (np.unique at pack time).  One
+ * linear merge per pair — the minhash verify stage's hot kernel
+ * (pipelines/queries.py::_minhash_verify_fn); the padded-matrix
+ * NumPy path is the portable fallback and property-test oracle. */
+void pair_intersect(const uint64_t *data, const int64_t *offs,
+                    const int64_t *rows0, int64_t npair, int64_t *inter) {
+    for (int64_t p = 0; p < npair; p++) {
+        int64_t r = rows0[p];
+        const uint64_t *a = data + offs[r];
+        const uint64_t *ae = data + offs[r + 1];
+        const uint64_t *b = ae;
+        const uint64_t *be = data + offs[r + 2];
+        int64_t c = 0;
+        while (a < ae && b < be) {
+            if (*a < *b) a++;
+            else if (*b < *a) b++;
+            else { c++; a++; b++; }
+        }
+        inter[p] = c;
+    }
+}

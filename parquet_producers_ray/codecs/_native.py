@@ -77,6 +77,8 @@ def _load():
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.sortkey8.restype = None
     lib.sortkey8.argtypes = [u8p, i64p, ctypes.c_int64, u64p]
+    lib.pair_intersect.restype = None
+    lib.pair_intersect.argtypes = [u64p, i64p, i64p, ctypes.c_int64, i64p]
     _LIB = lib
     return lib
 
@@ -152,4 +154,18 @@ def sortkey8(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     lib.sortkey8(np.ascontiguousarray(data), np.ascontiguousarray(offs),
                  n, out)
+    return out
+
+
+def pair_intersect(data: np.ndarray, offs_e: np.ndarray,
+                   rows0: np.ndarray) -> np.ndarray:
+    """Per-pair |A∩B| of adjacent sorted-unique uint64 runs (rows
+    rows0[p] and rows0[p]+1 of the ragged (data, offs_e) array) — the
+    minhash verify hot kernel.  Callers must check ``available()``."""
+    lib = _load()
+    npair = len(rows0)
+    out = np.empty(npair, dtype=np.int64)
+    lib.pair_intersect(np.ascontiguousarray(data),
+                       np.ascontiguousarray(offs_e),
+                       np.ascontiguousarray(rows0), npair, out)
     return out

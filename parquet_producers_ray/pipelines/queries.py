@@ -990,12 +990,73 @@ _MINHASH_EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 MINHASH_PAIR_BROADCAST_ROWS = 2_000_000
 
 
+def _pair_intersect_np(data, offs_e, rows0):
+    """Portable fallback / differential oracle for the cc
+    ``pair_intersect`` kernel (codecs/_fsst_kernel.c): per-pair
+    |A∩B| of the sorted-unique uint64 runs at ragged rows rows0[p]
+    and rows0[p]+1.  Buckets pairs into power-of-two width classes,
+    scatters each pair's two halves into a sentinel-padded row and
+    sorts axis=1 — row-wise sorts are ~100× cheaper than one global
+    lexsort of the same elements (measured 2.7 s vs 0.06 s at
+    10.2 M) — then counts adjacent duplicates: halves are unique
+    within themselves, so a dup IS one intersection element.
+    Validity is positional (j+1 < row length), so a genuine 0xFFFF…
+    hash colliding with the padding sentinel still counts."""
+    import numpy as np
+
+    starts_e = offs_e[:-1]
+    lens_e = np.diff(offs_e)
+    npair = len(rows0)
+    sel = np.empty(2 * npair, np.int64)
+    sel[0::2] = rows0
+    sel[1::2] = rows0 + 1
+    ln = lens_e[sel]
+    cum = np.concatenate(([0], np.cumsum(ln)))
+    idx = np.repeat(starts_e[sel] - cum[:-1], ln) + np.arange(int(cum[-1]))
+    vals = data[idx]                     # pair-contiguous hash stream
+    L = ln[0::2] + ln[1::2]
+    pstart = np.concatenate(([0], np.cumsum(L)))
+    inter = np.zeros(npair, np.int64)
+    width = np.maximum(
+        2, 1 << np.ceil(np.log2(np.maximum(L, 1))).astype(np.int64))
+    for w in np.unique(width):
+        sel_p = np.flatnonzero(width == w)
+        ls = L[sel_p]
+        nc = len(sel_p)
+        m = np.full((nc, int(w)), np.uint64(0xFFFFFFFFFFFFFFFF))
+        within = (np.arange(int(ls.sum()))
+                  - np.repeat(np.cumsum(ls) - ls, ls))
+        m.ravel()[np.repeat(np.arange(nc) * int(w), ls)
+                  + within] = vals[np.repeat(pstart[sel_p], ls) + within]
+        m.sort(axis=1)
+        valid = (np.arange(int(w) - 1)[None, :] + 1) < ls[:, None]
+        inter[sel_p] = ((m[:, 1:] == m[:, :-1]) & valid).sum(axis=1)
+    return inter
+
+
 def _minhash_verify_fn(t_num: int, t_den: int):
     """Per-block exact-Jaccard verify over co-located COMPLETE pair
     groups (each pair's side-0/side-1 half rows adjacent after the
     in-block sort) — shared by the broadcast and distributed minhash
     tails.  Integer cross-multiply keeps the τ compare bit-identical
-    to the SQL oracle's."""
+    to the SQL oracle's.
+
+    KERNELIZED (round 5): the candidate-pair stream grows with the
+    corpus (LSH-banded but corpus-proportional), so the former
+    per-pair Python loop (frombuffer + intersect1d per candidate)
+    was the last row-loop on a scale-growing path.  Both halves'
+    gram sets are now read straight out of the large_binary buffers
+    (zero copy, element offsets = byte offsets >> 3) and the
+    intersection sizes come from ONE pass: the cc ``pair_intersect``
+    kernel (codecs/_fsst_kernel.c — one linear merge per pair, both
+    halves sorted+unique from np.unique at pack time), falling back
+    to the segment-vectorized ``_pair_intersect_np`` padded-matrix
+    path.  Differential-pinned against the per-pair reference by
+    tests/test_functions.py::test_minhash_verify_vectorized_
+    differential.  Measured (block-level, includes the in-block
+    sort): 20k pairs × 64 grams 123 ms loop → 25 ms (4.9×); 50k
+    ragged pairs ≤200 grams 413 ms → 105 ms (3.9×); per-pair cost
+    6 µs → 1.3 µs."""
     import numpy as np
 
     def verify_block(b: pa.Table) -> pa.Table:
@@ -1012,18 +1073,34 @@ def _minhash_verify_fn(t_num: int, t_den: int):
         ok = (lead + 1 < len(ia)) & (side[lead] == 0)
         ok &= np.where(lead + 1 < len(ia),
                        side[np.minimum(lead + 1, len(ia) - 1)] == 1, False)
-        grams = b.column("grams").to_pylist()
-        src, dst = [], []
-        for k in lead[ok]:
-            a = np.frombuffer(grams[k], dtype=np.uint64)
-            c = np.frombuffer(grams[k + 1], dtype=np.uint64)
-            inter = len(np.intersect1d(a, c, assume_unique=True))
-            union = len(a) + len(c) - inter
-            if union > 0 and t_den * inter >= t_num * union:
-                src.append(ia[k])
-                dst.append(ib[k])
-        return pa.table([pa.array(src, pa.int64()),
-                         pa.array(dst, pa.int64())],
+        rows0 = lead[ok]                    # side-0 row of each pair
+        npair = len(rows0)
+        if npair == 0:
+            return _MINHASH_EDGE.empty_table()
+        garr = b.column("grams").combine_chunks()
+        # element-level offsets from the large_binary buffers; every
+        # row is a uint64-packed np.unique output, so byte offsets are
+        # 8-aligned whenever the array starts 8-aligned (it does: the
+        # sort_by above rebuilt it contiguously at offset 0)
+        off = np.frombuffer(garr.buffers()[1], dtype=np.int64,
+                            count=len(garr) + garr.offset + 1)[
+                                garr.offset:]
+        data = np.frombuffer(garr.buffers()[2], dtype=np.uint64) \
+            if off[-1] else np.empty(0, np.uint64)
+        offs_e = off >> 3                # byte → element offsets
+        lens_e = np.diff(offs_e)
+        L = lens_e[rows0] + lens_e[rows0 + 1]    # elements per pair
+        from ..codecs import _native
+        if _native.available():
+            # one linear merge per pair over the raw buffer (halves
+            # are sorted+unique), zero index materialization
+            inter = _native.pair_intersect(data, offs_e, rows0)
+        else:
+            inter = _pair_intersect_np(data, offs_e, rows0)
+        union = L - inter
+        mask = (union > 0) & (t_den * inter >= t_num * union)
+        return pa.table([pa.array(ia[rows0[mask]], pa.int64()),
+                         pa.array(ib[rows0[mask]], pa.int64())],
                         schema=_MINHASH_EDGE)
 
     return verify_block
