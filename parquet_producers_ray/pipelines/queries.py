@@ -2469,6 +2469,54 @@ FROM documents
 """
 
 
+# color pair: tolerance must cover luma quant noise amplified by the
+# YCbCr→RGB gains (~1.4-1.8×) plus chroma DC quant; measured max err
+# 20 at sf0.01 / 19 at sf0.001 (tests pin the sf0.001 sweep ≤ 24)
+_JPEG_COLOR_TOL = 32
+
+
+def q_media_jpeg_color(sf_dir: str, quality: int = _JPEG_QUALITY,
+                       tol: int = _JPEG_COLOR_TOL):
+    """REAL color-image pipeline (round 5 — closes the grayscale
+    boundary): synthesize a genuine 4:2:0 YCbCr baseline-JFIF column
+    (stages/jpeg.py — 3-component interleaved MCU scan, Annex K
+    luma+chroma tables; blobs open in any viewer), then an actor-pool
+    stage entropy-decodes the interleaved scan (4 Y + Cb + Cr blocks
+    per MCU), IDCTs all three components, upsamples chroma,
+    color-converts, and verifies the RGB reconstruction IN-PIPELINE
+    against the closed-form source rule with a fixed error bound
+    (`media_jpeg`'s contract extended to color; the SQL oracle
+    replays the deterministic outputs: dims, 16×16-MCU count,
+    all-rows-ok)."""
+    from ..stages.multimodal import (JpegColorReconStage,
+                                     synthesize_jpeg_color_column)
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synthesize_jpeg_color_column(b, quality=quality)
+        return t.append_column("text", b.column("text"))
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
+          .map_batches(synth, batch_format="pyarrow"))
+    return ds.map_batches(JpegColorReconStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=(2, 8),
+                          fn_constructor_kwargs={"tol": tol})
+
+
+# synthesis rule (stages/multimodal.py:_color_jpeg_source):
+# w = id%40+8, h = id%24+8; 4:2:0 MCUs are 16x16; decode is verified
+# in-pipeline against the source rule with |err| <= 32 at quality 95
+# (measured max 20 at sf0.01), so recon_ok is TRUE for every row.
+SQL_MEDIA_JPEG_COLOR = """
+SELECT doc_id,
+       CAST(doc_id % 40 + 8 AS BIGINT) AS width,
+       CAST(doc_id % 24 + 8 AS BIGINT) AS height,
+       CAST(((doc_id % 40 + 8 + 15) // 16)
+            * ((doc_id % 24 + 8 + 15) // 16) AS BIGINT) AS mcus,
+       TRUE AS recon_ok
+FROM documents
+"""
+
+
 SQL_MEDIA_FEATURES = """
 SELECT doc_id,
        doc_id % 640 + 1 AS width,
@@ -6137,6 +6185,7 @@ REGISTRY = {
     "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
     "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
     "media_jpeg": (q_media_jpeg, SQL_MEDIA_JPEG),
+    "media_jpeg_color": (q_media_jpeg_color, SQL_MEDIA_JPEG_COLOR),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),

@@ -1,6 +1,8 @@
 """REAL baseline JPEG (ITU-T T.81 / JFIF), pure stdlib+numpy:
-grayscale 8-bit, one component, no subsampling, sequential DCT with
-the spec's Annex K luminance quantization + Huffman tables.
+8-bit sequential DCT with the spec's Annex K quantization + Huffman
+tables.  Grayscale (1 component) AND color (3-component YCbCr per
+JFIF/T.871), interleaved baseline scan with 4:2:0 chroma subsampling
+(the dominant real-crawl layout) or 4:4:4.
 
 Why it exists: JPEG is the dominant image payload of a Common-Crawl-
 style corpus, and the reference's media path left compressed formats
@@ -41,6 +43,17 @@ QUANT_LUMA = np.array([
     [49, 64, 78, 87, 103, 121, 120, 101],
     [72, 92, 95, 98, 112, 100, 103, 99]], np.int32)
 
+# Annex K.2 — chrominance quantization table, natural order.
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.int32)
+
 # Annex K.3 / K.5 — standard luminance Huffman tables: BITS (number of
 # codes per length 1..16) and HUFFVAL (symbol values in code order).
 DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -62,6 +75,30 @@ AC_VALS = [
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# Annex K.4 / K.6 — standard chrominance Huffman tables.
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+assert sum(AC_BITS_C) == len(AC_VALS_C) == 162
+assert sum(DC_BITS_C) == len(DC_VALS_C) == 12
 
 
 def _zigzag_order() -> np.ndarray:
@@ -87,12 +124,34 @@ for _u in range(8):
             * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
-def _scaled_quant(quality: int) -> np.ndarray:
+def _scaled_quant(quality: int, base: np.ndarray = QUANT_LUMA) -> np.ndarray:
     """IJG quality scaling (public libjpeg convention)."""
     q = min(max(int(quality), 1), 100)
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    tbl = (QUANT_LUMA * scale + 50) // 100
+    tbl = (base * scale + 50) // 100
     return np.clip(tbl, 1, 255).astype(np.int32)
+
+
+# JFIF (ITU-T T.871 §7) RGB <-> YCbCr, full range.
+def rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → (h, w, 3) float64 YCbCr (unclipped)."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray,
+                 cr: np.ndarray) -> np.ndarray:
+    """float64 planes → (h, w, 3) uint8 RGB (rounded + clipped)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def _build_huffman(bits, vals):
@@ -225,78 +284,167 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _fdct_zz(plane: np.ndarray, quant: np.ndarray) -> tuple:
+    """Centered float plane (already padded to 8-multiples) → zigzag
+    quantized coefficients (nblocks, 64) + block-grid dims."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    blocks = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8) - 128.0)
+    coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    qc = np.round(coef / quant).astype(np.int32)
+    return qc.reshape(-1, 64)[:, ZIGZAG], bh, bw
+
+
+def _encode_block(bw_: "_BitWriter", blk: np.ndarray, prev_dc: int,
+                  dc_enc: dict, ac_enc: dict) -> int:
+    """Huffman-encode ONE zigzag block; returns the new DC predictor."""
+    diff = int(blk[0]) - prev_dc
+    prev_dc = int(blk[0])
+    s = _category(diff)
+    bw_.write(*dc_enc[s])
+    if s:
+        v = diff if diff > 0 else diff + (1 << s) - 1
+        bw_.write(v, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw_.write(*ac_enc[0xF0])
+            run -= 16
+        s = _category(v)
+        bw_.write(*ac_enc[(run << 4) | s])
+        bw_.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw_.write(*ac_enc[0x00])                  # EOB
+    return prev_dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
 class JpegCodec:
-    """Baseline sequential JFIF, grayscale: SOI / APP0 / DQT / SOF0 /
-    DHT(DC+AC) / SOS / entropy data / EOI.  ``encode`` emits standard
-    files; ``decode_pixels`` parses real marker streams (multi-table
-    DQT, APPn/COM skipping) for this baseline profile and raises
-    ``NotImplementedError`` for progressive/color/subsampled inputs
-    (the lib-backed integration point)."""
+    """Baseline sequential JFIF: SOI / APP0 / DQT / SOF0 / DHT / SOS /
+    entropy data / EOI.  ``encode`` emits standard files — grayscale
+    from an (h, w) array, or YCbCr color from an (h, w, 3) RGB array
+    with 4:2:0 (default) or 4:4:4 chroma, Annex K luma+chroma tables.
+    ``decode_pixels`` parses real marker streams (multi-table DQT,
+    APPn/COM skipping, interleaved multi-component scans with
+    sampling factors up to 2×2 — 4:4:4 / 4:2:2 / 4:2:0) and raises
+    ``NotImplementedError`` for progressive/arithmetic/restart-marker
+    streams (the lib-backed integration point)."""
 
     @staticmethod
-    def encode(pixels: np.ndarray, quality: int = 95) -> bytes:
+    def encode(pixels: np.ndarray, quality: int = 95,
+               subsampling: str = "420") -> bytes:
         px = np.asarray(pixels, np.uint8)
+        if px.ndim == 3 and px.shape[2] == 3:
+            return JpegCodec._encode_color(px, quality, subsampling)
         h, w = px.shape
         if not h or not w:
             raise ValueError("empty image")
         quant = _scaled_quant(quality)
         bh, bw = -(-h // 8), -(-w // 8)
         pad = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-                  .reshape(-1, 8, 8).astype(np.float64) - 128.0)
-        coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
-        qc = np.round(coef / quant).astype(np.int32)
-        zz = qc.reshape(-1, 64)[:, ZIGZAG]
+        zz, _, _ = _fdct_zz(pad.astype(np.float64), quant)
 
         dc_enc = _build_huffman(DC_BITS, DC_VALS)
         ac_enc = _build_huffman(AC_BITS, AC_VALS)
         bw_ = _BitWriter()
         prev_dc = 0
         for blk in zz:
-            diff = int(blk[0]) - prev_dc
-            prev_dc = int(blk[0])
-            s = _category(diff)
-            bw_.write(*dc_enc[s])
-            if s:
-                v = diff if diff > 0 else diff + (1 << s) - 1
-                bw_.write(v, s)
-            run = 0
-            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) \
-                else 0
-            for k in range(1, last_nz + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw_.write(*ac_enc[0xF0])
-                    run -= 16
-                s = _category(v)
-                bw_.write(*ac_enc[(run << 4) | s])
-                bw_.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                bw_.write(*ac_enc[0x00])          # EOB
+            prev_dc = _encode_block(bw_, blk, prev_dc, dc_enc, ac_enc)
         bw_.flush()
 
-        def seg(marker: int, body: bytes) -> bytes:
-            return struct.pack(">HH", marker, len(body) + 2) + body
-
         out = bytearray(b"\xFF\xD8")              # SOI
-        out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        out += seg(0xFFDB, b"\x00"
-                   + quant.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
-        out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
-                   + b"\x01\x11\x00")             # SOF0: 1 comp, 1x1, q0
-        out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-        out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-        out += seg(0xFFDA, b"\x01\x01\x00\x00\x3F\x00")
+        out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _seg(0xFFDB, b"\x00"
+                    + quant.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+        out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+                    + b"\x01\x11\x00")            # SOF0: 1 comp, 1x1, q0
+        out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3F\x00")
         out += bw_.out
         out += b"\xFF\xD9"                        # EOI
         return bytes(out)
 
     @staticmethod
+    def _encode_color(px: np.ndarray, quality: int,
+                      subsampling: str) -> bytes:
+        """Interleaved 3-component baseline scan (T.81 A.2.3): MCU =
+        [4 Y, Cb, Cr] at 4:2:0 or [Y, Cb, Cr] at 4:4:4, each component
+        with its own quant table, Huffman pair and DC predictor."""
+        if subsampling not in ("420", "444"):
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        ss = 2 if subsampling == "420" else 1
+        h, w = px.shape[:2]
+        if not h or not w:
+            raise ValueError("empty image")
+        mcuy, mcux = -(-h // (8 * ss)), -(-w // (8 * ss))
+        ph, pw = mcuy * 8 * ss, mcux * 8 * ss
+        pad = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        ycc = rgb_to_ycbcr(pad)
+        yp = ycc[..., 0]
+        if ss == 2:                     # 2×2 box average (JFIF centered)
+            cb = ycc[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+            cr = ycc[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+        else:
+            cb, cr = ycc[..., 1], ycc[..., 2]
+        qy = _scaled_quant(quality)
+        qc = _scaled_quant(quality, QUANT_CHROMA)
+        zzy, _, bwy = _fdct_zz(yp, qy)
+        zzcb, _, bwc = _fdct_zz(cb, qc)
+        zzcr, _, _ = _fdct_zz(cr, qc)
+
+        dcy = _build_huffman(DC_BITS, DC_VALS)
+        acy = _build_huffman(AC_BITS, AC_VALS)
+        dcc = _build_huffman(DC_BITS_C, DC_VALS_C)
+        acc = _build_huffman(AC_BITS_C, AC_VALS_C)
+        bw_ = _BitWriter()
+        pdc = [0, 0, 0]
+        for i in range(mcuy):
+            for j in range(mcux):
+                for by in range(ss):
+                    for bx in range(ss):
+                        blk = zzy[(ss * i + by) * bwy + (ss * j + bx)]
+                        pdc[0] = _encode_block(bw_, blk, pdc[0], dcy, acy)
+                pdc[1] = _encode_block(bw_, zzcb[i * bwc + j], pdc[1],
+                                       dcc, acc)
+                pdc[2] = _encode_block(bw_, zzcr[i * bwc + j], pdc[2],
+                                       dcc, acc)
+        bw_.flush()
+
+        samp = 0x22 if ss == 2 else 0x11
+        out = bytearray(b"\xFF\xD8")
+        out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _seg(0xFFDB, b"\x00"
+                    + qy.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+                    + b"\x01"
+                    + qc.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+        out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+        out += _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+        out += _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+                    + b"\x00\x3F\x00")
+        out += bw_.out
+        out += b"\xFF\xD9"
+        return bytes(out)
+
+    @staticmethod
     def decode_pixels(blob: bytes) -> np.ndarray:
+        """Grayscale streams → (h, w) uint8; 3-component YCbCr streams
+        (interleaved baseline scan, sampling factors ≤ 2×2) →
+        (h, w, 3) uint8 RGB with nearest-neighbor chroma upsampling."""
         data = bytes(blob)
         if data[:2] != b"\xFF\xD8":
             raise ValueError("not a JPEG (no SOI)")
@@ -304,8 +452,8 @@ class JpegCodec:
         quants: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], tuple] = {}
         w = h = None
-        comp_q = 0
-        dc_id = ac_id = 0
+        comps: list = []          # (id, hs, vs, tq) in SOF order
+        scan: dict = {}           # comp id -> (dc table id, ac table id)
         while True:
             if data[pos] != 0xFF:
                 raise ValueError("expected marker")
@@ -329,16 +477,20 @@ class JpegCodec:
                     bp += 65
             elif marker in (0xC0, 0xC1):          # SOF0/1 baseline
                 prec, h, w, nc = struct.unpack_from(">BHHB", body)
-                if prec != 8 or nc != 1:
+                if prec != 8 or nc not in (1, 3):
                     raise NotImplementedError(
-                        "JpegCodec decodes 8-bit single-component "
-                        f"baseline; got precision={prec} components={nc}"
-                        " — color/subsampled inputs go through the "
-                        "lib-backed integration point")
-                # 6-byte frame header, then (id, sampling, quant)
-                if body[7] != 0x11:
-                    raise NotImplementedError("subsampled component")
-                comp_q = body[8]
+                        f"JpegCodec decodes 8-bit 1/3-component "
+                        f"baseline; got precision={prec} components="
+                        f"{nc} — CMYK etc. go through the lib-backed "
+                        "integration point")
+                for c in range(nc):
+                    cid = body[6 + 3 * c]
+                    hs, vs = body[7 + 3 * c] >> 4, body[7 + 3 * c] & 0x0F
+                    if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                        raise NotImplementedError(
+                            f"sampling factor {hs}x{vs} > 2x2 goes "
+                            "through the lib-backed integration point")
+                    comps.append((cid, hs, vs, body[8 + 3 * c]))
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
@@ -357,22 +509,42 @@ class JpegCodec:
                 raise NotImplementedError("restart intervals")
             elif marker == 0xDA:                  # SOS
                 ns = body[0]
-                if ns != 1:
-                    raise NotImplementedError("multi-component scan")
-                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan baseline")
+                for s_ in range(ns):
+                    cid = body[1 + 2 * s_]
+                    scan[cid] = (body[2 + 2 * s_] >> 4,
+                                 body[2 + 2 * s_] & 0x0F)
                 break
             # APPn / COM / others: skipped via the length walk
-        if w is None or comp_q not in quants:
-            raise ValueError("missing SOF/DQT before SOS")
-        quant = quants[comp_q]
-        dc_sym, dc_len = huff[(0, dc_id)]
-        ac_sym, ac_len = huff[(1, ac_id)]
-        bh, bw = -(-h // 8), -(-w // 8)
-        nblk = bh * bw
-        zz = np.zeros((nblk, 64), np.int32)
+        if w is None or not comps:
+            raise ValueError("missing SOF before SOS")
+        nc = len(comps)
+        if nc == 1:
+            # single-component scans are NON-interleaved (T.81 A.2.2):
+            # data units in raster order, sampling factors irrelevant
+            comps = [(comps[0][0], 1, 1, comps[0][3])]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        zzs, dims, tabs = [], [], []
+        for cid, hs, vs, tq in comps:
+            if tq not in quants:
+                raise ValueError("missing DQT before SOS")
+            bw_c, bh_c = mcux * hs, mcuy * vs
+            zzs.append(np.zeros((bh_c * bw_c, 64), np.int32))
+            dims.append((bh_c, bw_c))
+            if cid not in scan:
+                raise ValueError("SOS lacks component")
+            dc_id, ac_id = scan[cid]
+            tabs.append((huff[(0, dc_id)], huff[(1, ac_id)]))
         r = _BitReader(data, pos)
-        prev_dc = 0
-        for b in range(nblk):
+        pdc = [0] * nc
+
+        def read_block(zz_row, ci):
+            (dc_sym, dc_len), (ac_sym, ac_len) = tabs[ci]
             p16 = r.peek16()
             s = dc_sym[p16]
             ln = dc_len[p16]
@@ -383,8 +555,8 @@ class JpegCodec:
                 v = r.bits(s)
                 if v < (1 << (s - 1)):
                     v -= (1 << s) - 1
-                prev_dc += v
-            zz[b, 0] = prev_dc
+                pdc[ci] += v
+            zz_row[0] = pdc[ci]
             k = 1
             while k < 64:
                 p16 = r.peek16()
@@ -407,12 +579,33 @@ class JpegCodec:
                     v -= (1 << s) - 1
                 if k > 63:
                     raise ValueError("AC index overrun")
-                zz[b, k] = v
+                zz_row[k] = v
                 k += 1
-        nat = np.zeros((nblk, 64), np.int32)
-        nat[:, ZIGZAG] = zz
-        coef = nat.reshape(nblk, 8, 8).astype(np.float64) * quant
-        blocks = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T)
-        img = (blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
-               .reshape(bh * 8, bw * 8) + 128.0)
-        return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+        for mi in range(mcuy):
+            for mj in range(mcux):
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    bw_c = dims[ci][1]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bidx = ((mi * vs + by) * bw_c
+                                    + mj * hs + bx)
+                            read_block(zzs[ci][bidx], ci)
+
+        planes = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            bh_c, bw_c = dims[ci]
+            nat = np.zeros((bh_c * bw_c, 64), np.int32)
+            nat[:, ZIGZAG] = zzs[ci]
+            coef = nat.reshape(-1, 8, 8).astype(np.float64) * quants[tq]
+            blocks = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T)
+            plane = (blocks.reshape(bh_c, bw_c, 8, 8)
+                     .transpose(0, 2, 1, 3)
+                     .reshape(bh_c * 8, bw_c * 8) + 128.0)
+            # nearest-neighbor upsample to full grid, crop to (h, w)
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)[:h, :w]
+            planes.append(plane)
+        if nc == 1:
+            return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -67,17 +67,22 @@ class FakeImageCodec:
 
 
 class PillowImageDecoder:
-    """Integration point for lib-backed formats (JPEG/WebP, ffmpeg for
-    video) whose binary codecs this container doesn't ship.  PNG is
-    genuinely decoded by :class:`PngCodec` below; everything else
-    would hold a PIL/libjpeg handle per actor here."""
+    """Integration point for the REMAINING lib-backed formats whose
+    binary codecs this container doesn't ship: progressive/arithmetic/
+    restart-marker JPEG, WebP, and video containers (ffmpeg).  PNG,
+    GIF, and BASELINE JPEG — grayscale AND interleaved 3-component
+    YCbCr at 4:4:4 / 4:2:2 / 4:2:0, i.e. the dominant crawl-image
+    layouts — are genuinely decoded by :class:`PngCodec` /
+    :class:`GifCodec` / ``stages/jpeg.py::JpegCodec``; everything
+    else would hold a PIL/libjpeg handle per actor here."""
 
     def decode(self, blob: bytes) -> dict:
         raise NotImplementedError(
-            "JPEG/WebP/video decode requires Pillow/libjpeg/ffmpeg; "
-            "wire it here and construct "
-            "ImageFeatureStage(decoder=PillowImageDecoder()); PNG is "
-            "handled natively by PngCodec")
+            "progressive JPEG / WebP / video decode requires "
+            "Pillow/libjpeg/ffmpeg; wire it here and construct "
+            "ImageFeatureStage(decoder=PillowImageDecoder()); PNG, "
+            "GIF and baseline JPEG (gray + 4:2:0/4:2:2/4:4:4 color) "
+            "are handled natively by PngCodec/GifCodec/JpegCodec")
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -341,7 +346,7 @@ class _SniffImageDecoder:
         if head[:2] == b"\xFF\xD8":
             from .jpeg import JpegCodec
             px = JpegCodec.decode_pixels(blob)
-            h, w = px.shape
+            h, w = px.shape[:2]         # gray (h,w) or color (h,w,3)
             return {"width": w, "height": h, "n_bytes": int(px.size),
                     "checksum": zlib.crc32(px.tobytes())}
         if head[:6] in (b"GIF89a", b"GIF87a"):
@@ -981,6 +986,96 @@ class JpegReconStage:
             "width": pa.array(ws, pa.int64()),
             "height": pa.array(hs, pa.int64()),
             "mcu_blocks": pa.array(nblk, pa.int64()),
+            "recon_ok": pa.array(ok, pa.bool_()),
+        })
+
+
+def _color_jpeg_source(i: int, text: str) -> "np.ndarray":
+    """Closed-form COLOR source rule shared by synthesis and verify
+    (and whose derived outputs the SQL oracle replays): w = id%40+8,
+    h = id%24+8; luma = text bytes (full-resolution noise), chroma =
+    16×16-tile-constant ramps ALIGNED to the 4:2:0 MCU grid, so every
+    subsampled chroma block is constant and the reconstruction error
+    stays luma-dominated (chroma DC quant only)."""
+    from .jpeg import ycbcr_to_rgb
+
+    w = i % 40 + 8
+    h = i % 24 + 8
+    raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+    if len(raw):
+        y = raw[np.arange(w * h) % len(raw)].reshape(h, w).astype(
+            np.float64)
+    else:
+        y = np.zeros((h, w), np.float64)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    cb = 96.0 + 8.0 * (xx // 16 % 8)
+    cr = 96.0 + 4.0 * (yy // 16 % 8)
+    return ycbcr_to_rgb(y, cb, cr)
+
+
+def synthesize_jpeg_color_column(batch: pa.Table, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 quality: int = 95) -> pa.Table:
+    """Deterministic REAL 4:2:0 color-JPEG column from the documents
+    table via the `_color_jpeg_source` rule, encoded through the
+    genuine 3-component interleaved JFIF path (stages/jpeg.py), so the
+    blobs open in any viewer."""
+    from .jpeg import JpegCodec
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    blobs = [JpegCodec.encode(_color_jpeg_source(int(i), t), quality,
+                              subsampling="420")
+             for i, t in zip(ids, texts)]
+    return pa.table({
+        id_col: batch.column(id_col),
+        "image": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
+class JpegColorReconStage:
+    """Actor-pool stage over GENUINELY DECODED 4:2:0 color JPEG:
+    parse the marker stream, Huffman-decode the interleaved MCU scan
+    (4 Y + Cb + Cr per MCU), dequantize + IDCT all three components,
+    upsample chroma and color-convert (stages/jpeg.py), then verify
+    the lossy RGB reconstruction IN-PIPELINE against the closed-form
+    `_color_jpeg_source` rule with a fixed error bound — the
+    `JpegReconStage` contract extended to color.  Emits dims, MCU
+    count (16×16 at 4:2:0) and the bounded-error verdict."""
+
+    def __init__(self, binary_col: str = "image", id_col: str = "doc_id",
+                 text_col: str = "text", tol: int = 32):
+        from .jpeg import JpegCodec
+        self.codec = JpegCodec
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.text_col = text_col
+        self.tol = tol
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, nmcu, ok = [], [], [], [], []
+        for i, v, t in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.binary_col).to_pylist(),
+                           batch.column(self.text_col).to_pylist()):
+            ids.append(i)
+            if v is None:
+                ws.append(None), hs.append(None)
+                nmcu.append(None), ok.append(None)
+                continue
+            px = self.codec.decode_pixels(v)
+            h, w = px.shape[:2]
+            want = _color_jpeg_source(int(i), t)
+            err = int(np.abs(px.astype(np.int64)
+                             - want.astype(np.int64)).max())
+            ws.append(w)
+            hs.append(h)
+            nmcu.append(-(-w // 16) * -(-h // 16))
+            ok.append(err <= self.tol and px.ndim == 3)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mcus": pa.array(nmcu, pa.int64()),
             "recon_ok": pa.array(ok, pa.bool_()),
         })
 
