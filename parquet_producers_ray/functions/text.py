@@ -65,6 +65,150 @@ def bpe_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({"n_bpe_tokens": n})
 
 
+# --------------------------------------------------------------------------
+# REAL byte-pair encoding (Sennrich, Haddow & Birch, ACL 2016 — "Neural
+# Machine Translation of Rare Words with Subword Units", Algorithm 1),
+# character-level over lowercase alpha pre-tokens.  Training is
+# deterministic (tie-break: higher count first, then lexicographically
+# smaller pair), so the merge table below is PINNED and replayable —
+# the SQL oracle embeds the identical table as a map literal and
+# re-derives every token count with a recursive CTE.
+
+BPE_WORD_RE = r"[a-z]+"      # pre-tokens: maximal lowercase-alpha runs
+
+
+def _bpe_merge_word(syms: tuple, pair: tuple) -> tuple:
+    """Merge all non-overlapping occurrences of ``pair``, leftmost
+    first (the Sennrich replacement step)."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if (i + 1 < n and syms[i] == pair[0] and syms[i + 1] == pair[1]):
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(word_counts: dict, num_merges: int = 48) -> list:
+    """Learn ``num_merges`` BPE merges from a {word: count} sample.
+    Stops early when the best pair occurs only once (no statistical
+    signal).  Deterministic: ties break to the lexicographically
+    smallest pair, so retraining on the same sample reproduces the
+    pinned table bit-for-bit (pinned by
+    tests/test_functions.py::test_bpe_pinned_merges_reproduce)."""
+    vocab = {}
+    for w, c in word_counts.items():
+        syms = tuple(w)
+        vocab[syms] = vocab.get(syms, 0) + int(c)
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        vocab = {_bpe_merge_word(syms, best): c
+                 for syms, c in vocab.items()}
+    return merges
+
+
+# Trained on the sf0.001 documents corpus (lowercase [a-z]+ pre-token
+# frequencies), num_merges=48 — regenerate with
+# tools/train_bpe_merges.py; test_bpe_pinned_merges_reproduce asserts
+# training still yields exactly this table.
+PINNED_BPE_MERGES: list = [
+    ('e', 'r'), ('o', 'r'), ('i', 'n'), ('o', 'w'),
+    ('s', 't'), ('l', 'u'), ('a', 'r'), ('p', 'ar'),
+    ('m', 'er'), ('a', 't'), ('a', 'n'), ('c', 'an'),
+    ('s', 'can'), ('c', 'o'), ('co', 'lu'), ('colu', 'm'),
+    ('colum', 'n'), ('d', 'ow'), ('in', 'dow'), ('w', 'indow'),
+    ('d', 'er'), ('or', 'der'), ('or', 't'), ('s', 'ort'),
+    ('par', 't'), ('u', 'p'), ('a', 'g'), ('ag', 'g'),
+    ('a', 'lu'), ('alu', 'e'), ('v', 'alue'), ('in', 'e'),
+    ('l', 'ine'), ('e', 'y'), ('k', 'ey'), ('j', 'o'),
+    ('jo', 'in'), ('g', 'e'), ('mer', 'ge'), ('er', 'y'),
+    ('g', 'r'), ('gr', 'o'), ('gro', 'up'), ('q', 'u'),
+    ('qu', 'ery'), ('c', 't'), ('ct', 'or'), ('e', 'ctor'),
+]
+
+
+def bpe_segment(word: str, ranks: dict) -> tuple:
+    """Apply BPE merges to one word: repeatedly merge ALL occurrences
+    of the present pair with the lowest rank (GPT-2's bpe() order —
+    equivalent to one-at-a-time leftmost-lowest because a merge's
+    output token only appears in LATER-ranked rules)."""
+    syms = tuple(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _bpe_merge_word(syms, best_pair)
+    return syms
+
+
+class BpeCounter:
+    """Cached BPE token counter (merges + cache live for the worker's
+    lifetime — the model-in-__init__ actor-pool discipline; the cache
+    is vocabulary-sized, not corpus-sized)."""
+
+    def __init__(self, merges=None):
+        self.ranks = {p: i for i, p in enumerate(
+            PINNED_BPE_MERGES if merges is None else merges)}
+        self.cache: dict = {}
+
+    def count(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(bpe_segment(word, self.ranks))
+            self.cache[word] = n
+        return n
+
+
+_BPE_COUNTER = None
+
+
+def bpe_real_token_counts(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """True-BPE token count per doc: RE2 pre-tokenize (lowercase
+    [a-z]+ runs), count subword tokens per DISTINCT word through the
+    cached merge table, then one vectorized lookup + segment-sum back
+    to docs.  Corpus-scale work is all Arrow/NumPy; Python runs only
+    once per distinct pre-token per worker (vocabulary-sized)."""
+    global _BPE_COUNTER
+    if _BPE_COUNTER is None:
+        _BPE_COUNTER = BpeCounter()
+    lowered = pc.utf8_lower(batch.column(text_col))
+    toks = pc.split_pattern_regex(lowered, "[^a-z]+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    cnt = _BPE_COUNTER.count
+    per_word = np.array([0 if w == "" else cnt(w) for w in uniq],
+                        np.int64)
+    flat_counts = per_word[inv]
+    parents = np.repeat(np.arange(len(lengths)), lengths)
+    sums = np.bincount(parents, weights=flat_counts,
+                       minlength=len(lengths))
+    return pa.table({"n_bpe_tokens": pa.array(sums.astype(np.int64))})
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / mean-word-length / stopword-ratio quality signals."""
     text = batch.column(text_col)

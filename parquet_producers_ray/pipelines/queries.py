@@ -588,32 +588,96 @@ FROM documents
 """
 
 
-def q_text_tokens_bpe(sf_dir: str):
-    """BPE-ish regex pre-token count (GPT-2 pre-tokenizer shape) — one
+def q_text_tokens_pretok(sf_dir: str):
+    """BPE pre-token count (GPT-2 pre-tokenizer shape) — one
     vectorized RE2 scan per batch; same RE2 pattern in the DuckDB
-    oracle, so the counts must match exactly."""
+    oracle, so the counts must match exactly.  (Was text_tokens_bpe
+    through round 4; text_tokens_bpe now runs TRUE trained BPE.)"""
     # the same RE2 pattern (functions.text.BPE_PATTERN) is baked
-    # into SQL_TEXT_TOKENS_BPE as a literal — keep them in sync
+    # into SQL_TEXT_TOKENS_PRETOK as a literal — keep them in sync
     from ..functions.text import bpe_token_counts
 
     def fn(b: pa.Table) -> pa.Table:
         t = bpe_token_counts(b)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_pre_tokens": t.column("n_bpe_tokens")})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+from ..functions.text import BPE_PATTERN as _BPE
+from ..functions.text import PINNED_BPE_MERGES as _BPE_MERGES
+
+# the ONE copy of the pattern, SQL-escaped ('' for ') at import time
+SQL_TEXT_TOKENS_PRETOK = """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '{}'
+       )) AS n_pre_tokens
+FROM documents
+""".format(_BPE.replace("'", "''"))
+
+
+def q_text_tokens_bpe(sf_dir: str):
+    """TRUE byte-pair-encoding token count (round 5): merges trained
+    deterministically on the sf0.001 corpus sample (Sennrich et al.
+    2016, functions/text.py::train_bpe) and PINNED; application is the
+    canonical lowest-rank-first merge loop, run once per DISTINCT
+    pre-token per worker (vocabulary-sized Python, corpus-scale work
+    vectorized).  The SQL oracle REPLAYS the same pinned merge table
+    with a recursive CTE — one merge per step, leftmost occurrence of
+    the lowest-ranked pair, provably the same fixpoint because a
+    merge's output token only appears in later-ranked rules — so the
+    driver hash-checks true-BPE counts end to end."""
+    from ..functions.text import bpe_real_token_counts
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = bpe_real_token_counts(b)
         return pa.table({"doc_id": b.column("doc_id"),
                          "n_bpe_tokens": t.column("n_bpe_tokens")})
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
 
 
-from ..functions.text import BPE_PATTERN as _BPE
+# the pinned merge table as a SQL map literal — generated from the ONE
+# Python copy at import, so the sides cannot drift
+_BPE_MAP_KEYS = ", ".join(f"'{a} {b}'" for a, b in _BPE_MERGES)
+_BPE_MAP_RANKS = ", ".join(str(i) for i in range(len(_BPE_MERGES)))
 
-# the ONE copy of the pattern, SQL-escaped ('' for ') at import time
 SQL_TEXT_TOKENS_BPE = """
-SELECT doc_id,
-       len(regexp_extract_all(text,
-           '{}'
-       )) AS n_bpe_tokens
-FROM documents
-""".format(_BPE.replace("'", "''"))
+WITH RECURSIVE
+m AS (SELECT map([{keys}], [{ranks}]) AS mp),
+docw AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM documents),
+init AS (SELECT DISTINCT w FROM docw),
+steps AS (
+  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
+  FROM init
+  UNION ALL
+  SELECT w, toks[1:bp-1] || [toks[bp] || toks[bp+1]] || toks[bp+2:]
+            AS toks
+  FROM (
+    SELECT w, toks,
+           CASE WHEN list_min(rks) < 1000000
+                THEN list_position(rks, list_min(rks)) END AS bp
+    FROM (SELECT w, toks,
+                 list_transform(range(1, len(toks)),
+                     i -> coalesce(mp[toks[i] || ' ' || toks[i+1]][1],
+                                   1000000)) AS rks
+          FROM steps, m))
+  WHERE bp IS NOT NULL
+),
+final AS (
+  SELECT w, len(toks) AS n FROM steps s
+  WHERE NOT EXISTS (SELECT 1 FROM steps s2
+                    WHERE s2.w = s.w AND len(s2.toks) < len(s.toks))),
+per_doc AS (
+  SELECT dw.doc_id, sum(f.n) AS n
+  FROM docw dw JOIN final f USING (w) GROUP BY dw.doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".format(keys=_BPE_MAP_KEYS, ranks=_BPE_MAP_RANKS)
 
 
 def q_text_quality(sf_dir: str):
@@ -6257,6 +6321,7 @@ REGISTRY = {
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
+    "text_tokens_pretok": (q_text_tokens_pretok, SQL_TEXT_TOKENS_PRETOK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

@@ -1407,3 +1407,83 @@ def test_minhash_verify_vectorized_differential():
                   "grams": pa.array([a.tobytes(), np.sort(b).tobytes()],
                                     pa.large_binary())})
     assert fn(t).num_rows == 1          # 7/17-union → J = 7/10 kept
+
+
+def test_bpe_pinned_merges_reproduce(sf_dir):
+    """Retraining on the sf0.001 sample must reproduce the pinned
+    merge table bit-for-bit (train_bpe's determinism contract — the
+    SQL oracle embeds this exact table)."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from parquet_producers_ray.functions.text import (BPE_WORD_RE,
+                                                      PINNED_BPE_MERGES,
+                                                      train_bpe)
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    wc = Counter()
+    rx = re.compile(BPE_WORD_RE)
+    for txt in t.column("text").to_pylist():
+        wc.update(rx.findall(txt.lower()))
+    assert train_bpe(dict(wc), 48) == PINNED_BPE_MERGES
+
+
+def test_bpe_segment_matches_one_merge_at_a_time():
+    """Property pin for the oracle-equivalence argument: GPT-2-order
+    application (merge ALL occurrences of the lowest-ranked present
+    pair) must equal the SQL oracle's one-merge-per-step semantics
+    (leftmost occurrence of the lowest-ranked pair, iterated), for
+    random words AND random merge tables — including tables with
+    overlapping/chainable pairs ('aa' cases)."""
+    import random
+
+    from parquet_producers_ray.functions.text import (bpe_segment,
+                                                      train_bpe)
+
+    def one_at_a_time(word, ranks):
+        toks = list(word)
+        while True:
+            best = None
+            bi = None
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if bi is None:
+                return tuple(toks)
+            toks[bi:bi + 2] = [toks[bi] + toks[bi + 1]]
+
+    rng = random.Random(11)
+    alpha = "abcd"
+    for trial in range(200):
+        words = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randint(1, 12)))
+                 for _ in range(30)]
+        wc = {w: rng.randint(1, 50) for w in words}
+        merges = train_bpe(wc, rng.randint(1, 30))
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in words + ["aaaaaaa", "abababa", ""]:
+            assert bpe_segment(w, ranks) == one_at_a_time(w, ranks), \
+                (trial, w, merges)
+
+
+def test_bpe_real_token_counts_matches_slow_reference():
+    """Vectorized+cached corpus path == naive per-doc reference."""
+    import re
+
+    from parquet_producers_ray.functions.text import (BpeCounter,
+                                                      bpe_real_token_counts)
+
+    docs = ["Key VALUE merge, sort; 123 window!!", "",
+            "spark spark spark", "??!!", "a", "The-Quick_Brown fox"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = bpe_real_token_counts(t).column("n_bpe_tokens").to_pylist()
+    c = BpeCounter()
+    want = [sum(c.count(w) for w in re.findall("[a-z]+", d.lower()))
+            for d in docs]
+    assert got == want
