@@ -166,6 +166,30 @@ def run_flagship(input_path: str, out_dir: str,
     return summary
 
 
+def query_overhead(sf_dir: str, repeats: int = 5) -> float:
+    """Fixed per-query Ray Data cost on this session: a no-op
+    read → map_batches → count over the smallest table, median of
+    ``repeats``.  Every registry query pays at least this operator
+    startup/teardown regardless of its kernel, and at ~114 queries it
+    is the majority of the suite wall at toy scale — record it so the
+    reported suite total can be read as kernel time + N×overhead
+    (raw walls stay in `queries` untouched).  At 100 TB per-query
+    fixed cost amortizes to nothing; subtracting it here removes a
+    toy-scale artifact, not real work."""
+    import statistics
+
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "nation.parquet")
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        rd.read_parquet(path).map_batches(
+            lambda b: b, batch_format="pyarrow").count()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
 def run_queries(sf_dir: str) -> dict:
     from parquet_producers_ray.pipelines.queries import queries
 
@@ -216,24 +240,58 @@ def run_incremental(input_path: str) -> dict:
     boot_nf = time.perf_counter() - t0
     shutil.rmtree(root_nf, ignore_errors=True)
 
-    # delta: first ~1% of shard 0, text modified
-    delta = generate_shard(0, SHARD_ROWS).slice(0, BENCH_ROWS // 100)
-    new_text = pa.array(["v2 " + t
-                         for t in delta.column("text").to_pylist()])
-    delta = delta.set_column(delta.column_names.index("text"), "text",
-                             new_text)
-    t0 = time.perf_counter()
-    res = mirror.apply(updates_with_type(delta), 1)
-    inc = time.perf_counter() - t0
-    return {
+    def make_delta(frac: float, tag: str) -> pa.Table:
+        """First ``frac`` of the corpus (whole shards + one partial),
+        text modified — url-keyed, so it touches the same key ranges
+        the bootstrap wrote."""
+        want = int(BENCH_ROWS * frac)
+        parts = []
+        s = 0
+        while want > 0:
+            take = min(want, SHARD_ROWS)
+            parts.append(generate_shard(s, SHARD_ROWS).slice(0, take))
+            want -= take
+            s += 1
+        delta = pa.concat_tables(parts)
+        new_text = pa.array([tag + " " + t
+                             for t in delta.column("text").to_pylist()])
+        return delta.set_column(delta.column_names.index("text"),
+                                "text", new_text)
+
+    # delta ladder (round-5 VERDICT item 10): 1% → 10% → 50%, applied
+    # sequentially (v1→v2→v3→v4) so the hardlink/rewrite crossover is
+    # characterized on one mirror; each wave's rewrite fraction is the
+    # scale signal (rewrites should track touched key ranges, links
+    # everything else)
+    out = {
         "bootstrap_sec": round(boot, 3),
         "bootstrap_nofeed_sec": round(boot_nf, 3),
-        "delta_sec": round(inc, 3),
-        "delta_rows": len(delta),
-        "partitions_rewritten": res["content"]["rewritten"],
-        "partitions_linked": res["content"]["linked"],
-        "feed_rows": len(res["feed"]),
     }
+    version = 1
+    for frac, key in ((0.01, "delta"), (0.10, "delta10"),
+                      (0.50, "delta50")):
+        delta = make_delta(frac, f"v{version + 1}")
+        t0 = time.perf_counter()
+        res = mirror.apply(updates_with_type(delta), version)
+        inc = time.perf_counter() - t0
+        version += 1
+        rew = res["content"]["rewritten"]
+        lnk = res["content"]["linked"]
+        out.update({
+            f"{key}_sec": round(inc, 3),
+            f"{key}_rows": len(delta),
+            f"{key}_partitions_rewritten": rew,
+            f"{key}_partitions_linked": lnk,
+            f"{key}_rewrite_fraction": round(rew / max(rew + lnk, 1), 3),
+        })
+        if key == "delta":              # keep round-1..4 field names
+            out.update({
+                "delta_rows": len(delta),
+                "partitions_rewritten": rew,
+                "partitions_linked": lnk,
+                "feed_rows": len(res["feed"]),
+            })
+    return out
 
 
 def main_bench() -> dict:
@@ -241,8 +299,10 @@ def main_bench() -> dict:
     input_path = ensure_bench_input()
     flag = run_flagship(input_path, OUT_DIR)
     incr = run_incremental(input_path)
+    overhead = query_overhead(SF_DIR)
     qtimes = run_queries(SF_DIR)
     total = flag["wall_sec"] + sum(qtimes.values())
+    kernel = sum(max(0.0, t - overhead) for t in qtimes.values())
     return {
         "metric": "flagship_encode_plus_queries_sec",
         "value": round(total, 3),
@@ -250,6 +310,12 @@ def main_bench() -> dict:
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # fixed Ray Data operator cost each query pays at toy scale
+        # (median no-op pipeline); the kernel view subtracts it so the
+        # suite total tracks actual work, raw walls stay above
+        "query_overhead_sec": round(overhead, 3),
+        "queries_kernel_sec": round(kernel, 3),
+        "value_kernel": round(flag["wall_sec"] + kernel, 3),
         "flagship": flag,
         "incremental": incr,
     }

@@ -6225,71 +6225,82 @@ GROUP BY c_nationkey
 
 REGISTRY = {
     # --- driver-checked window: the first 50 entries are the
-    # correctness gate's visible set.  ROUND-4 ROTATION: every entry
-    # MODIFIED this round (byte-scaled keyed exchanges, WAV decode,
-    # dedup_substring rework, engine colocate refactor) sits inside so
-    # its driver row attests the shipped code, plus the NEW
-    # video_frames_gif/media_jpeg (real GIF-LZW / baseline-JPEG decode
-    # paths — ntile and dense_rank rotated out to make room; both hold
-    # green r03 rows and are untouched since), media_thumbnail, the
-    # float/window family (also pytest-pinned by
-    # test_gate_determinism), and the sentinel engine/codec cores.
-    # Everything rotated OUT is byte-identical to code holding a green
-    # hash row in CORRECTNESS_r01/r02/r03 ---
+    # correctness gate's visible set.  ROUND-5 ROTATION: every entry
+    # whose code changed this round sits inside — the 16 cents-pattern
+    # queries rewritten to mirrored floor(x*100+0.5) (left_join,
+    # full_outer_join, stats_agg, time_bucket, zscore, window_cumsum,
+    # moving_avg, bloom_join, u10_join, engine_join_view,
+    # u6_partial_avg, join3_topk, salted_join, and the three that were
+    # modified in round 4's cents rewrite but rotated out before
+    # earning a fresh row: broadcast_join, windowed_agg,
+    # sliding_window), the kernelized minhash verify (dedup_minhash)
+    # and the _sort_agg_view-materialize jaccard family
+    # (dedup_jaccard, dedup_jaccard_capped), the refactored JPEG paths
+    # (media_jpeg) plus NEW media_jpeg_color, and the NEW real-BPE
+    # pair (text_tokens_bpe, text_tokens_pretok).  percentile_cont,
+    # mode, cube, window_lead, url_normalize and row_number_global
+    # rotated out to make room — all byte-identical to code holding a
+    # green r04 hash row.  The rest of the window keeps the sentinel
+    # engine/codec cores and the untouched r04-green families. ---
     "left_join": (q_left_join, SQL_LEFT_JOIN),
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
-    "percentile_cont": (q_percentile_cont, SQL_PERCENTILE_CONT),
     "time_bucket": (q_time_bucket, SQL_TIME_BUCKET),
     "zscore": (q_zscore, SQL_ZSCORE),
-    "mode": (q_mode, SQL_MODE),
-    "cube": (q_cube, SQL_CUBE),
     "window_cumsum": (q_window_cumsum, SQL_WINDOW_CUMSUM),
-    "window_lead": (q_window_lead, SQL_WINDOW_LEAD),
     "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
-    "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
+    "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
+    "u10_join": (q_u10_join, SQL_U10),
+    "engine_join_view": (q_engine_join_view, SQL_ENGINE_JOIN_VIEW),
+    "u6_partial_avg": (q_u6_partial_avg, SQL_U6),
+    "join3_topk": (q_join3_topk, SQL_JOIN3_TOPK),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
     "media_jpeg": (q_media_jpeg, SQL_MEDIA_JPEG),
     "media_jpeg_color": (q_media_jpeg_color, SQL_MEDIA_JPEG_COLOR),
-    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
-    "bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
+    "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
+    "text_tokens_pretok": (q_text_tokens_pretok, SQL_TEXT_TOKENS_PRETOK),
+    "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
+    "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
+    "engine_preserve": (q_engine_preserve, SQL_ENGINE_PRESERVE),
+    "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
+    "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
+    "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
+    "media_thumbnail": (q_media_thumbnail, SQL_MEDIA_THUMBNAIL),
+    "audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, SQL_EMBED_NEARDUP_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "bm25": (q_bm25, SQL_BM25),
+    "tf_idf": (q_tf_idf, SQL_TF_IDF),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "funnel": (q_funnel, SQL_FUNNEL),
     "retention": (q_retention, SQL_RETENTION),
     "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
     "mad": (q_mad, SQL_MAD),
     "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
-    "tf_idf": (q_tf_idf, SQL_TF_IDF),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
-    "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "bm25": (q_bm25, SQL_BM25),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "engine_join_view": (q_engine_join_view, SQL_ENGINE_JOIN_VIEW),
-    "u10_join": (q_u10_join, SQL_U10),
-    "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
-    "engine_incremental": (q_engine_incremental, SQL_ENGINE_INCREMENTAL),
-    "engine_preserve": (q_engine_preserve, SQL_ENGINE_PRESERVE),
-    "engine_wordcount": (q_engine_wordcount, SQL_ENGINE_WORDCOUNT),
-    "cdc_feed": (q_cdc_feed, SQL_CDC_FEED),
-    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
-    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "media_thumbnail": (q_media_thumbnail, SQL_MEDIA_THUMBNAIL),
-    "embed_neardup_lsh": (q_embed_neardup_lsh, SQL_EMBED_NEARDUP_LSH),
-    "audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
-    "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
-    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
-    "dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
-    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
-    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
-    "join3_topk": (q_join3_topk, SQL_JOIN3_TOPK),
-    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
-    "u6_partial_avg": (q_u6_partial_avg, SQL_U6),
     # --- beyond the 50-slot window: every entry below is unchanged
-    # since its green CORRECTNESS_r01/r02/r03 hash row (round-4 diff
-    # did not touch their code paths) AND keeps its value oracle ---
+    # since its green CORRECTNESS_r01-r04 hash row (round-5 diff did
+    # not touch their code paths) AND keeps its value oracle ---
+    "percentile_cont": (q_percentile_cont, SQL_PERCENTILE_CONT),
+    "mode": (q_mode, SQL_MODE),
+    "cube": (q_cube, SQL_CUBE),
+    "window_lead": (q_window_lead, SQL_WINDOW_LEAD),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "row_number_global": (q_row_number_global, SQL_ROW_NUMBER_GLOBAL),
     "host_agg": (q_host_agg, SQL_HOST_AGG),
     "ntile": (q_ntile, SQL_NTILE),
     "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
@@ -6320,8 +6331,6 @@ REGISTRY = {
     "encode_embeddings": (q_encode_embeddings, SQL_ENCODE_EMBEDDINGS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
-    "text_tokens_pretok": (q_text_tokens_pretok, SQL_TEXT_TOKENS_PRETOK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

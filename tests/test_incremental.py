@@ -445,3 +445,39 @@ def test_mirror_compact_merges_small_partitions(ray_session, tmp_path):
     got = _content_rows(mirror, 4)
     assert got.num_rows == before.num_rows + 6   # 6 re-added rows
     assert res2["content"]["rewritten"] >= 1
+
+
+def test_half_corpus_delta_matches_recompute(ray_session, tmp_path):
+    """Round-5 large-delta pin (VERDICT item 10): a 50%-of-corpus
+    delta wave must land content identical to bootstrapping the
+    updated corpus from scratch, with rewrite confined to touched
+    partitions (bench.py records the wall/rewrite-fraction ladder at
+    1%/10%/50%)."""
+    base, mirror = _bootstrap(tmp_path, rows=4000, target_rows=500)
+
+    n_half = len(base) // 2
+    delta = base.slice(0, n_half)
+    delta = delta.set_column(
+        delta.column_names.index("text"), "text",
+        pa.array(["v2 " + t for t in delta.column("text").to_pylist()]))
+    res = mirror.apply(updates_with_type(delta), 1)
+    stats = res["content"]
+    assert stats["rewritten"] >= 1
+    got = _content_rows(mirror, 2)
+
+    want_tbl = base.set_column(
+        base.column_names.index("text"), "text",
+        pa.array((["v2 " + t for t in
+                   base.column("text").to_pylist()[:n_half]]
+                  + base.column("text").to_pylist()[n_half:])))
+    import ray.data
+
+    m3 = IncrementalMirror(str(tmp_path / "recompute"),
+                           webpage_mirror_spec(), target_rows=500)
+    ups = updates_with_type(want_tbl)
+    ups = ups.append_column(
+        UPD_SEQ_COL, pa.array(np.arange(len(ups), dtype=np.int64)))
+    m3.bootstrap(ray.data.from_arrow(ups).repartition(8), 1)
+    want = _content_rows(m3, 1)
+    assert got.column("url").equals(want.column("url"))
+    assert got.column("text").equals(want.column("text"))
