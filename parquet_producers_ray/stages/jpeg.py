@@ -2,7 +2,9 @@
 8-bit sequential DCT with the spec's Annex K quantization + Huffman
 tables.  Grayscale (1 component) AND color (3-component YCbCr per
 JFIF/T.871), interleaved baseline scan with 4:2:0 chroma subsampling
-(the dominant real-crawl layout) or 4:4:4.
+(the dominant real-crawl layout) or 4:4:4, and DRI/RSTn restart
+intervals on both encode and decode (common in real crawl images —
+cameras emit them for error resilience).
 
 Why it exists: JPEG is the dominant image payload of a Common-Crawl-
 style corpus, and the reference's media path left compressed formats
@@ -190,6 +192,12 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)   # 1-fill per spec
 
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a bare marker (RSTn) into the entropy
+        stream — markers are never byte-stuffed."""
+        self.flush()
+        self.out += bytes([0xFF, m])
+
 
 class _BitReader:
     """MSB-first windowed reader over the entropy segment with 0xFF00
@@ -242,6 +250,22 @@ class _BitReader:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary (T.81 B.2.1.2
+        / E.2.4): discard the partial byte's pad bits, skip 0xFF fill
+        bytes, verify the marker, byte-align after it."""
+        self.acc = 0
+        self.nbits = 0
+        self.eof = False
+        d = self.data
+        n = len(d)
+        p = self.pos
+        while p + 1 < n and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1                       # optional 0xFF fill bytes
+        if p + 1 >= n or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected RSTn at restart boundary")
+        self.pos = p + 2
 
 
 _LUT_CACHE: dict = {}
@@ -336,16 +360,19 @@ class JpegCodec:
     with 4:2:0 (default) or 4:4:4 chroma, Annex K luma+chroma tables.
     ``decode_pixels`` parses real marker streams (multi-table DQT,
     APPn/COM skipping, interleaved multi-component scans with
-    sampling factors up to 2×2 — 4:4:4 / 4:2:2 / 4:2:0) and raises
-    ``NotImplementedError`` for progressive/arithmetic/restart-marker
-    streams (the lib-backed integration point)."""
+    sampling factors up to 2×2 — 4:4:4 / 4:2:2 / 4:2:0, DRI/RSTn
+    restart intervals) and raises ``NotImplementedError`` for
+    progressive/arithmetic streams (the lib-backed integration
+    point)."""
 
     @staticmethod
     def encode(pixels: np.ndarray, quality: int = 95,
-               subsampling: str = "420") -> bytes:
+               subsampling: str = "420",
+               restart_interval: int = 0) -> bytes:
         px = np.asarray(pixels, np.uint8)
         if px.ndim == 3 and px.shape[2] == 3:
-            return JpegCodec._encode_color(px, quality, subsampling)
+            return JpegCodec._encode_color(px, quality, subsampling,
+                                           restart_interval)
         h, w = px.shape
         if not h or not w:
             raise ValueError("empty image")
@@ -358,7 +385,11 @@ class JpegCodec:
         ac_enc = _build_huffman(AC_BITS, AC_VALS)
         bw_ = _BitWriter()
         prev_dc = 0
-        for blk in zz:
+        ri = int(restart_interval)
+        for bi, blk in enumerate(zz):
+            if ri and bi and bi % ri == 0:      # T.81 E.2.4
+                bw_.marker(0xD0 + ((bi // ri - 1) % 8))
+                prev_dc = 0
             prev_dc = _encode_block(bw_, blk, prev_dc, dc_enc, ac_enc)
         bw_.flush()
 
@@ -370,6 +401,8 @@ class JpegCodec:
                     + b"\x01\x11\x00")            # SOF0: 1 comp, 1x1, q0
         out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
         out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        if ri:
+            out += _seg(0xFFDD, struct.pack(">H", ri))
         out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3F\x00")
         out += bw_.out
         out += b"\xFF\xD9"                        # EOI
@@ -377,7 +410,8 @@ class JpegCodec:
 
     @staticmethod
     def _encode_color(px: np.ndarray, quality: int,
-                      subsampling: str) -> bytes:
+                      subsampling: str,
+                      restart_interval: int = 0) -> bytes:
         """Interleaved 3-component baseline scan (T.81 A.2.3): MCU =
         [4 Y, Cb, Cr] at 4:2:0 or [Y, Cb, Cr] at 4:4:4, each component
         with its own quant table, Huffman pair and DC predictor."""
@@ -409,8 +443,13 @@ class JpegCodec:
         acc = _build_huffman(AC_BITS_C, AC_VALS_C)
         bw_ = _BitWriter()
         pdc = [0, 0, 0]
+        ri = int(restart_interval)
         for i in range(mcuy):
             for j in range(mcux):
+                mno = i * mcux + j
+                if ri and mno and mno % ri == 0:
+                    bw_.marker(0xD0 + ((mno // ri - 1) % 8))
+                    pdc = [0, 0, 0]
                 for by in range(ss):
                     for bx in range(ss):
                         blk = zzy[(ss * i + by) * bwy + (ss * j + bx)]
@@ -434,6 +473,8 @@ class JpegCodec:
         out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
         out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
         out += _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+        if ri:
+            out += _seg(0xFFDD, struct.pack(">H", ri))
         out += _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11])
                     + b"\x00\x3F\x00")
         out += bw_.out
@@ -452,6 +493,7 @@ class JpegCodec:
         quants: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], tuple] = {}
         w = h = None
+        restart_ri = 0
         comps: list = []          # (id, hs, vs, tq) in SOF order
         scan: dict = {}           # comp id -> (dc table id, ac table id)
         while True:
@@ -505,8 +547,8 @@ class JpegCodec:
                     vals = list(body[bp + 17:bp + 17 + n])
                     huff[(tc, th)] = _huff_lut(bits, vals)
                     bp += 17 + n
-            elif marker == 0xDD:
-                raise NotImplementedError("restart intervals")
+            elif marker == 0xDD:                  # DRI (T.81 B.2.4.4)
+                (restart_ri,) = struct.unpack_from(">H", body)
             elif marker == 0xDA:                  # SOS
                 ns = body[0]
                 if ns != len(comps):
@@ -584,6 +626,10 @@ class JpegCodec:
 
         for mi in range(mcuy):
             for mj in range(mcux):
+                mno = mi * mcux + mj
+                if restart_ri and mno and mno % restart_ri == 0:
+                    r.restart()               # byte-align, eat RSTn
+                    pdc = [0] * nc            # predictors reset
                 for ci, (cid, hs, vs, tq) in enumerate(comps):
                     bw_c = dims[ci][1]
                     for by in range(vs):

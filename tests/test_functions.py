@@ -1487,3 +1487,27 @@ def test_bpe_real_token_counts_matches_slow_reference():
     want = [sum(c.count(w) for w in re.findall("[a-z]+", d.lower()))
             for d in docs]
     assert got == want
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support (round 5): restart-marker streams decode
+    IDENTICALLY to their unrestarted twins — predictors reset at each
+    boundary, reader byte-aligns over the marker — for grayscale
+    (non-interleaved data-unit accounting) and both color layouts
+    (MCU accounting), across interval sizes incl. 1."""
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+
+    rng = np.random.RandomState(9)
+    g = rng.randint(0, 256, size=(37, 53)).astype(np.uint8)
+    ref = JpegCodec.decode_pixels(JpegCodec.encode(g, 95))
+    for ri in (1, 2, 5, 7, 1000):
+        blob = JpegCodec.encode(g, 95, restart_interval=ri)
+        assert np.array_equal(JpegCodec.decode_pixels(blob), ref), ri
+
+    c = rng.randint(0, 256, size=(33, 49, 3)).astype(np.uint8)
+    for ss in ("420", "444"):
+        ref = JpegCodec.decode_pixels(JpegCodec.encode(c, 95, ss))
+        for ri in (1, 3):
+            blob = JpegCodec.encode(c, 95, ss, restart_interval=ri)
+            assert np.array_equal(JpegCodec.decode_pixels(blob), ref), \
+                (ss, ri)
