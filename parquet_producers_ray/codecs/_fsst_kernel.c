@@ -217,3 +217,133 @@ void pair_intersect(const uint64_t *data, const int64_t *offs,
         inter[p] = c;
     }
 }
+
+/* Baseline-JPEG entropy scan decode (stages/jpeg.py fast path): walk
+ * the byte-stuffed Huffman bitstream once in C, filling zigzag
+ * coefficient rows.  Python precomputes the MCU schedule (which
+ * Huffman-table pair, which DC-predictor slot, which output row, and
+ * whether an RSTn boundary precedes each data unit), so this kernel
+ * is layout-agnostic — grayscale, 4:4:4, 4:2:2, 4:2:0 and restart
+ * intervals all reduce to the same flat block walk.  Tables are
+ * 16-bit-peek LUTs (sym, len per 64 KiB window), ntab pairs stacked.
+ * Returns 0 on success, -(block+1) on an invalid code — the caller
+ * falls back to the pure-Python decoder. */
+typedef struct {
+    const uint8_t *d;
+    int64_t n, pos;
+    uint64_t acc;
+    int nbits, eof;
+} JBits;
+
+static void jb_fill(JBits *r, int want) {
+    while (r->nbits < want) {
+        if (r->eof || r->pos >= r->n) {
+            r->eof = 1;
+            r->acc <<= 8;
+            r->nbits += 8;
+            continue;
+        }
+        uint8_t b = r->d[r->pos];
+        if (b == 0xFF) {
+            if (r->pos + 1 < r->n && r->d[r->pos + 1] == 0x00)
+                r->pos += 2;
+            else {              /* a real marker: zero-pad from here */
+                r->eof = 1;
+                r->acc <<= 8;
+                r->nbits += 8;
+                continue;
+            }
+        } else {
+            r->pos++;
+        }
+        r->acc = (r->acc << 8) | b;
+        r->nbits += 8;
+    }
+}
+
+static int jb_restart(JBits *r) {
+    r->acc = 0;
+    r->nbits = 0;
+    r->eof = 0;
+    int64_t p = r->pos;
+    while (p + 1 < r->n && r->d[p] == 0xFF && r->d[p + 1] == 0xFF)
+        p++;
+    if (p + 1 >= r->n || r->d[p] != 0xFF
+        || r->d[p + 1] < 0xD0 || r->d[p + 1] > 0xD7)
+        return -1;
+    r->pos = p + 2;
+    return 0;
+}
+
+int64_t jpeg_decode_scan(const uint8_t *data, int64_t data_len,
+                         int64_t pos,
+                         const uint8_t *dc_sym, const uint8_t *dc_len,
+                         const uint8_t *ac_sym, const uint8_t *ac_len,
+                         const int32_t *tab_of_block,
+                         const int32_t *pred_of_block,
+                         const int64_t *row_of_block,
+                         const uint8_t *restart_before,
+                         int64_t nblk, int32_t *zz) {
+    JBits r = {data, data_len, pos, 0, 0, 0};
+    int64_t pred[8] = {0};
+    for (int64_t b = 0; b < nblk; b++) {
+        if (restart_before[b]) {
+            if (jb_restart(&r) < 0)
+                return -(b + 1);
+            for (int i = 0; i < 8; i++)
+                pred[i] = 0;
+        }
+        int64_t toff = (int64_t)tab_of_block[b] << 16;
+        int32_t *row = zz + row_of_block[b] * 64;
+        jb_fill(&r, 16);
+        uint32_t p16 = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+        int s = dc_sym[toff + p16];
+        int ln = dc_len[toff + p16];
+        if (!ln)
+            return -(b + 1);
+        r.nbits -= ln;
+        r.acc &= (1ULL << r.nbits) - 1;
+        if (s) {
+            jb_fill(&r, s);
+            int64_t v = (int64_t)((r.acc >> (r.nbits - s))
+                                  & ((1ULL << s) - 1));
+            r.nbits -= s;
+            r.acc &= (1ULL << r.nbits) - 1;
+            if (v < (1LL << (s - 1)))
+                v -= (1LL << s) - 1;
+            pred[pred_of_block[b]] += v;
+        }
+        row[0] = (int32_t)pred[pred_of_block[b]];
+        int k = 1;
+        while (k < 64) {
+            jb_fill(&r, 16);
+            p16 = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+            int rs = ac_sym[toff + p16];
+            ln = ac_len[toff + p16];
+            if (!ln)
+                return -(b + 1);
+            r.nbits -= ln;
+            r.acc &= (1ULL << r.nbits) - 1;
+            if (rs == 0x00)
+                break;                    /* EOB */
+            if (rs == 0xF0) {             /* ZRL */
+                k += 16;
+                continue;
+            }
+            k += rs >> 4;
+            s = rs & 0x0F;
+            if (s == 0 || k > 63)
+                return -(b + 1);
+            jb_fill(&r, s);
+            int64_t v = (int64_t)((r.acc >> (r.nbits - s))
+                                  & ((1ULL << s) - 1));
+            r.nbits -= s;
+            r.acc &= (1ULL << r.nbits) - 1;
+            if (v < (1LL << (s - 1)))
+                v -= (1LL << s) - 1;
+            row[k] = (int32_t)v;
+            k++;
+        }
+    }
+    return 0;
+}

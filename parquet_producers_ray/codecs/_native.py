@@ -79,6 +79,12 @@ def _load():
     lib.sortkey8.argtypes = [u8p, i64p, ctypes.c_int64, u64p]
     lib.pair_intersect.restype = None
     lib.pair_intersect.argtypes = [u64p, i64p, i64p, ctypes.c_int64, i64p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.jpeg_decode_scan.restype = ctypes.c_int64
+    lib.jpeg_decode_scan.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64,
+        u8p, u8p, u8p, u8p,
+        i32p, i32p, i64p, u8p, ctypes.c_int64, i32p]
     _LIB = lib
     return lib
 
@@ -169,3 +175,27 @@ def pair_intersect(data: np.ndarray, offs_e: np.ndarray,
                        np.ascontiguousarray(offs_e),
                        np.ascontiguousarray(rows0), npair, out)
     return out
+
+
+def jpeg_decode_scan(data: np.ndarray, pos: int,
+                     dc_sym: np.ndarray, dc_len: np.ndarray,
+                     ac_sym: np.ndarray, ac_len: np.ndarray,
+                     tab_of_block: np.ndarray, pred_of_block: np.ndarray,
+                     row_of_block: np.ndarray, restart_before: np.ndarray,
+                     n_rows: int) -> np.ndarray | None:
+    """Baseline-JPEG entropy scan in C (stages/jpeg.py fast path):
+    returns the (n_rows, 64) zigzag coefficient matrix, or None on an
+    invalid code (caller falls back to the Python decoder).  Callers
+    must check ``available()``."""
+    lib = _load()
+    zz = np.zeros((int(n_rows), 64), np.int32)
+    rc = lib.jpeg_decode_scan(
+        np.ascontiguousarray(data), len(data), int(pos),
+        np.ascontiguousarray(dc_sym), np.ascontiguousarray(dc_len),
+        np.ascontiguousarray(ac_sym), np.ascontiguousarray(ac_len),
+        np.ascontiguousarray(tab_of_block),
+        np.ascontiguousarray(pred_of_block),
+        np.ascontiguousarray(row_of_block),
+        np.ascontiguousarray(restart_before),
+        len(tab_of_block), zz)
+    return zz if rc == 0 else None

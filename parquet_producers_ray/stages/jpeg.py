@@ -299,7 +299,9 @@ def _huff_lut(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    pair = (sym.tolist(), ln.tolist())
+    # lists for the Python fallback's scalar indexing, numpy for the
+    # cc scan kernel — one cache entry carries both views
+    pair = (sym.tolist(), ln.tolist(), sym, ln)
     _LUT_CACHE[key] = pair
     return pair
 
@@ -582,11 +584,53 @@ class JpegCodec:
                 raise ValueError("SOS lacks component")
             dc_id, ac_id = scan[cid]
             tabs.append((huff[(0, dc_id)], huff[(1, ac_id)]))
+        # cc fast path (codecs/_fsst_kernel.c::jpeg_decode_scan): the
+        # MCU schedule — table pair, predictor slot, output row and
+        # restart flag per data unit — is precomputed VECTORIZED here,
+        # so the kernel is one flat C walk of the bitstream for every
+        # layout (gray / 444 / 422 / 420 / restart intervals).  Any
+        # kernel error falls back to the Python loop below.
+        from ..codecs import _native
+        if _native.available():
+            slots = [(ci, by, bx)
+                     for ci, (cid, hs, vs, tq) in enumerate(comps)
+                     for by in range(vs) for bx in range(hs)]
+            B = len(slots)
+            nmcu = mcux * mcuy
+            m = np.arange(nmcu, dtype=np.int64)
+            mi_, mj_ = m // mcux, m % mcux
+            base = np.zeros(nc + 1, np.int64)
+            for ci in range(nc):
+                base[ci + 1] = base[ci] + dims[ci][0] * dims[ci][1]
+            tab = np.empty(nmcu * B, np.int32)
+            row = np.empty(nmcu * B, np.int64)
+            for si, (ci, by, bx) in enumerate(slots):
+                hs, vs = comps[ci][1], comps[ci][2]
+                bw_c = dims[ci][1]
+                tab[si::B] = ci
+                row[si::B] = (base[ci] + (mi_ * vs + by) * bw_c
+                              + mj_ * hs + bx)
+            rst = np.zeros(nmcu * B, np.uint8)
+            if restart_ri:
+                bm = np.flatnonzero((m > 0) & (m % restart_ri == 0))
+                rst[bm * B] = 1
+            dcs = np.concatenate([tabs[ci][0][2] for ci in range(nc)])
+            dcl = np.concatenate([tabs[ci][0][3] for ci in range(nc)])
+            acs = np.concatenate([tabs[ci][1][2] for ci in range(nc)])
+            acl = np.concatenate([tabs[ci][1][3] for ci in range(nc)])
+            kzz = _native.jpeg_decode_scan(
+                np.frombuffer(data, np.uint8), pos, dcs, dcl, acs, acl,
+                tab, tab, row, rst, int(base[nc]))
+            if kzz is not None:
+                zzs = [kzz[base[ci]:base[ci + 1]] for ci in range(nc)]
+                return JpegCodec._finish_decode(
+                    zzs, comps, dims, quants, hmax, vmax, h, w, nc)
+
         r = _BitReader(data, pos)
         pdc = [0] * nc
 
         def read_block(zz_row, ci):
-            (dc_sym, dc_len), (ac_sym, ac_len) = tabs[ci]
+            (dc_sym, dc_len, _, _), (ac_sym, ac_len, _, _) = tabs[ci]
             p16 = r.peek16()
             s = dc_sym[p16]
             ln = dc_len[p16]
@@ -638,6 +682,13 @@ class JpegCodec:
                                     + mj * hs + bx)
                             read_block(zzs[ci][bidx], ci)
 
+        return JpegCodec._finish_decode(zzs, comps, dims, quants,
+                                        hmax, vmax, h, w, nc)
+
+    @staticmethod
+    def _finish_decode(zzs, comps, dims, quants, hmax, vmax, h, w, nc):
+        """Dequantize + IDCT + chroma upsample + color convert —
+        shared by the cc-kernel and Python entropy decoders."""
         planes = []
         for ci, (cid, hs, vs, tq) in enumerate(comps):
             bh_c, bw_c = dims[ci]

@@ -1511,3 +1511,29 @@ def test_jpeg_restart_intervals_roundtrip():
             blob = JpegCodec.encode(c, 95, ss, restart_interval=ri)
             assert np.array_equal(JpegCodec.decode_pixels(blob), ref), \
                 (ss, ri)
+
+
+def test_jpeg_scan_kernel_matches_python(monkeypatch):
+    """The cc jpeg_decode_scan fast path must be bit-identical to the
+    pure-Python entropy decoder across gray/420/444 layouts, restart
+    intervals, and thumbnail sizes (same differential contract as the
+    FSST and pair_intersect kernels)."""
+    from parquet_producers_ray.codecs import _native
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+
+    assert _native.available()
+    rng = np.random.RandomState(21)
+    blobs = []
+    for (h, w) in [(1, 1), (8, 8), (23, 41)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        blobs.append(JpegCodec.encode(px, 95))
+        blobs.append(JpegCodec.encode(px, 95, restart_interval=2))
+    for ss in ("420", "444"):
+        px = rng.randint(0, 256, size=(19, 30, 3)).astype(np.uint8)
+        blobs.append(JpegCodec.encode(px, 90, ss))
+        blobs.append(JpegCodec.encode(px, 90, ss, restart_interval=1))
+    fast = [JpegCodec.decode_pixels(b) for b in blobs]
+    monkeypatch.setattr(_native, "available", lambda: False)
+    slow = [JpegCodec.decode_pixels(b) for b in blobs]
+    for a, b in zip(fast, slow):
+        assert np.array_equal(a, b)
