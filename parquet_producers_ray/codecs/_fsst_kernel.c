@@ -347,3 +347,98 @@ int64_t jpeg_decode_scan(const uint8_t *data, int64_t data_len,
     }
     return 0;
 }
+
+/* Baseline-JPEG entropy scan ENCODE (the mirror of jpeg_decode_scan):
+ * one flat C walk over pre-quantized zigzag blocks in scan order,
+ * with byte stuffing, restart markers and per-slot DC predictors.
+ * Tables are (code,len) arrays indexed by symbol, ntab pairs stacked
+ * (12 DC / 256 AC symbols per table).  Returns bytes written. */
+typedef struct {
+    uint8_t *out;
+    int64_t n;
+    uint64_t acc;
+    int nbits;
+} JWr;
+
+static void jw_put(JWr *w, uint32_t code, int len) {
+    w->acc = (w->acc << len) | (code & ((1u << len) - 1));
+    w->nbits += len;
+    while (w->nbits >= 8) {
+        uint8_t b = (uint8_t)((w->acc >> (w->nbits - 8)) & 0xFF);
+        w->out[w->n++] = b;
+        if (b == 0xFF)
+            w->out[w->n++] = 0x00;       /* T.81 B.1.1.5 stuffing */
+        w->nbits -= 8;
+    }
+    w->acc &= (1ULL << w->nbits) - 1;
+}
+
+static void jw_flushpad(JWr *w) {
+    if (w->nbits) {
+        int pad = 8 - w->nbits;
+        jw_put(w, (1u << pad) - 1, pad); /* 1-fill per spec */
+    }
+}
+
+int64_t jpeg_encode_scan(const int32_t *zz, const int32_t *tab_of_block,
+                         const int32_t *pred_of_block,
+                         const uint8_t *restart_before, int64_t nblk,
+                         const uint16_t *dc_code, const uint8_t *dc_len,
+                         const uint16_t *ac_code, const uint8_t *ac_len,
+                         uint8_t *out) {
+    JWr w = {out, 0, 0, 0};
+    int64_t pred[8] = {0};
+    int rstno = 0;
+    for (int64_t b = 0; b < nblk; b++) {
+        if (restart_before[b]) {
+            jw_flushpad(&w);
+            w.out[w.n++] = 0xFF;
+            w.out[w.n++] = (uint8_t)(0xD0 + (rstno & 7));
+            rstno++;
+            for (int i = 0; i < 8; i++)
+                pred[i] = 0;
+        }
+        const int32_t *row = zz + b * 64;
+        int64_t t12 = (int64_t)tab_of_block[b] * 12;
+        int64_t t256 = (int64_t)tab_of_block[b] * 256;
+        int64_t dc = row[0];
+        int64_t diff = dc - pred[pred_of_block[b]];
+        pred[pred_of_block[b]] = dc;
+        int s = 0;
+        {
+            int64_t a = diff < 0 ? -diff : diff;
+            while (a) { s++; a >>= 1; }
+        }
+        jw_put(&w, dc_code[t12 + s], dc_len[t12 + s]);
+        if (s) {
+            int64_t v = diff > 0 ? diff : diff + (1LL << s) - 1;
+            jw_put(&w, (uint32_t)v, s);
+        }
+        int last = 0;
+        for (int k = 63; k > 0; k--)
+            if (row[k]) { last = k; break; }
+        int run = 0;
+        for (int k = 1; k <= last; k++) {
+            int32_t v = row[k];
+            if (!v) { run++; continue; }
+            while (run > 15) {
+                jw_put(&w, ac_code[t256 + 0xF0], ac_len[t256 + 0xF0]);
+                run -= 16;
+            }
+            int ss = 0;
+            {
+                int32_t a = v < 0 ? -v : v;
+                while (a) { ss++; a >>= 1; }
+            }
+            int sym = (run << 4) | ss;
+            jw_put(&w, ac_code[t256 + sym], ac_len[t256 + sym]);
+            int32_t vv = v > 0 ? v : v + (1 << ss) - 1;
+            jw_put(&w, (uint32_t)vv, ss);
+            run = 0;
+        }
+        if (last < 63)
+            jw_put(&w, ac_code[t256 + 0x00], ac_len[t256 + 0x00]);
+    }
+    jw_flushpad(&w);
+    return w.n;
+}

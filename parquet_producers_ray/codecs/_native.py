@@ -85,6 +85,11 @@ def _load():
         u8p, ctypes.c_int64, ctypes.c_int64,
         u8p, u8p, u8p, u8p,
         i32p, i32p, i64p, u8p, ctypes.c_int64, i32p]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.jpeg_encode_scan.restype = ctypes.c_int64
+    lib.jpeg_encode_scan.argtypes = [
+        i32p, i32p, i32p, u8p, ctypes.c_int64,
+        u16p, u8p, u16p, u8p, u8p]
     _LIB = lib
     return lib
 
@@ -199,3 +204,25 @@ def jpeg_decode_scan(data: np.ndarray, pos: int,
         np.ascontiguousarray(restart_before),
         len(tab_of_block), zz)
     return zz if rc == 0 else None
+
+
+def jpeg_encode_scan(zz: np.ndarray, tab_of_block: np.ndarray,
+                     pred_of_block: np.ndarray,
+                     restart_before: np.ndarray,
+                     dc_code: np.ndarray, dc_len: np.ndarray,
+                     ac_code: np.ndarray, ac_len: np.ndarray) -> bytes:
+    """Baseline-JPEG entropy encode in C (stages/jpeg.py fast path):
+    blocks already in scan order; returns the stuffed entropy bytes
+    incl. restart markers.  Callers must check ``available()``."""
+    lib = _load()
+    nblk = len(tab_of_block)
+    out = np.empty(nblk * 512 + 4096, np.uint8)
+    n = lib.jpeg_encode_scan(
+        np.ascontiguousarray(zz.reshape(-1)),
+        np.ascontiguousarray(tab_of_block),
+        np.ascontiguousarray(pred_of_block),
+        np.ascontiguousarray(restart_before), nblk,
+        np.ascontiguousarray(dc_code), np.ascontiguousarray(dc_len),
+        np.ascontiguousarray(ac_code), np.ascontiguousarray(ac_len),
+        out)
+    return out[:n].tobytes()

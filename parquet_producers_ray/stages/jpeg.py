@@ -18,10 +18,12 @@ Design notes for the actor-pool stages that use it
 - The 2-D DCT is the orthonormal matrix form ``C @ X @ C.T`` (exactly
   T.81's normalization), vectorized over ALL 8x8 blocks of an image
   with one einsum — no per-block Python in the transform.
-- Entropy coding/decoding is per-symbol Python (bit-serial Huffman is
-  inherently sequential); like FSST's NumPy fallback, a cc kernel is
-  the documented fast path if JPEG throughput ever matters.  Images
-  in the media stages are thumbnails, so the constant is small.
+- Entropy coding/decoding runs in cc kernels (codecs/_fsst_kernel.c
+  ``jpeg_encode_scan`` / ``jpeg_decode_scan`` — one flat C walk of the
+  bitstream over a Python-precomputed, vectorized MCU schedule, so
+  gray/444/422/420/restart all reduce to the same kernel; ~4-6× over
+  the per-symbol Python paths, which remain as differential-pinned
+  fallbacks).
 - JPEG is LOSSY: round-trips are verified by bounded max-pixel-error
   against the source (quality 95 ⇒ small quant steps), plus exact
   cases (constant blocks and smooth gradients reconstruct bit-exactly
@@ -322,6 +324,16 @@ def _fdct_zz(plane: np.ndarray, quant: np.ndarray) -> tuple:
     return qc.reshape(-1, 64)[:, ZIGZAG], bh, bw
 
 
+def _enc_arrays(enc: dict, nsym: int):
+    """(code, len) arrays indexed by symbol for the cc encode kernel."""
+    code = np.zeros(nsym, np.uint16)
+    ln = np.zeros(nsym, np.uint8)
+    for sym, (c, l) in enc.items():
+        code[sym] = c
+        ln[sym] = l
+    return code, ln
+
+
 def _encode_block(bw_: "_BitWriter", blk: np.ndarray, prev_dc: int,
                   dc_enc: dict, ac_enc: dict) -> int:
     """Huffman-encode ONE zigzag block; returns the new DC predictor."""
@@ -385,15 +397,31 @@ class JpegCodec:
 
         dc_enc = _build_huffman(DC_BITS, DC_VALS)
         ac_enc = _build_huffman(AC_BITS, AC_VALS)
-        bw_ = _BitWriter()
-        prev_dc = 0
         ri = int(restart_interval)
-        for bi, blk in enumerate(zz):
-            if ri and bi and bi % ri == 0:      # T.81 E.2.4
-                bw_.marker(0xD0 + ((bi // ri - 1) % 8))
-                prev_dc = 0
-            prev_dc = _encode_block(bw_, blk, prev_dc, dc_enc, ac_enc)
-        bw_.flush()
+        from ..codecs import _native
+        if _native.available():
+            nblk = len(zz)
+            tabb = np.zeros(nblk, np.int32)
+            rstb = np.zeros(nblk, np.uint8)
+            if ri:
+                bidx = np.arange(nblk)
+                rstb[(bidx > 0) & (bidx % ri == 0)] = 1
+            dcc, dcl = _enc_arrays(dc_enc, 12)
+            acc_, acl = _enc_arrays(ac_enc, 256)
+            entropy = _native.jpeg_encode_scan(
+                zz.astype(np.int32), tabb, tabb, rstb,
+                dcc, dcl, acc_, acl)
+        else:
+            bw_ = _BitWriter()
+            prev_dc = 0
+            for bi, blk in enumerate(zz):
+                if ri and bi and bi % ri == 0:  # T.81 E.2.4
+                    bw_.marker(0xD0 + ((bi // ri - 1) % 8))
+                    prev_dc = 0
+                prev_dc = _encode_block(bw_, blk, prev_dc, dc_enc,
+                                        ac_enc)
+            bw_.flush()
+            entropy = bytes(bw_.out)
 
         out = bytearray(b"\xFF\xD8")              # SOI
         out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -406,7 +434,7 @@ class JpegCodec:
         if ri:
             out += _seg(0xFFDD, struct.pack(">H", ri))
         out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3F\x00")
-        out += bw_.out
+        out += entropy
         out += b"\xFF\xD9"                        # EOI
         return bytes(out)
 
@@ -443,24 +471,68 @@ class JpegCodec:
         acy = _build_huffman(AC_BITS, AC_VALS)
         dcc = _build_huffman(DC_BITS_C, DC_VALS_C)
         acc = _build_huffman(AC_BITS_C, AC_VALS_C)
-        bw_ = _BitWriter()
-        pdc = [0, 0, 0]
         ri = int(restart_interval)
-        for i in range(mcuy):
-            for j in range(mcux):
-                mno = i * mcux + j
-                if ri and mno and mno % ri == 0:
-                    bw_.marker(0xD0 + ((mno // ri - 1) % 8))
-                    pdc = [0, 0, 0]
-                for by in range(ss):
-                    for bx in range(ss):
-                        blk = zzy[(ss * i + by) * bwy + (ss * j + bx)]
-                        pdc[0] = _encode_block(bw_, blk, pdc[0], dcy, acy)
-                pdc[1] = _encode_block(bw_, zzcb[i * bwc + j], pdc[1],
-                                       dcc, acc)
-                pdc[2] = _encode_block(bw_, zzcr[i * bwc + j], pdc[2],
-                                       dcc, acc)
-        bw_.flush()
+        nmcu = mcuy * mcux
+        from ..codecs import _native
+        if _native.available():
+            # scan-order gather (mirror of decode's schedule): per MCU
+            # ss*ss Y blocks then Cb then Cr, all vectorized
+            m = np.arange(nmcu, dtype=np.int64)
+            mi_, mj_ = m // mcux, m % mcux
+            B = ss * ss + 2
+            order = np.empty(nmcu * B, np.int64)
+            tabb = np.empty(nmcu * B, np.int32)
+            predb = np.empty(nmcu * B, np.int32)
+            si = 0
+            ny = len(zzy)
+            for by in range(ss):
+                for bx in range(ss):
+                    order[si::B] = (ss * mi_ + by) * bwy + ss * mj_ + bx
+                    tabb[si::B] = 0
+                    predb[si::B] = 0
+                    si += 1
+            order[si::B] = ny + mi_ * bwc + mj_
+            tabb[si::B] = 1
+            predb[si::B] = 1
+            si += 1
+            order[si::B] = ny + len(zzcb) + mi_ * bwc + mj_
+            tabb[si::B] = 1
+            predb[si::B] = 2
+            rstb = np.zeros(nmcu * B, np.uint8)
+            if ri:
+                rstb[np.flatnonzero((m > 0) & (m % ri == 0)) * B] = 1
+            zz_seq = np.concatenate([zzy, zzcb, zzcr])[order]
+            dcy_c, dcy_l = _enc_arrays(dcy, 12)
+            dcc_c, dcc_l = _enc_arrays(dcc, 12)
+            acy_c, acy_l = _enc_arrays(acy, 256)
+            acc_c, acc_l = _enc_arrays(acc, 256)
+            entropy = _native.jpeg_encode_scan(
+                zz_seq.astype(np.int32), tabb, predb, rstb,
+                np.concatenate([dcy_c, dcc_c]),
+                np.concatenate([dcy_l, dcc_l]),
+                np.concatenate([acy_c, acc_c]),
+                np.concatenate([acy_l, acc_l]))
+        else:
+            bw_ = _BitWriter()
+            pdc = [0, 0, 0]
+            for i in range(mcuy):
+                for j in range(mcux):
+                    mno = i * mcux + j
+                    if ri and mno and mno % ri == 0:
+                        bw_.marker(0xD0 + ((mno // ri - 1) % 8))
+                        pdc = [0, 0, 0]
+                    for by in range(ss):
+                        for bx in range(ss):
+                            blk = zzy[(ss * i + by) * bwy
+                                      + (ss * j + bx)]
+                            pdc[0] = _encode_block(bw_, blk, pdc[0],
+                                                   dcy, acy)
+                    pdc[1] = _encode_block(bw_, zzcb[i * bwc + j],
+                                           pdc[1], dcc, acc)
+                    pdc[2] = _encode_block(bw_, zzcr[i * bwc + j],
+                                           pdc[2], dcc, acc)
+            bw_.flush()
+            entropy = bytes(bw_.out)
 
         samp = 0x22 if ss == 2 else 0x11
         out = bytearray(b"\xFF\xD8")
@@ -479,7 +551,7 @@ class JpegCodec:
             out += _seg(0xFFDD, struct.pack(">H", ri))
         out += _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11])
                     + b"\x00\x3F\x00")
-        out += bw_.out
+        out += entropy
         out += b"\xFF\xD9"
         return bytes(out)
 

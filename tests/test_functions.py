@@ -1537,3 +1537,27 @@ def test_jpeg_scan_kernel_matches_python(monkeypatch):
     slow = [JpegCodec.decode_pixels(b) for b in blobs]
     for a, b in zip(fast, slow):
         assert np.array_equal(a, b)
+
+
+def test_jpeg_encode_kernel_matches_python(monkeypatch):
+    """The cc jpeg_encode_scan fast path must be BYTE-identical to the
+    pure-Python bit writer across layouts and restart intervals."""
+    from parquet_producers_ray.codecs import _native
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+
+    assert _native.available()
+    rng = np.random.RandomState(23)
+    cases = []
+    for (h, w) in [(1, 1), (8, 8), (23, 41)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        for ri in (0, 2):
+            cases.append((px, {"restart_interval": ri}))
+    for ss in ("420", "444"):
+        px = rng.randint(0, 256, size=(19, 30, 3)).astype(np.uint8)
+        for ri in (0, 1):
+            cases.append((px, {"subsampling": ss,
+                               "restart_interval": ri}))
+    fast = [JpegCodec.encode(px, 95, **kw) for px, kw in cases]
+    monkeypatch.setattr(_native, "available", lambda: False)
+    slow = [JpegCodec.encode(px, 95, **kw) for px, kw in cases]
+    assert all(a == b for a, b in zip(fast, slow))
