@@ -442,3 +442,162 @@ int64_t jpeg_encode_scan(const int32_t *zz, const int32_t *tab_of_block,
     jw_flushpad(&w);
     return w.n;
 }
+
+/* GIF-variant LZW (GIF89a Appendix F), both directions — the fast
+ * path behind stages/multimodal.py::_lzw_encode_gif/_lzw_decode_gif
+ * (which stay as the differential-pinned Python fallbacks).  Decode
+ * uses prefix-chain tables and writes each entry backwards; encode
+ * uses a 8192-slot open-addressed (prev,sym) hash reset by
+ * generation counters.  Returns bytes written, or -1 (malformed) /
+ * -2 (output capacity exceeded — caller grows and retries). */
+int64_t gif_lzw_decode(const uint8_t *data, int64_t n, int32_t min_code,
+                       uint8_t *out, int64_t cap) {
+    int clear = 1 << min_code, end = clear + 1;
+    int16_t prefix[4096];
+    uint8_t suffix[4096], first[4096];
+    int32_t length[4096];
+    for (int i = 0; i < clear; i++) {
+        prefix[i] = -1;
+        suffix[i] = (uint8_t)i;
+        first[i] = (uint8_t)i;
+        length[i] = 1;
+    }
+    int next = end + 1, width = min_code + 1, prev = -1;
+    uint32_t acc = 0;
+    int nbits = 0;
+    int64_t pos = 0, op = 0;
+    for (;;) {
+        while (nbits < width) {
+            if (pos >= n)
+                return -1;               /* ended without END code */
+            acc |= (uint32_t)data[pos++] << nbits;
+            nbits += 8;
+        }
+        int code = (int)(acc & ((1u << width) - 1));
+        acc >>= width;
+        nbits -= width;
+        if (code == clear) {
+            next = end + 1;
+            width = min_code + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == end)
+            break;
+        int entry;
+        if (prev < 0) {
+            if (code >= clear)
+                return -1;
+            entry = code;
+        } else if (code < next) {
+            entry = code;
+        } else if (code == next && next < 4096) {
+            /* cScSc: new entry = prev + first(prev), appended below */
+            entry = -1;
+        } else {
+            return -1;
+        }
+        if (prev >= 0 && next < 4096) {
+            prefix[next] = (int16_t)prev;
+            suffix[next] = entry < 0 ? first[prev]
+                                     : first[entry];
+            first[next] = first[prev];
+            length[next] = length[prev] + 1;
+            if (entry < 0)
+                entry = next;
+            next++;
+            if (next == (1 << width) && width < 12)
+                width++;
+        } else if (entry < 0) {
+            return -1;
+        }
+        int32_t L = length[entry];
+        if (op + L > cap)
+            return -2;
+        int c = entry;
+        for (int32_t k = L - 1; k >= 0; k--) {
+            out[op + k] = suffix[c];
+            c = prefix[c];
+        }
+        op += L;
+        prev = entry;
+    }
+    return op;
+}
+
+int64_t gif_lzw_encode(const uint8_t *px, int64_t n, int32_t min_code,
+                       uint8_t *out) {
+    int clear = 1 << min_code, end = clear + 1;
+    enum { HB = 13, HS = 1 << 13 };
+    uint32_t hkey[HS];
+    uint16_t hval[HS], hgen[HS];
+    for (int i = 0; i < HS; i++)
+        hgen[i] = 0;
+    uint16_t gen = 1;
+    int width = min_code + 1, next = end + 1;
+    uint32_t acc = 0;
+    int nbits = 0;
+    int64_t op = 0;
+#define EMIT(codev)                                            \
+    do {                                                       \
+        acc |= (uint32_t)(codev) << nbits;                     \
+        nbits += width;                                        \
+        while (nbits >= 8) {                                   \
+            out[op++] = (uint8_t)(acc & 0xFF);                 \
+            acc >>= 8;                                         \
+            nbits -= 8;                                        \
+        }                                                      \
+    } while (0)
+    EMIT(clear);
+    int prev = -1;
+    for (int64_t i = 0; i < n; i++) {
+        int s = px[i];
+        if (prev < 0) {
+            prev = s;
+            continue;
+        }
+        uint32_t key = ((uint32_t)prev << 8) | (uint32_t)s;
+        uint32_t h = (key * 2654435761u) >> (32 - HB);
+        int found = -1;
+        for (;;) {
+            if (hgen[h] != gen) {
+                break;                    /* free slot */
+            }
+            if (hkey[h] == key) {
+                found = hval[h];
+                break;
+            }
+            h = (h + 1) & (HS - 1);
+        }
+        if (found >= 0) {
+            prev = found;
+            continue;
+        }
+        EMIT(prev);
+        hgen[h] = gen;
+        hkey[h] = key;
+        hval[h] = (uint16_t)next;
+        next++;
+        if (next == (1 << width) + 1 && width < 12)
+            width++;
+        if (next > 4095) {
+            EMIT(clear);
+            width = min_code + 1;
+            next = end + 1;
+            gen++;
+            if (gen == 0) {              /* wrapped: hard reset */
+                for (int i2 = 0; i2 < HS; i2++)
+                    hgen[i2] = 0;
+                gen = 1;
+            }
+        }
+        prev = s;
+    }
+    if (prev >= 0)
+        EMIT(prev);
+    EMIT(end);
+#undef EMIT
+    if (nbits)
+        out[op++] = (uint8_t)(acc & 0xFF);
+    return op;
+}

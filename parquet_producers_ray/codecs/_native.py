@@ -90,6 +90,12 @@ def _load():
     lib.jpeg_encode_scan.argtypes = [
         i32p, i32p, i32p, u8p, ctypes.c_int64,
         u16p, u8p, u16p, u8p, u8p]
+    lib.gif_lzw_decode.restype = ctypes.c_int64
+    lib.gif_lzw_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                   u8p, ctypes.c_int64]
+    lib.gif_lzw_encode.restype = ctypes.c_int64
+    lib.gif_lzw_encode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                   u8p]
     _LIB = lib
     return lib
 
@@ -225,4 +231,32 @@ def jpeg_encode_scan(zz: np.ndarray, tab_of_block: np.ndarray,
         np.ascontiguousarray(dc_code), np.ascontiguousarray(dc_len),
         np.ascontiguousarray(ac_code), np.ascontiguousarray(ac_len),
         out)
+    return out[:n].tobytes()
+
+
+def gif_lzw_decode(data: np.ndarray, min_code: int) -> np.ndarray | None:
+    """GIF LZW decode in C; grows the output buffer on -2 (capacity),
+    returns None on -1 (malformed — caller falls back to Python for
+    the error message).  Callers must check ``available()``."""
+    lib = _load()
+    data = np.ascontiguousarray(data)
+    cap = max(int(len(data)) * 4, 1 << 16)
+    while True:
+        out = np.empty(cap, np.uint8)
+        rc = lib.gif_lzw_decode(data, len(data), int(min_code), out, cap)
+        if rc == -2:
+            cap *= 4
+            continue
+        return out[:rc].copy() if rc >= 0 else None
+
+
+def gif_lzw_encode(px: np.ndarray, min_code: int) -> bytes:
+    """GIF LZW encode in C.  Callers must check ``available()``."""
+    lib = _load()
+    px = np.ascontiguousarray(px, np.uint8)
+    # worst case: one code (<=12 bits) per pixel + clears every 3837
+    # pixels + header/end + slack
+    cap = (len(px) * 12) // 8 + (len(px) // 3800 + 4) * 2 + 64
+    out = np.empty(cap, np.uint8)
+    n = lib.gif_lzw_encode(px, len(px), int(min_code), out)
     return out[:n].tobytes()

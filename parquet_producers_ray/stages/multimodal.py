@@ -635,7 +635,13 @@ def _lzw_encode_gif(indices: np.ndarray, min_code: int = 8) -> bytes:
     and again whenever the table fills (4096 codes).  The width grows
     the emission AFTER the entry ``1 << width`` is assigned, which is
     exactly one table-append earlier on the decoder side (it lags one
-    entry) — see ``_lzw_decode_gif``."""
+    entry) — see ``_lzw_decode_gif``.  The cc kernel
+    (codecs/_fsst_kernel.c::gif_lzw_encode) is the fast path; this
+    Python body is the differential-pinned fallback."""
+    from ..codecs import _native
+    if _native.available():
+        return _native.gif_lzw_encode(
+            np.ascontiguousarray(indices, np.uint8), min_code)
     clear = 1 << min_code
     end = clear + 1
     width = min_code + 1
@@ -686,7 +692,15 @@ def _lzw_encode_gif(indices: np.ndarray, min_code: int = 8) -> bytes:
 
 def _lzw_decode_gif(data: bytes, min_code: int = 8) -> np.ndarray:
     """Inverse of :func:`_lzw_encode_gif`; also tolerates encoders that
-    defer the clear code past a full table (appends stop at 4096)."""
+    defer the clear code past a full table (appends stop at 4096).
+    The cc kernel is the fast path; a kernel -1 (malformed) falls
+    through to this body so error messages stay exact."""
+    from ..codecs import _native
+    if _native.available():
+        got = _native.gif_lzw_decode(
+            np.frombuffer(data, np.uint8), min_code)
+        if got is not None:
+            return got
     clear = 1 << min_code
     end = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]

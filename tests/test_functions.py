@@ -1561,3 +1561,27 @@ def test_jpeg_encode_kernel_matches_python(monkeypatch):
     monkeypatch.setattr(_native, "available", lambda: False)
     slow = [JpegCodec.encode(px, 95, **kw) for px, kw in cases]
     assert all(a == b for a, b in zip(fast, slow))
+
+
+def test_gif_lzw_kernel_matches_python(monkeypatch):
+    """cc gif_lzw_encode/decode fast paths are byte-identical to the
+    Python Appendix-F implementation — empty/tiny inputs, deep-table
+    runs, table-fill CLEAR resets and the cScSc case included."""
+    from parquet_producers_ray.codecs import _native
+    from parquet_producers_ray.stages import multimodal as M
+
+    assert _native.available()
+    rng = np.random.RandomState(6)
+    cases = [rng.randint(0, 256, size=n).astype(np.uint8)
+             for n in (0, 1, 5, 3072, 20000)]
+    cases.append(np.zeros(10000, np.uint8))          # cScSc-heavy runs
+    cases.append(np.tile(np.arange(256, dtype=np.uint8), 40))
+    fast_enc = [M._lzw_encode_gif(px) for px in cases]
+    fast_dec = [M._lzw_decode_gif(e) for e in fast_enc]
+    monkeypatch.setattr(_native, "available", lambda: False)
+    slow_enc = [M._lzw_encode_gif(px) for px in cases]
+    slow_dec = [M._lzw_decode_gif(e) for e in fast_enc]
+    for px, fe, se, fd, sd in zip(cases, fast_enc, slow_enc,
+                                  fast_dec, slow_dec):
+        assert fe == se
+        assert np.array_equal(fd, px) and np.array_equal(sd, px)
