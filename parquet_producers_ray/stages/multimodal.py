@@ -99,25 +99,44 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# color type -> bytes per pixel (8-bit depth)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 class PngCodec:
     """REAL PNG, pure stdlib: zlib + the five scanline filters of the
-    public spec (W3C PNG / RFC 2083), grayscale 8-bit (color type 0).
-    ``encode`` cycles the filter type per row (None/Sub/Up/Average/
-    Paeth) so a decode exercises the full reconstruction path, and the
-    output round-trips through any standard PNG tool.  Per-actor
-    construction cost is nil; decode is zlib-bound."""
+    public spec (W3C PNG / RFC 2083), 8-bit depth.  Decode covers ALL
+    five color types — grayscale (0), truecolor RGB (2), palette (3,
+    PLTE-expanded to RGB), gray+alpha (4) and RGBA (6) — with the
+    filter reconstruction generalized to the type's bytes-per-pixel;
+    encode emits grayscale (from an (h, w) array) or truecolor (from
+    (h, w, 3)).  ``encode`` cycles the filter type per row
+    (None/Sub/Up/Average/Paeth) so a decode exercises the full
+    reconstruction path, and the output round-trips through any
+    standard PNG tool.  Per-actor construction cost is nil; decode is
+    zlib-bound."""
 
     @staticmethod
     def encode(pixels: np.ndarray) -> bytes:
         px = np.asarray(pixels, dtype=np.uint8)
-        h, w = px.shape
+        if px.ndim == 3 and px.shape[2] == 3:
+            ctype, bpp = 2, 3
+            h, w = px.shape[:2]
+            rows = px.reshape(h, w * 3)
+        else:
+            ctype, bpp = 0, 1
+            h, w = px.shape
+            rows = px
+        stride = w * bpp
         raw = bytearray()
-        prev = np.zeros(w, np.uint8)
+        prev = np.zeros(stride, np.uint8)
         for r in range(h):
-            row = px[r]
+            row = rows[r]
             ft = r % 5
-            a = np.concatenate(([0], row[:-1])).astype(np.uint8)
-            c = np.concatenate(([0], prev[:-1])).astype(np.uint8)
+            a = np.concatenate((np.zeros(bpp, np.uint8),
+                                row[:-bpp])).astype(np.uint8)
+            c = np.concatenate((np.zeros(bpp, np.uint8),
+                                prev[:-bpp])).astype(np.uint8)
             if ft == 0:
                 filt = row
             elif ft == 1:
@@ -138,17 +157,22 @@ class PngCodec:
             return (struct.pack(">I", len(data)) + tag + data
                     + struct.pack(">I", zlib.crc32(tag + data)))
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
         return (PNG_SIG + chunk(b"IHDR", ihdr)
                 + chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + chunk(b"IEND", b""))
 
     @staticmethod
     def decode_pixels(blob: bytes) -> np.ndarray:
+        """(h, w) uint8 for grayscale, (h, w, 3) for truecolor AND
+        palette (PLTE-expanded), (h, w, 2) gray+alpha, (h, w, 4)
+        RGBA."""
         if bytes(blob[:8]) != PNG_SIG:
             raise ValueError("not a PNG")
         pos = 8
         w = h = None
+        ctype = 0
+        plte = None
         idat = bytearray()
         n = len(blob)
         while pos + 8 <= n:
@@ -159,68 +183,80 @@ class PngCodec:
             if tag == b"IHDR":
                 w, h, depth, ctype, comp, filt, ilace = \
                     struct.unpack(">IIBBBBB", data)
-                if (depth, ctype, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                if depth != 8 or comp or filt or ilace \
+                        or ctype not in _PNG_BPP:
                     raise NotImplementedError(
-                        "PngCodec decodes grayscale 8-bit non-interlaced "
-                        f"PNG; got depth={depth} colortype={ctype} "
+                        "PngCodec decodes 8-bit non-interlaced PNG "
+                        "(color types 0/2/3/4/6); got "
+                        f"depth={depth} colortype={ctype} "
                         f"interlace={ilace} — lib-backed formats go "
                         "through PillowImageDecoder")
+            elif tag == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat.extend(data)
             elif tag == b"IEND":
                 break
         if w is None:
             raise ValueError("PNG without IHDR")
+        bpp = _PNG_BPP[ctype]
+        stride = w * bpp
         raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-        if len(raw) != h * (w + 1):
+        if len(raw) != h * (stride + 1):
             raise ValueError("PNG scanline payload size mismatch")
-        raw = raw.reshape(h, w + 1)
-        out = np.zeros((h, w), np.uint8)
-        prev = np.zeros(w, np.uint8)
+        raw = raw.reshape(h, stride + 1)
+        out = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.uint8)
         for r in range(h):
             ft = int(raw[r, 0])
             line = raw[r, 1:].astype(np.int64)
             if ft == 0:
                 row = line.astype(np.uint8)
             elif ft == 1:
-                # Sub is a prefix sum along x (bpp=1): cumsum mod 256
-                row = (np.cumsum(line) % 256).astype(np.uint8)
+                # Sub: out[i] = line[i] + out[i-bpp] — bpp independent
+                # interleaved prefix sums, one cumsum per byte lane
+                row = (np.cumsum(line.reshape(w, bpp), axis=0) % 256) \
+                    .astype(np.uint8).reshape(stride)
             elif ft == 2:
                 row = ((line + prev) % 256).astype(np.uint8)
             elif ft in (3, 4):
                 # Average/Paeth reference the in-progress row —
                 # inherently sequential in x; pure-int inner loop
                 # (no per-pixel array allocation)
-                row = np.zeros(w, np.uint8)
                 pv = prev.tolist()
                 ln = line.tolist()
-                left = 0
                 acc = []
-                for x in range(w):
+                for x in range(stride):
+                    left = acc[x - bpp] if x >= bpp else 0
                     up = pv[x]
                     if ft == 3:
                         pred = (left + up) >> 1
                     else:
-                        ul = pv[x - 1] if x else 0
+                        ul = pv[x - bpp] if x >= bpp else 0
                         p = left + up - ul
                         pa_ = abs(p - left)
                         pb = abs(p - up)
                         pc_ = abs(p - ul)
                         pred = left if (pa_ <= pb and pa_ <= pc_) \
                             else (up if pb <= pc_ else ul)
-                    left = (ln[x] + pred) & 0xFF
-                    acc.append(left)
+                    acc.append((ln[x] + pred) & 0xFF)
                 row = np.array(acc, np.uint8)
             else:
                 raise ValueError(f"unknown PNG filter type {ft}")
             out[r] = row
             prev = row
-        return out
+        if ctype == 0:
+            return out
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            return plte[out.reshape(h, w)]
+        return out.reshape(h, w, bpp)
 
     @staticmethod
     def decode(blob: bytes) -> dict:
         px = PngCodec.decode_pixels(blob)
-        h, w = px.shape
+        h, w = px.shape[:2]
         return {"width": w, "height": h, "n_bytes": int(px.size),
                 "checksum": zlib.crc32(px.tobytes())}
 

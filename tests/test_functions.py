@@ -1585,3 +1585,52 @@ def test_gif_lzw_kernel_matches_python(monkeypatch):
                                   fast_dec, slow_dec):
         assert fe == se
         assert np.array_equal(fd, px) and np.array_equal(sd, px)
+
+
+def test_png_color_types_decode():
+    """Round-5 PNG generalization: 8-bit truecolor (2), palette (3,
+    PLTE-expanded), gray+alpha (4) and RGBA (6) decode alongside the
+    original grayscale path; RGB round-trips through our encoder with
+    all five filters exercised."""
+    import struct
+    import zlib
+
+    from parquet_producers_ray.stages.multimodal import (PNG_SIG,
+                                                         PngCodec)
+
+    rng = np.random.RandomState(8)
+    g = rng.randint(0, 256, size=(23, 31)).astype(np.uint8)
+    assert np.array_equal(PngCodec.decode_pixels(PngCodec.encode(g)), g)
+    c = rng.randint(0, 256, size=(17, 29, 3)).astype(np.uint8)
+    assert np.array_equal(PngCodec.decode_pixels(PngCodec.encode(c)), c)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    def build(w, h, ctype, payload, plte=None):
+        out = PNG_SIG + chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(payload)) \
+            + chunk(b"IEND", b"")
+
+    w, h = 9, 4
+    idx = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+    plte = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    payload = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    assert np.array_equal(
+        PngCodec.decode_pixels(build(w, h, 3, payload, plte)), plte[idx])
+    rgba = rng.randint(0, 256, size=(h, w, 4)).astype(np.uint8)
+    payload = b"".join(
+        b"\x02" + ((rgba[r].astype(np.int16).reshape(-1)
+                    - (rgba[r - 1].astype(np.int16).reshape(-1)
+                       if r else 0)) % 256).astype(np.uint8).tobytes()
+        for r in range(h))
+    assert np.array_equal(
+        PngCodec.decode_pixels(build(w, h, 6, payload)), rgba)
+    ga = rng.randint(0, 256, size=(h, w, 2)).astype(np.uint8)
+    payload = b"".join(b"\x00" + ga[r].tobytes() for r in range(h))
+    assert np.array_equal(
+        PngCodec.decode_pixels(build(w, h, 4, payload)), ga)
