@@ -507,15 +507,20 @@ AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
 
 
 class WavCodec:
-    """REAL RIFF/WAVE, pure stdlib: canonical PCM 16-bit mono
-    (format tag 1), per the public RIFF/WAVE spec (Microsoft/IBM
-    multimedia programming interface, 1991).  ``encode`` writes the
-    canonical 44-byte header + little-endian int16 samples; the output
-    plays in any standard audio tool.  ``decode`` walks the chunk list
-    properly (word-aligned, unknown chunks like LIST/fact skipped), so
-    real-world WAV files with metadata chunks decode too.  Same
-    (rate, samples) contract as FakeAudioCodec — the two are drop-in
-    interchangeable for every audio stage."""
+    """REAL RIFF/WAVE, pure stdlib, per the public RIFF/WAVE spec
+    (Microsoft/IBM multimedia programming interface, 1991).
+    ``encode`` writes canonical PCM 16-bit mono (44-byte header +
+    little-endian int16) that plays in any standard audio tool.
+    ``decode`` walks the chunk list properly (word-aligned, unknown
+    chunks like LIST/fact skipped) and covers the real-corpus PCM
+    variants: 8-bit unsigned, 16-bit, 24-bit and 32-bit integer
+    (format tag 1) plus IEEE float32 (tag 3), ANY channel count
+    (multi-channel downmixes to mono by integer mean — the analysis
+    stages' contract is one sample stream), everything normalized to
+    the int16 range.  Same (rate, samples) contract as
+    FakeAudioCodec — the two are drop-in interchangeable for every
+    audio stage; compressed formats (mp3/opus) stay at the
+    ffmpeg/soundfile integration point."""
 
     @staticmethod
     def encode(sample_rate: int, samples: np.ndarray) -> bytes:
@@ -537,7 +542,8 @@ class WavCodec:
             raise ValueError("not a RIFF/WAVE blob")
         pos, n = 12, len(blob)
         rate = None
-        samples = None
+        data = None
+        wformat, channels, bits = 1, 1, 16
         while pos + 8 <= n:
             tag = bytes(blob[pos:pos + 4])
             (length,) = struct.unpack_from("<I", blob, pos + 4)
@@ -546,16 +552,44 @@ class WavCodec:
             if tag == b"fmt ":
                 wformat, channels, rate, _br, _ba, bits = \
                     struct.unpack_from("<HHIIHH", body)
-                if (wformat, channels, bits) != (1, 1, 16):
+                ok = (wformat == 1 and bits in (8, 16, 24, 32)) \
+                    or (wformat == 3 and bits == 32)
+                if not ok or channels < 1:
                     raise NotImplementedError(
-                        "WavCodec decodes canonical PCM 16-bit mono; "
-                        f"got format={wformat} channels={channels} "
-                        f"bits={bits} — lib-backed formats go through "
-                        "the ffmpeg/soundfile integration point")
+                        "WavCodec decodes PCM 8/16/24/32-bit and "
+                        f"float32; got format={wformat} "
+                        f"channels={channels} bits={bits} — "
+                        "compressed formats go through the "
+                        "ffmpeg/soundfile integration point")
             elif tag == b"data":
-                samples = np.frombuffer(bytes(body), dtype="<i2")
-        if rate is None or samples is None:
+                data = bytes(body)
+        if rate is None or data is None:
             raise ValueError("WAVE without fmt/data chunk")
+        if wformat == 3:                      # IEEE float32 → int16
+            f = np.frombuffer(data, dtype="<f4")
+            samples = np.clip(np.round(f * 32767.0), -32768,
+                              32767).astype(np.int16)
+        elif bits == 8:                       # unsigned, 128-centered
+            samples = ((np.frombuffer(data, np.uint8).astype(np.int16)
+                        - 128) << 8)
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2")
+        elif bits == 24:                      # 3-byte LE → high 16
+            b3 = np.frombuffer(data, np.uint8)
+            b3 = b3[:len(b3) - len(b3) % 3].reshape(-1, 3)
+            v = (b3[:, 0].astype(np.int32)
+                 | (b3[:, 1].astype(np.int32) << 8)
+                 | (b3[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = (v >> 8).astype(np.int16)
+        else:                                 # 32-bit int → high 16
+            samples = (np.frombuffer(data, dtype="<i4")
+                       >> 16).astype(np.int16)
+        if channels > 1:                      # integer-mean downmix
+            m = len(samples) - len(samples) % channels
+            samples = (samples[:m].reshape(-1, channels)
+                       .astype(np.int32).sum(axis=1)
+                       // channels).astype(np.int16)
         return int(rate), samples
 
 

@@ -1634,3 +1634,63 @@ def test_png_color_types_decode():
     payload = b"".join(b"\x00" + ga[r].tobytes() for r in range(h))
     assert np.array_equal(
         PngCodec.decode_pixels(build(w, h, 4, payload)), ga)
+
+
+def test_wav_codec_real_corpus_variants():
+    """Round-5 WAV coverage: stereo/8-bit files written by the stdlib
+    ``wave`` module decode correctly (independent writer), float32 and
+    24-bit PCM decode per spec, all normalized to the int16 mono
+    contract the audio stages consume."""
+    import io
+    import struct
+    import wave as pywave
+
+    from parquet_producers_ray.stages.multimodal import WavCodec
+
+    rng = np.random.RandomState(3)
+    s16 = rng.randint(-30000, 30000, size=500).astype(np.int16)
+    r, back = WavCodec.decode(WavCodec.encode(16000, s16))
+    assert r == 16000 and np.array_equal(back, s16)
+
+    st = rng.randint(-30000, 30000, size=(400, 2)).astype(np.int16)
+    buf = io.BytesIO()
+    w = pywave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(st.reshape(-1).astype("<i2").tobytes())
+    w.close()
+    r, back = WavCodec.decode(buf.getvalue())
+    want = (st.astype(np.int32).sum(axis=1) // 2).astype(np.int16)
+    assert r == 44100 and np.array_equal(back, want)
+
+    s8 = rng.randint(0, 256, size=301).astype(np.uint8)
+    buf = io.BytesIO()
+    w = pywave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(1)
+    w.setframerate(8000)
+    w.writeframes(s8.tobytes())
+    w.close()
+    r, back = WavCodec.decode(buf.getvalue())
+    assert np.array_equal(back, (s8.astype(np.int16) - 128) << 8)
+
+    f = (rng.rand(200) * 2 - 1).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+    data = f.tobytes()
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    r, back = WavCodec.decode(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert np.array_equal(back, np.clip(
+        np.round(f.astype(np.float64) * 32767), -32768,
+        32767).astype(np.int16))
+
+    v24 = rng.randint(-(1 << 23), 1 << 23, size=100).astype(np.int32)
+    raw = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little") for x in v24)
+    fmt = struct.pack("<HHIIHH", 1, 1, 22050, 22050 * 3, 3, 24)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    r, back = WavCodec.decode(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert np.array_equal(back, (v24 >> 8).astype(np.int16))
