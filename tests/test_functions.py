@@ -721,8 +721,10 @@ def test_wav_codec_real_riff_roundtrip():
     rate2, back2 = WavCodec.decode(spliced)
     assert rate2 == 8000 and back2.tolist() == [7]
 
-    # non-mono / non-16-bit is the documented lib-backed boundary
-    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    # compressed formats stay the documented lib-backed boundary
+    # (stereo/8/24/32-bit/float are decoded since round 5 —
+    # test_wav_codec_real_corpus_variants)
+    stereo_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)
     bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(stereo_fmt) + 8)
            + b"WAVE" + b"fmt " + struct.pack("<I", len(stereo_fmt))
            + stereo_fmt + b"data" + struct.pack("<I", 0))
