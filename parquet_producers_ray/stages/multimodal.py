@@ -5,22 +5,28 @@ Decoders, by depth of realism:
 
 - ``PngCodec`` — a REAL image decoder in pure stdlib (zlib inflate +
   full five-filter scanline reconstruction per the public PNG spec,
-  W3C/RFC 2083), grayscale 8-bit.  ``media_features`` runs on
-  genuinely decoded pixels through it.
-- ``WavCodec`` — REAL RIFF/WAVE PCM16 mono in pure stdlib (proper
-  chunk-list walk, word alignment, unknown chunks skipped).
-  ``audio_chunks`` decodes genuine WAV containers through it.
-- ``GifCodec`` — REAL animated GIF89a in pure stdlib+numpy (genuine
-  variable-width LZW per the public spec's Appendix F, grayscale
-  global color table, extension/sub-block walking).
-  ``video_frames_gif`` decodes every frame of genuine multi-frame
-  containers through it — the video-shaped media path.
+  W3C/RFC 2083), 8-bit in all five color types (gray, truecolor,
+  palette, gray+alpha, RGBA).  ``media_features`` runs on genuinely
+  decoded pixels through it.
+- ``WavCodec`` — REAL RIFF/WAVE in pure stdlib (proper chunk-list
+  walk, word alignment, unknown chunks skipped): PCM 8/16/24/32-bit
+  and float32, any channel count (downmixed to the int16 mono
+  contract).  ``audio_chunks`` decodes genuine WAV containers.
+- ``GifCodec`` — REAL animated GIF89a (genuine variable-width LZW per
+  the public spec's Appendix F — cc kernel fast path with the Python
+  implementation as differential-pinned fallback — grayscale global
+  color table, extension/sub-block walking).  ``video_frames_gif``
+  decodes every frame of genuine multi-frame containers through it —
+  the video-shaped media path.
+- ``stages/jpeg.py::JpegCodec`` — REAL baseline JFIF, grayscale and
+  4:2:0/4:2:2/4:4:4 YCbCr color, restart intervals, cc entropy
+  kernels both directions.
 - ``FakeImageCodec`` / ``FakeAudioCodec`` — deterministic stand-in
   formats that keep the rest of the plumbing (resize grid math, audio
   chunking, frame sampling) exactly unit-testable without media libs.
-- ``PillowImageDecoder`` — the documented integration point for
-  lib-backed formats (JPEG/WebP/mp3/opus/mp4) that need binary
-  codecs this container doesn't ship; raises ``NotImplementedError``.
+- ``PillowImageDecoder`` — the documented integration point for the
+  REMAINING lib-backed formats (progressive/arithmetic JPEG, WebP,
+  mp3/opus, mp4); raises ``NotImplementedError``.
 
 Usage:
     ds.map_batches(ImageFeatureStage, concurrency=(2, 8),
