@@ -144,6 +144,10 @@ def main() -> None:
                       "wet": ingest.read_webpages_wet,
                       "warc": ingest.read_webpages_warc}[args.format]
             ds = reader(args.input)
+        if args.key not in ds.schema().names:
+            ap.error(f"--key {args.key!r} is not a column of the input "
+                     f"(schema: {ds.schema().names}); pass --key with "
+                     "one of these")
         man = encode_pipeline(ds, args.out, num_buckets=args.buckets,
                               key=args.key, resume=not args.no_resume,
                               shuffle_compression=args.shuffle_compression,
