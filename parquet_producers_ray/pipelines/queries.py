@@ -2533,6 +2533,33 @@ FROM documents
 """
 
 
+def q_media_jpeg_progressive(sf_dir: str, quality: int = _JPEG_QUALITY,
+                             tol: int = _JPEG_TOL):
+    """REAL PROGRESSIVE JPEG pipeline (round 5): synthesize genuine
+    SOF2 multi-scan streams (spectral selection + a 1-bit successive-
+    approximation ladder, stages/jpeg.py::encode_progressive), then
+    the same actor-pool recon stage decodes all four progressive scan
+    types (DC first/refine, AC first with EOB runs, AC refinement
+    with correction bits) and verifies the reconstruction in-pipeline.
+    Because the progressive stream carries the SAME quantized
+    coefficients as the sequential one, the error bound and the
+    closed-form oracle are exactly media_jpeg's."""
+    from ..stages.multimodal import JpegReconStage, synthesize_jpeg_column
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synthesize_jpeg_column(b, quality=quality, progressive=True)
+        return t.append_column("text", b.column("text"))
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
+          .map_batches(synth, batch_format="pyarrow"))
+    return ds.map_batches(JpegReconStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=(2, 8),
+                          fn_constructor_kwargs={"tol": tol})
+
+
+SQL_MEDIA_JPEG_PROGRESSIVE = SQL_MEDIA_JPEG
+
+
 # color pair: tolerance must cover luma quant noise amplified by the
 # YCbCr→RGB gains (~1.4-1.8×) plus chroma DC quant; measured max err
 # 20 at sf0.01 / 19 at sf0.001 (tests pin the sf0.001 sweep ≤ 24)
@@ -6263,6 +6290,8 @@ REGISTRY = {
     "dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
     "media_jpeg": (q_media_jpeg, SQL_MEDIA_JPEG),
     "media_jpeg_color": (q_media_jpeg_color, SQL_MEDIA_JPEG_COLOR),
+    "media_jpeg_progressive": (q_media_jpeg_progressive,
+                               SQL_MEDIA_JPEG_PROGRESSIVE),
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "text_tokens_pretok": (q_text_tokens_pretok, SQL_TEXT_TOKENS_PRETOK),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
@@ -6291,8 +6320,10 @@ REGISTRY = {
     "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
     "mad": (q_mad, SQL_MAD),
     "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
+    # --- beyond the 50-slot window: (fuzzy_pairs rotated out for
+    # media_jpeg_progressive — r04 green, untouched since)
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
-    # --- beyond the 50-slot window: every entry below is unchanged
+    # every entry below is unchanged
     # since its green CORRECTNESS_r01-r04 hash row (round-5 diff did
     # not touch their code paths) AND keeps its value oracle ---
     "percentile_cont": (q_percentile_cont, SQL_PERCENTILE_CONT),

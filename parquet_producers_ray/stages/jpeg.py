@@ -2,9 +2,13 @@
 8-bit sequential DCT with the spec's Annex K quantization + Huffman
 tables.  Grayscale (1 component) AND color (3-component YCbCr per
 JFIF/T.871), interleaved baseline scan with 4:2:0 chroma subsampling
-(the dominant real-crawl layout) or 4:4:4, and DRI/RSTn restart
-intervals on both encode and decode (common in real crawl images —
-cameras emit them for error resilience).
+(the dominant real-crawl layout) or 4:4:4, DRI/RSTn restart intervals
+on both encode and decode (common in real crawl images — cameras emit
+them for error resilience), and PROGRESSIVE (SOF2) streams: decode
+handles the full huffman-progressive subset libjpeg emits (spectral
+selection + successive approximation, all four scan types, general
+EOB runs), encode emits a 1-bit refinement ladder over the same
+quantized coefficients as the sequential path.
 
 Why it exists: JPEG is the dominant image payload of a Common-Crawl-
 style corpus, and the reference's media path left compressed formats
@@ -375,8 +379,9 @@ class JpegCodec:
     ``decode_pixels`` parses real marker streams (multi-table DQT,
     APPn/COM skipping, interleaved multi-component scans with
     sampling factors up to 2×2 — 4:4:4 / 4:2:2 / 4:2:0, DRI/RSTn
-    restart intervals) and raises ``NotImplementedError`` for
-    progressive/arithmetic streams (the lib-backed integration
+    restart intervals, and PROGRESSIVE/SOF2 multi-scan streams) and
+    raises ``NotImplementedError`` only for arithmetic-coded,
+    lossless and hierarchical JPEG (the lib-backed integration
     point)."""
 
     @staticmethod
@@ -437,6 +442,61 @@ class JpegCodec:
         out += entropy
         out += b"\xFF\xD9"                        # EOI
         return bytes(out)
+
+    @staticmethod
+    def encode_progressive(pixels: np.ndarray, quality: int = 95,
+                           subsampling: str = "420") -> bytes:
+        """REAL progressive JFIF (SOF2): spectral selection + a 1-bit
+        successive-approximation ladder over the SAME quantized
+        coefficients as ``encode`` — so ``decode_pixels`` of the two
+        streams is bit-identical (pinned by
+        tests/test_functions.py::test_jpeg_progressive_roundtrip)."""
+        px = np.asarray(pixels, np.uint8)
+        if px.ndim == 3 and px.shape[2] == 3:
+            if subsampling not in ("420", "444"):
+                raise ValueError(
+                    f"unsupported subsampling {subsampling!r}")
+            ssf = 2 if subsampling == "420" else 1
+            h, w = px.shape[:2]
+            if not h or not w:
+                raise ValueError("empty image")
+            mcuy, mcux = -(-h // (8 * ssf)), -(-w // (8 * ssf))
+            ph, pw = mcuy * 8 * ssf, mcux * 8 * ssf
+            pad = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)),
+                         mode="edge")
+            ycc = rgb_to_ycbcr(pad)
+            yp = ycc[..., 0]
+            if ssf == 2:
+                cb = ycc[..., 1].reshape(ph // 2, 2,
+                                         pw // 2, 2).mean((1, 3))
+                cr = ycc[..., 2].reshape(ph // 2, 2,
+                                         pw // 2, 2).mean((1, 3))
+            else:
+                cb, cr = ycc[..., 1], ycc[..., 2]
+            qy = _scaled_quant(quality)
+            qc = _scaled_quant(quality, QUANT_CHROMA)
+            zzy, _, bwy = _fdct_zz(yp, qy)
+            zzcb, _, bwc = _fdct_zz(cb, qc)
+            zzcr, _, _ = _fdct_zz(cr, qc)
+            return _encode_progressive_impl(
+                [(zzy, bwy), (zzcb, bwc), (zzcr, bwc)], [0, 1, 1],
+                [(ssf, ssf), (1, 1), (1, 1)],
+                [(DC_BITS, DC_VALS), (DC_BITS_C, DC_VALS_C),
+                 (DC_BITS_C, DC_VALS_C)],
+                [(AC_BITS, AC_VALS), (AC_BITS_C, AC_VALS_C),
+                 (AC_BITS_C, AC_VALS_C)],
+                h, w, [(0, qy), (1, qc)])
+        h, w = px.shape
+        if not h or not w:
+            raise ValueError("empty image")
+        quant = _scaled_quant(quality)
+        bh, bw = -(-h // 8), -(-w // 8)
+        padp = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)),
+                      mode="edge")
+        zz, _, _ = _fdct_zz(padp.astype(np.float64), quant)
+        return _encode_progressive_impl(
+            [(zz, bw)], [0], [(1, 1)], [(DC_BITS, DC_VALS)],
+            [(AC_BITS, AC_VALS)], h, w, [(0, quant)])
 
     @staticmethod
     def _encode_color(px: np.ndarray, quality: int,
@@ -570,12 +630,18 @@ class JpegCodec:
         restart_ri = 0
         comps: list = []          # (id, hs, vs, tq) in SOF order
         scan: dict = {}           # comp id -> (dc table id, ac table id)
+        progressive = False
+        pzz = None                # progressive coefficient state
         while True:
             if data[pos] != 0xFF:
                 raise ValueError("expected marker")
             marker = data[pos + 1]
             pos += 2
             if marker == 0xD9:
+                if progressive and pzz is not None:  # normal end
+                    return JpegCodec._finish_decode(
+                        pzz, comps, pdims, quants, phmax, pvmax,
+                        h, w, len(comps))
                 raise ValueError("EOI before scan data")
             (ln,) = struct.unpack_from(">H", data, pos)
             body = data[pos + 2:pos + ln]
@@ -591,7 +657,8 @@ class JpegCodec:
                     nat[ZIGZAG] = tbl
                     quants[tq] = nat.reshape(8, 8)
                     bp += 65
-            elif marker in (0xC0, 0xC1):          # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):    # SOF0/1/2
+                progressive = marker == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", body)
                 if prec != 8 or nc not in (1, 3):
                     raise NotImplementedError(
@@ -607,11 +674,11 @@ class JpegCodec:
                             f"sampling factor {hs}x{vs} > 2x2 goes "
                             "through the lib-backed integration point")
                     comps.append((cid, hs, vs, body[8 + 3 * c]))
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "progressive/extended JPEG goes through the "
-                    "lib-backed integration point")
+                    "lossless/arithmetic/hierarchical JPEG goes "
+                    "through the lib-backed integration point")
             elif marker == 0xC4:                  # DHT (maybe several)
                 bp = 0
                 while bp < len(body):
@@ -625,6 +692,33 @@ class JpegCodec:
                 (restart_ri,) = struct.unpack_from(">H", body)
             elif marker == 0xDA:                  # SOS
                 ns = body[0]
+                if progressive:
+                    if pzz is None:               # first scan: alloc
+                        phmax = max(c[1] for c in comps)
+                        pvmax = max(c[2] for c in comps)
+                        pmcux = -(-w // (8 * phmax))
+                        pmcuy = -(-h // (8 * pvmax))
+                        pdims, pzz = [], []
+                        for _cid, hs, vs, _tq in comps:
+                            bw_c, bh_c = pmcux * hs, pmcuy * vs
+                            pdims.append((bh_c, bw_c))
+                            pzz.append(np.zeros((bh_c * bw_c, 64),
+                                                np.int32))
+                    cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+                    scomps = []
+                    for s_ in range(ns):
+                        cid = body[1 + 2 * s_]
+                        scomps.append((cid_to_idx[cid],
+                                       body[2 + 2 * s_] >> 4,
+                                       body[2 + 2 * s_] & 0x0F))
+                    ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                    ah_ = body[3 + 2 * ns] >> 4
+                    al_ = body[3 + 2 * ns] & 0x0F
+                    pos = _decode_prog_scan(
+                        data, pos, scomps, ss_, se_, ah_, al_,
+                        comps, pdims, pzz, huff, restart_ri,
+                        w, h, pmcux, pmcuy)
+                    continue
                 if ns != len(comps):
                     raise NotImplementedError(
                         "non-interleaved multi-scan baseline")
@@ -778,3 +872,384 @@ class JpegCodec:
         if nc == 1:
             return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG (T.81 Annex G, spectral selection + successive
+# approximation).  Decode handles the four real-world scan types — DC
+# first (interleaved or not), DC refinement (raw bits), AC first with
+# general EOB runs, and AC refinement with correction-bit buffering —
+# exactly the huffman-progressive subset libjpeg emits, so real crawl
+# progressive baselines decode.  The encoder emits a 1-bit
+# successive-approximation ladder (Al=1 → 0) restricted to symbols the
+# Annex K tables can code (EOB runs of length 1), which is a legal
+# stream any decoder accepts; its purpose is the closed differential
+# loop: decode(encode_progressive(px)) must be BIT-IDENTICAL to
+# decode(encode(px)) because both share the same quantized
+# coefficients.  Scan loops are per-coefficient Python — progressive
+# is a long-tail format; the sequential cc kernels carry the volume.
+
+def _noninterleaved_grid(w: int, h: int, hs: int, vs: int,
+                         hmax: int, vmax: int, bw_pad: int) -> list:
+    """Raster block indices of a component's NON-interleaved scan
+    (T.81 A.2.2: ceil dims of the scaled component, NOT the padded
+    MCU grid), as rows of the padded coefficient array."""
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    bx, by = -(-cw // 8), -(-ch // 8)
+    return [r * bw_pad + c for r in range(by) for c in range(bx)]
+
+
+def _shift_to_zero(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved (G.1.2.2)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgressiveEncoder:
+    def __init__(self, bw_: _BitWriter, dc_encs, ac_encs):
+        self.bw = bw_
+        self.dc_encs = dc_encs
+        self.ac_encs = ac_encs
+
+    def dc_first(self, blocks_in_scan, al: int, ncomp: int) -> None:
+        """blocks_in_scan: [(comp_idx, zz_row)] in scan order."""
+        pred = [0] * ncomp
+        for ci, row in blocks_in_scan:
+            v = int(row[0]) >> al
+            diff = v - pred[ci]
+            pred[ci] = v
+            s = _category(diff)
+            self.bw.write(*self.dc_encs[ci][s])
+            if s:
+                self.bw.write(diff if diff > 0 else diff + (1 << s) - 1,
+                              s)
+
+    def dc_refine(self, blocks_in_scan, al: int) -> None:
+        for _ci, row in blocks_in_scan:
+            self.bw.write((int(row[0]) >> al) & 1, 1)
+
+    def ac_first(self, zz, indices, ci: int, ss: int, se: int,
+                 al: int) -> None:
+        enc = self.ac_encs[ci]
+        for idx in indices:
+            row = zz[idx]
+            run = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                v = _shift_to_zero(int(row[k]), al)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    self.bw.write(*enc[0xF0])
+                    run -= 16
+                s = _category(v)
+                self.bw.write(*enc[(run << 4) | s])
+                self.bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+                emitted = True
+            if run or not emitted:
+                self.bw.write(*enc[0x00])         # EOB (run length 1)
+
+    def ac_refine(self, zz, indices, ci: int, ss: int, se: int,
+                  al: int) -> None:
+        """libjpeg's correction-bit buffering, EOB runs capped at 1
+        so the Annex K tables suffice."""
+        enc = self.ac_encs[ci]
+        for idx in indices:
+            row = zz[idx]
+            # last NEWLY-significant position: ZRLs are only emitted
+            # while more newly-significant coefficients lie ahead —
+            # past it, runs and corrections fold into the EOB
+            # (libjpeg jcphuff.c discipline, which is what the
+            # decoder's advance loop expects)
+            eob_pos = 0
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                if v != 0 and _shift_to_zero(v, al + 1) == 0:
+                    eob_pos = k
+            run = 0
+            buffered: list = []
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_pos:
+                    self.bw.write(*enc[0xF0])
+                    run -= 16
+                    for b in buffered:
+                        self.bw.write(b, 1)
+                    buffered = []
+                if _shift_to_zero(v, al + 1) != 0:
+                    buffered.append((abs(v) >> al) & 1)
+                    continue
+                self.bw.write(*enc[(run << 4) | 1])   # newly ±1<<al
+                self.bw.write(1 if v > 0 else 0, 1)
+                for b in buffered:
+                    self.bw.write(b, 1)
+                buffered = []
+                run = 0
+            if run or buffered:
+                self.bw.write(*enc[0x00])         # EOB, run length 1
+                for b in buffered:
+                    self.bw.write(b, 1)
+
+
+def _read_sym(r: _BitReader, sym, ln) -> int:
+    p16 = r.peek16()
+    length = ln[p16]
+    if not length:
+        raise ValueError("invalid Huffman code in progressive scan")
+    r.skip(length)
+    return sym[p16]
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    v = r.bits(s)
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _decode_prog_scan(data: bytes, pos: int, scomps, ss, se, ah, al,
+                      comps, dims, zzs, huff, restart_ri,
+                      w, h, mcux, mcuy) -> int:
+    """Decode ONE progressive scan (T.81 G.2), updating the
+    coefficient arrays in place; returns the byte position of the
+    next marker.  scomps: [(comp_index_in_frame, dc_id, ac_id)]."""
+    r = _BitReader(data, pos)
+    eobrun = 0
+    ns = len(scomps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    if ss == 0:                                   # DC scan
+        pred = [0] * len(comps)
+        if ns > 1:                                # interleaved MCUs
+            units = []
+            for mi in range(mcuy):
+                for mj in range(mcux):
+                    blocks = []
+                    for ci, dc_id, ac_id in scomps:
+                        _, hs, vs, _tq = comps[ci]
+                        bw_c = dims[ci][1]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blocks.append(
+                                    (ci, dc_id,
+                                     (mi * vs + by) * bw_c
+                                     + mj * hs + bx))
+                    units.append(blocks)
+        else:
+            ci, dc_id, _ac = scomps[0]
+            _cid, hs, vs, _tq = comps[ci]
+            grid = _noninterleaved_grid(w, h, hs, vs, hmax, vmax,
+                                        dims[ci][1])
+            units = [[(ci, dc_id, idx)] for idx in grid]
+        for u, blocks in enumerate(units):
+            if restart_ri and u and u % restart_ri == 0:
+                r.restart()
+                pred = [0] * len(comps)
+            for ci, dc_id, idx in blocks:
+                row = zzs[ci][idx]
+                if ah == 0:
+                    sym, ln = huff[(0, dc_id)][0], huff[(0, dc_id)][1]
+                    s = _read_sym(r, sym, ln)
+                    diff = _receive_extend(r, s) if s else 0
+                    pred[ci] += diff
+                    row[0] = pred[ci] << al
+                else:                             # DC refinement
+                    if r.bits(1):
+                        row[0] = int(row[0]) | (1 << al)
+    else:                                         # AC scan: ns == 1
+        if ns != 1:
+            raise ValueError("progressive AC scan must be one component")
+        ci, _dc, ac_id = scomps[0]
+        sym, ln = huff[(1, ac_id)][0], huff[(1, ac_id)][1]
+        _cid, hs, vs, _tq = comps[ci]
+        grid = _noninterleaved_grid(w, h, hs, vs, hmax, vmax,
+                                    dims[ci][1])
+        p1, m1 = 1 << al, -1 << al
+        for u, idx in enumerate(grid):
+            if restart_ri and u and u % restart_ri == 0:
+                r.restart()
+                eobrun = 0
+            row = zzs[ci][idx]
+            if ah == 0:                           # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_sym(r, sym, ln)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s:
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC index overrun")
+                        row[k] = _receive_extend(r, s) << al
+                        k += 1
+                    elif rr == 15:
+                        k += 16
+                    else:
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+            else:                                 # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_sym(r, sym, ln)
+                        rr, s = rs >> 4, rs & 0x0F
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad refinement magnitude")
+                            newval = p1 if r.bits(1) else m1
+                        elif rr != 15:
+                            # EOB run INCLUDES this block: its
+                            # remaining correction bits are read in
+                            # the tail below (libjpeg convention)
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        else:
+                            newval = 0            # ZRL
+                        while k <= se:
+                            v = int(row[k])
+                            if v != 0:
+                                if r.bits(1) and (v & p1) == 0:
+                                    row[k] = v + (p1 if v > 0 else m1)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if newval and k <= se:
+                            row[k] = newval
+                        k += 1
+                if eobrun:
+                    while k <= se:
+                        v = int(row[k])
+                        if v != 0:
+                            if r.bits(1) and (v & p1) == 0:
+                                row[k] = v + (p1 if v > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+    # byte-align and walk to the next real marker
+    p = r.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:      # stray RSTn: skip
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _sos_header(scomps, ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(scomps)])
+    for cid, dc_id, ac_id in scomps:
+        body += bytes([cid, (dc_id << 4) | ac_id])
+    return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _encode_progressive_impl(planes, quant_ids, samps, dc_tabs, ac_tabs,
+                             h, w, quants) -> bytes:
+    """planes: per component (zz array, bw_pad); the scan script is
+    [DC first Al=1 interleaved] [AC 1-63 first Al=1 per comp]
+    [DC refine] [AC refine per comp] — a real 1-bit successive-
+    approximation ladder exercising all four scan types."""
+    nc = len(planes)
+    hmax = max(hs for hs, vs in samps)
+    vmax = max(vs for hs, vs in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dc_encs = [_build_huffman(*t) for t in dc_tabs]
+    ac_encs = [_build_huffman(*t) for t in ac_tabs]
+
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = b""
+    for tq, q in quants:
+        dqt += bytes([tq]) \
+            + q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    out += _seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, quant_ids[ci]])
+    out += _seg(0xFFC2, sof)                      # SOF2: progressive
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if nc > 1:
+        out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C)
+                    + bytes(DC_VALS_C))
+        out += _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C)
+                    + bytes(AC_VALS_C))
+    dc_ids = [0] + [1] * (nc - 1)
+    ac_ids = [0] + [1] * (nc - 1)
+
+    def interleaved_blocks():
+        if nc == 1:
+            zz, bw_pad = planes[0]
+            grid = _noninterleaved_grid(w, h, 1, 1, 1, 1, bw_pad)
+            return [(0, zz[i]) for i in grid]
+        blocks = []
+        for mi in range(mcuy):
+            for mj in range(mcux):
+                for ci in range(nc):
+                    hs, vs = samps[ci]
+                    zz, bw_pad = planes[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blocks.append(
+                                (ci, zz[(mi * vs + by) * bw_pad
+                                        + mj * hs + bx]))
+        return blocks
+
+    inter = interleaved_blocks()
+    scomps_all = [(ci + 1, dc_ids[ci], ac_ids[ci]) for ci in range(nc)]
+
+    bw_ = _BitWriter()
+    pe = _ProgressiveEncoder(bw_, dc_encs, ac_encs)
+    pe.dc_first(inter, 1, nc)
+    bw_.flush()
+    out += _sos_header(scomps_all, 0, 0, 0, 1) + bw_.out
+
+    for ci in range(nc):
+        zz, bw_pad = planes[ci]
+        hs, vs = samps[ci]
+        grid = _noninterleaved_grid(w, h, hs, vs, hmax, vmax, bw_pad)
+        bw_ = _BitWriter()
+        pe = _ProgressiveEncoder(bw_, dc_encs, ac_encs)
+        pe.ac_first(zz, grid, ci, 1, 63, 1)
+        bw_.flush()
+        out += _sos_header([(ci + 1, 0, ac_ids[ci])], 1, 63, 0, 1)
+        out += bw_.out
+
+    bw_ = _BitWriter()
+    pe = _ProgressiveEncoder(bw_, dc_encs, ac_encs)
+    pe.dc_refine(inter, 0)
+    bw_.flush()
+    out += _sos_header(scomps_all, 0, 0, 1, 0) + bw_.out
+
+    for ci in range(nc):
+        zz, bw_pad = planes[ci]
+        hs, vs = samps[ci]
+        grid = _noninterleaved_grid(w, h, hs, vs, hmax, vmax, bw_pad)
+        bw_ = _BitWriter()
+        pe = _ProgressiveEncoder(bw_, dc_encs, ac_encs)
+        pe.ac_refine(zz, grid, ci, 1, 63, 0)
+        bw_.flush()
+        out += _sos_header([(ci + 1, 0, ac_ids[ci])], 1, 63, 1, 0)
+        out += bw_.out
+
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -18,14 +18,15 @@ Decoders, by depth of realism:
   color table, extension/sub-block walking).  ``video_frames_gif``
   decodes every frame of genuine multi-frame containers through it —
   the video-shaped media path.
-- ``stages/jpeg.py::JpegCodec`` — REAL baseline JFIF, grayscale and
-  4:2:0/4:2:2/4:4:4 YCbCr color, restart intervals, cc entropy
-  kernels both directions.
+- ``stages/jpeg.py::JpegCodec`` — REAL JFIF, grayscale and
+  4:2:0/4:2:2/4:4:4 YCbCr color, restart intervals, PROGRESSIVE
+  (SOF2) decode incl. AC successive-approximation refinement, cc
+  entropy kernels for the sequential scans.
 - ``FakeImageCodec`` / ``FakeAudioCodec`` — deterministic stand-in
   formats that keep the rest of the plumbing (resize grid math, audio
   chunking, frame sampling) exactly unit-testable without media libs.
 - ``PillowImageDecoder`` — the documented integration point for the
-  REMAINING lib-backed formats (progressive/arithmetic JPEG, WebP,
+  REMAINING lib-backed formats (arithmetic/lossless JPEG, WebP,
   mp3/opus, mp4); raises ``NotImplementedError``.
 
 Usage:
@@ -74,9 +75,10 @@ class FakeImageCodec:
 
 class PillowImageDecoder:
     """Integration point for the REMAINING lib-backed formats whose
-    binary codecs this container doesn't ship: progressive/arithmetic/
-    restart-marker JPEG, WebP, and video containers (ffmpeg).  PNG,
-    GIF, and BASELINE JPEG — grayscale AND interleaved 3-component
+    binary codecs this container doesn't ship: arithmetic-coded /
+    lossless / hierarchical JPEG, WebP, and video containers
+    (ffmpeg).  PNG (all five color types), GIF, and huffman JPEG —
+    baseline AND progressive, grayscale AND interleaved 3-component
     YCbCr at 4:4:4 / 4:2:2 / 4:2:0, i.e. the dominant crawl-image
     layouts — are genuinely decoded by :class:`PngCodec` /
     :class:`GifCodec` / ``stages/jpeg.py::JpegCodec``; everything
@@ -84,11 +86,12 @@ class PillowImageDecoder:
 
     def decode(self, blob: bytes) -> dict:
         raise NotImplementedError(
-            "progressive JPEG / WebP / video decode requires "
+            "arithmetic/lossless JPEG / WebP / video decode requires "
             "Pillow/libjpeg/ffmpeg; wire it here and construct "
             "ImageFeatureStage(decoder=PillowImageDecoder()); PNG, "
-            "GIF and baseline JPEG (gray + 4:2:0/4:2:2/4:4:4 color) "
-            "are handled natively by PngCodec/GifCodec/JpegCodec")
+            "GIF and huffman JPEG (baseline + progressive, gray + "
+            "4:2:0/4:2:2/4:4:4 color) are handled natively by "
+            "PngCodec/GifCodec/JpegCodec")
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1001,7 +1004,8 @@ class GifFrameStage:
 
 def synthesize_jpeg_column(batch: pa.Table, text_col: str = "text",
                            id_col: str = "doc_id",
-                           quality: int = 95) -> pa.Table:
+                           quality: int = 95,
+                           progressive: bool = False) -> pa.Table:
     """Deterministic REAL baseline-JPEG column from the documents
     table: w = id%48+8, h = id%32+8, source pixel p = text byte
     (p mod n) (0 if empty) — the closed-form rule the verify stage and
@@ -1021,7 +1025,8 @@ def synthesize_jpeg_column(batch: pa.Table, text_col: str = "text",
             px = raw[np.arange(w * h) % len(raw)].reshape(h, w)
         else:
             px = np.zeros((h, w), np.uint8)
-        blobs.append(JpegCodec.encode(px, quality))
+        blobs.append(JpegCodec.encode_progressive(px, quality)
+                     if progressive else JpegCodec.encode(px, quality))
     return pa.table({
         id_col: batch.column(id_col),
         "image": pa.array(blobs, type=pa.large_binary()),

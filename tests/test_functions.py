@@ -1696,3 +1696,78 @@ def test_wav_codec_real_corpus_variants():
     r, back = WavCodec.decode(
         b"RIFF" + struct.pack("<I", len(body)) + body)
     assert np.array_equal(back, (v24 >> 8).astype(np.int16))
+
+
+def test_jpeg_progressive_roundtrip():
+    """PROGRESSIVE (SOF2) support pin: encode_progressive carries the
+    same quantized coefficients as encode, so decode of the two
+    streams must be BIT-IDENTICAL — across sizes, qualities, gray and
+    both color subsamplings.  This closes the last huffman-JPEG
+    boundary (arithmetic/lossless remain lib-backed)."""
+    from parquet_producers_ray.stages.jpeg import JpegCodec
+
+    rng = np.random.RandomState(17)
+    for (h, w) in [(1, 1), (8, 8), (8, 16), (23, 41), (37, 53)]:
+        for q in (50, 95, 100):
+            g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            assert np.array_equal(
+                JpegCodec.decode_pixels(JpegCodec.encode_progressive(g, q)),
+                JpegCodec.decode_pixels(JpegCodec.encode(g, q))), (h, w, q)
+    for ss in ("420", "444"):
+        for q in (85, 100):
+            c = rng.randint(0, 256, size=(21, 37, 3)).astype(np.uint8)
+            assert np.array_equal(
+                JpegCodec.decode_pixels(
+                    JpegCodec.encode_progressive(c, q, ss)),
+                JpegCodec.decode_pixels(JpegCodec.encode(c, q, ss))), \
+                (ss, q)
+    # a smooth gradient at q100 is exact end-to-end
+    gr = (np.linspace(0, 255, 64)[None, :]
+          * np.ones((32, 1))).astype(np.uint8)
+    assert np.array_equal(
+        JpegCodec.decode_pixels(JpegCodec.encode_progressive(gr, 100)),
+        gr)
+
+
+def test_jpeg_progressive_ac_scan_fuzz():
+    """Coefficient-level fuzz of the AC first+refine scan pair — the
+    trickiest progressive machinery (EOB-run-includes-current-block,
+    eager ZRL flushes with buffered correction bits): 400 random
+    sparse/dense multi-block bands must round-trip exactly."""
+    import parquet_producers_ray.stages.jpeg as J
+
+    def roundtrip(zz):
+        n = len(zz)
+        ac_enc = J._build_huffman(J.AC_BITS, J.AC_VALS)
+        b1 = J._BitWriter()
+        J._ProgressiveEncoder(b1, [None], [ac_enc]).ac_first(
+            zz, list(range(n)), 0, 1, 63, 1)
+        b1.flush()
+        b2 = J._BitWriter()
+        J._ProgressiveEncoder(b2, [None], [ac_enc]).ac_refine(
+            zz, list(range(n)), 0, 1, 63, 0)
+        b2.flush()
+        comps, dims = [(1, 1, 1, 0)], [(1, n)]
+        zzs = [np.zeros((n, 64), np.int32)]
+        huff = {(1, 0): J._huff_lut(J.AC_BITS, J.AC_VALS)}
+        J._decode_prog_scan(bytes(b1.out) + b"\xFF\xD9", 0,
+                            [(0, 0, 0)], 1, 63, 0, 1, comps, dims,
+                            zzs, huff, 0, n * 8, 8, n, 1)
+        J._decode_prog_scan(bytes(b2.out) + b"\xFF\xD9", 0,
+                            [(0, 0, 0)], 1, 63, 1, 0, comps, dims,
+                            zzs, huff, 0, n * 8, 8, n, 1)
+        return zzs[0]
+
+    rng = np.random.RandomState(11)
+    for trial in range(400):
+        n = int(rng.randint(1, 5))
+        zz = np.zeros((n, 64), np.int32)
+        for b in range(n):
+            nnz = int(rng.randint(0, 40 if trial % 3 else 8))
+            pos = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+            v = rng.randint(-9, 10, nnz)
+            v[v == 0] = 1
+            zz[b, pos] = v
+        tgt = zz.copy()
+        tgt[:, 0] = 0
+        assert np.array_equal(roundtrip(zz.copy()), tgt), trial
