@@ -660,6 +660,13 @@ class JpegCodec:
             elif marker in (0xC0, 0xC1, 0xC2):    # SOF0/1/2
                 progressive = marker == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", body)
+                if h * w > (1 << 26):
+                    # untrusted-corpus guard: a corrupted SOF can
+                    # declare 65535x65535 and balloon the coefficient
+                    # buffers; 64 MP is far past any thumbnail stage
+                    raise ValueError(
+                        f"image dimensions {w}x{h} exceed the "
+                        "decoder's 64-megapixel sanity cap")
                 if prec != 8 or nc not in (1, 3):
                     raise NotImplementedError(
                         f"JpegCodec decodes 8-bit 1/3-component "
