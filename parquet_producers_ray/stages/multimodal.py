@@ -9,9 +9,10 @@ Decoders, by depth of realism:
   palette, gray+alpha, RGBA).  ``media_features`` runs on genuinely
   decoded pixels through it.
 - ``WavCodec`` — REAL RIFF/WAVE in pure stdlib (proper chunk-list
-  walk, word alignment, unknown chunks skipped): PCM 8/16/24/32-bit
-  and float32, any channel count (downmixed to the int16 mono
-  contract).  ``audio_chunks`` decodes genuine WAV containers.
+  walk, word alignment, unknown chunks skipped): PCM 8/16/24/32-bit,
+  float32 AND IMA/DVI ADPCM (format 0x11, bit-identical to stdlib
+  audioop's reference), any channel count (downmixed to the int16
+  mono contract).  ``audio_chunks`` decodes genuine WAV containers.
 - ``GifCodec`` — REAL animated GIF89a (genuine variable-width LZW per
   the public spec's Appendix F — cc kernel fast path with the Python
   implementation as differential-pinned fallback — grayscale global
@@ -515,6 +516,75 @@ AUDIO_MAGIC = b"FAUD"
 AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
 
 
+# IMA/DVI ADPCM tables (IMA Digital Audio Focus Group, 1992 — the
+# same public tables stdlib audioop uses; cross-checked in tests).
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode(data: bytes, channels: int,
+                      block_align: int) -> np.ndarray:
+    """WAV IMA-ADPCM (format tag 0x11) → interleaved int16.  Block
+    layout per the public spec: a 4-byte (predictor, index, reserved)
+    header per channel, then 4-byte nibble words round-robin across
+    channels, low nibble first.  Inherently sequential (each nibble
+    feeds the next predictor), so this is a Python loop — ADPCM is a
+    long-tail format; PCM volume goes through the vectorized paths."""
+    if block_align < 4 * channels + 4:
+        raise ValueError("IMA-ADPCM block_align too small")
+    out_ch: list = [[] for _ in range(channels)]
+    nblocks = len(data) // block_align
+    for b in range(nblocks):
+        blk = data[b * block_align:(b + 1) * block_align]
+        preds = []
+        idxs = []
+        for c in range(channels):
+            pred = int.from_bytes(blk[4 * c:4 * c + 2], "little",
+                                  signed=True)
+            idx = min(max(blk[4 * c + 2], 0), 88)
+            preds.append(pred)
+            idxs.append(idx)
+            out_ch[c].append(pred)      # header predictor IS sample 0
+        body = blk[4 * channels:]
+        pos = 0
+        chan = 0
+        while pos + 4 <= len(body):
+            c = chan
+            pred, idx = preds[c], idxs[c]
+            buf = out_ch[c]
+            for byte in body[pos:pos + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEP[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    if nib & 8:
+                        diff = -diff
+                    pred = max(-32768, min(32767, pred + diff))
+                    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                    buf.append(pred)
+            preds[c], idxs[c] = pred, idx
+            pos += 4
+            chan = (chan + 1) % channels
+    m = min(len(x) for x in out_ch) if channels > 1 else len(out_ch[0])
+    inter = np.empty(m * channels, np.int16)
+    for c in range(channels):
+        inter[c::channels] = np.array(out_ch[c][:m], np.int16)
+    return inter
+
+
 class WavCodec:
     """REAL RIFF/WAVE, pure stdlib, per the public RIFF/WAVE spec
     (Microsoft/IBM multimedia programming interface, 1991).
@@ -523,7 +593,9 @@ class WavCodec:
     ``decode`` walks the chunk list properly (word-aligned, unknown
     chunks like LIST/fact skipped) and covers the real-corpus PCM
     variants: 8-bit unsigned, 16-bit, 24-bit and 32-bit integer
-    (format tag 1) plus IEEE float32 (tag 3), ANY channel count
+    (format tag 1), IEEE float32 (tag 3) plus IMA/DVI ADPCM (tag
+    0x11, decode pinned bit-identical to stdlib audioop's DVI
+    implementation), ANY channel count
     (multi-channel downmixes to mono by integer mean — the analysis
     stages' contract is one sample stream), everything normalized to
     the int16 range.  Same (rate, samples) contract as
@@ -559,22 +631,26 @@ class WavCodec:
             body = blob[pos + 8:pos + 8 + length]
             pos += 8 + length + (length & 1)  # chunks are word-aligned
             if tag == b"fmt ":
-                wformat, channels, rate, _br, _ba, bits = \
+                wformat, channels, rate, _br, balign, bits = \
                     struct.unpack_from("<HHIIHH", body)
                 ok = (wformat == 1 and bits in (8, 16, 24, 32)) \
-                    or (wformat == 3 and bits == 32)
+                    or (wformat == 3 and bits == 32) \
+                    or (wformat == 17 and bits == 4)
                 if not ok or channels < 1:
                     raise NotImplementedError(
-                        "WavCodec decodes PCM 8/16/24/32-bit and "
-                        f"float32; got format={wformat} "
-                        f"channels={channels} bits={bits} — "
-                        "compressed formats go through the "
-                        "ffmpeg/soundfile integration point")
+                        "WavCodec decodes PCM 8/16/24/32-bit, "
+                        "float32 and IMA-ADPCM; got "
+                        f"format={wformat} channels={channels} "
+                        f"bits={bits} — other compressed formats go "
+                        "through the ffmpeg/soundfile integration "
+                        "point")
             elif tag == b"data":
                 data = bytes(body)
         if rate is None or data is None:
             raise ValueError("WAVE without fmt/data chunk")
-        if wformat == 3:                      # IEEE float32 → int16
+        if wformat == 17:                     # IMA/DVI ADPCM
+            samples = _ima_adpcm_decode(data, channels, balign)
+        elif wformat == 3:                    # IEEE float32 → int16
             f = np.frombuffer(data, dtype="<f4")
             samples = np.clip(np.round(f * 32767.0), -32768,
                               32767).astype(np.int16)

@@ -1771,3 +1771,108 @@ def test_jpeg_progressive_ac_scan_fuzz():
         tgt = zz.copy()
         tgt[:, 0] = 0
         assert np.array_equal(roundtrip(zz.copy()), tgt), trial
+
+
+def test_wav_ima_adpcm_matches_audioop():
+    """IMA/DVI ADPCM (WAV format tag 0x11): block decode must be
+    BIT-identical to stdlib audioop's DVI-ADPCM (independent
+    implementation of the same public tables; audioop packs high
+    nibble first, WAV low-first — swapped in the reference), for
+    mono AND stereo (round-robin 4-byte words, downmixed like PCM)."""
+    import struct
+    import warnings
+
+    from parquet_producers_ray.stages.multimodal import (_IMA_INDEX,
+                                                         _IMA_STEP,
+                                                         WavCodec)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+
+    def enc_block(samples, pred, idx):
+        nibs = []
+        for s_ in samples:
+            step = _IMA_STEP[idx]
+            diff = s_ - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            if nib & 8:
+                d = -d
+            pred = max(-32768, min(32767, pred + d))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            nibs.append(nib)
+        by = bytes(nibs[i] | (nibs[i + 1] << 4)
+                   for i in range(0, len(nibs), 2))
+        return by, idx
+
+    def wav(fmt_body, data):
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body))
+                + fmt_body + b"data" + struct.pack("<I", len(data))
+                + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = np.random.RandomState(5)
+
+    # mono, 2 blocks
+    sig = np.cumsum(rng.randint(-800, 800, size=130)).clip(
+        -30000, 30000).astype(np.int16)
+    ba = 4 + 32
+    data = bytearray()
+    idx = 0
+    ref = []
+    for p in (0, 65):
+        pred = int(sig[p])
+        nb, idx_out = enc_block([int(x) for x in sig[p + 1:p + 65]],
+                                pred, idx)
+        data += struct.pack("<hBB", pred, idx, 0) + nb
+        swapped = bytes(((b & 0xF) << 4) | (b >> 4) for b in nb)
+        lin, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+        ref.append(pred)
+        ref.extend(np.frombuffer(lin, "<i2").tolist())
+        idx = idx_out
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, ba, 4)
+    r, out = WavCodec.decode(wav(fmt, bytes(data)))
+    assert r == 8000 and np.array_equal(out, np.array(ref, np.int16))
+
+    # stereo, 1 block: per-channel headers then round-robin words
+    l_ = np.cumsum(rng.randint(-500, 500, size=65)).clip(
+        -30000, 30000).astype(np.int16)
+    r_ = np.cumsum(rng.randint(-500, 500, size=65)).clip(
+        -30000, 30000).astype(np.int16)
+    nbl, _ = enc_block([int(x) for x in l_[1:]], int(l_[0]), 0)
+    nbr, _ = enc_block([int(x) for x in r_[1:]], int(r_[0]), 0)
+    data = bytearray(struct.pack("<hBB", int(l_[0]), 0, 0)
+                     + struct.pack("<hBB", int(r_[0]), 0, 0))
+    for i in range(0, len(nbl), 4):
+        data += nbl[i:i + 4] + nbr[i:i + 4]
+    ba2 = 8 + len(nbl) + len(nbr)
+    fmt = struct.pack("<HHIIHH", 17, 2, 8000, 8000, ba2, 4)
+    r2, out2 = WavCodec.decode(wav(fmt, bytes(data)))
+    refL = [int(l_[0])]
+    swapped = bytes(((b & 0xF) << 4) | (b >> 4) for b in nbl)
+    refL += np.frombuffer(audioop.adpcm2lin(
+        swapped, 2, (int(l_[0]), 0))[0], "<i2").tolist()
+    refR = [int(r_[0])]
+    swapped = bytes(((b & 0xF) << 4) | (b >> 4) for b in nbr)
+    refR += np.frombuffer(audioop.adpcm2lin(
+        swapped, 2, (int(r_[0]), 0))[0], "<i2").tolist()
+    want = ((np.array(refL, np.int32) + np.array(refR, np.int32))
+            // 2).astype(np.int16)
+    assert np.array_equal(out2, want)
