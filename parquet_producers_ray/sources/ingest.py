@@ -170,8 +170,10 @@ def _parse_wet_bytes(blob: bytes) -> pa.Table:
 def _read_record_files(paths, parse_fn) -> "ray.data.Dataset":  # noqa: F821
     """Shared loader for WET/WARC record streams: one task per file
     (the 100 TB regime is tens of thousands of ~1 GiB segment files —
-    exactly Ray Data's file-parallel shape), gzip-transparent by
-    extension, directory paths expanded to their sorted entries."""
+    exactly Ray Data's file-parallel shape), gzip- AND
+    zstd-transparent by extension (.zst/.zstd stream through
+    pyarrow's zstd codec — no extra dependency), directory paths
+    expanded to their sorted entries."""
     import gzip
     import os
 
@@ -180,6 +182,10 @@ def _read_record_files(paths, parse_fn) -> "ray.data.Dataset":  # noqa: F821
     def _load(batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch.column("path").to_pylist():
+            if p.endswith((".zst", ".zstd")):
+                blob = pa.input_stream(p, compression="zstd").read()
+                tables.append(parse_fn(bytes(blob)))
+                continue
             opener = gzip.open if p.endswith(".gz") else open
             with opener(p, "rb") as f:
                 tables.append(parse_fn(f.read()))

@@ -300,3 +300,29 @@ def test_warc_headers_decode_utf8_uris(ray_session, tmp_path):
     write_warc(th, ph)
     backh = read_webpages_warc([ph]).take_all()
     assert backh[0]["url"] == url
+
+
+def test_wet_zstd_transparent(ray_session, tmp_path):
+    """.zst record files stream through pyarrow's zstd codec — same
+    contract as the gzip transparency."""
+    import datetime
+
+    import pyarrow as pa
+
+    from parquet_producers_ray.sources.ingest import (read_webpages_wet,
+                                                      write_wet)
+
+    ts = datetime.datetime(2017, 3, 22, 17, 15, 2)
+    t = pa.table({
+        "url": pa.array([f"http://z.com/{i}" for i in range(4)]),
+        "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+        "text": pa.array([f"zstd body {i}\n" for i in range(4)])})
+    plain = str(tmp_path / "x.warc.wet")
+    write_wet(t, plain)
+    zpath = str(tmp_path / "x.warc.wet.zst")
+    with open(plain, "rb") as f:
+        raw = f.read()
+    with pa.CompressedOutputStream(zpath, "zstd") as z:
+        z.write(raw)
+    back = read_webpages_wet([zpath]).to_pandas().sort_values("url")
+    assert list(back["text"]) == t.column("text").to_pylist()
