@@ -256,10 +256,17 @@ def main() -> None:
     elif args.cmd == "mirror-delta":
         import pyarrow.parquet as pq
 
+        from parquet_producers_ray.engine.model import TYPE_COL
         from parquet_producers_ray.pipelines.incremental import (
-            IncrementalMirror, webpage_mirror_spec)
+            IncrementalMirror, updates_with_type, webpage_mirror_spec)
         mirror = IncrementalMirror(args.root, webpage_mirror_spec())
-        res = mirror.apply(pq.read_table(args.delta), args.based_on)
+        delta = pq.read_table(args.delta)
+        if TYPE_COL not in delta.column_names:
+            # plain webpage rows = an upsert wave (same convenience the
+            # bootstrap path applies); pre-typed files pass through so
+            # Delete waves remain expressible
+            delta = updates_with_type(delta)
+        res = mirror.apply(delta, args.based_on)
         print(json.dumps({"version": args.based_on + 1,
                           "rewritten": res["content"]["rewritten"],
                           "linked": res["content"]["linked"],
