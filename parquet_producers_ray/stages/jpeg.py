@@ -938,24 +938,24 @@ class _ProgressiveEncoder:
     def ac_first(self, zz, indices, ci: int, ss: int, se: int,
                  al: int) -> None:
         enc = self.ac_encs[ci]
-        for idx in indices:
-            row = zz[idx]
-            run = 0
-            emitted = False
-            for k in range(ss, se + 1):
-                v = _shift_to_zero(int(row[k]), al)
-                if v == 0:
-                    run += 1
-                    continue
+        band = np.asarray(zz)[np.asarray(indices, np.int64), ss:se + 1]
+        sign = np.sign(band)
+        shifted = sign * (np.abs(band) >> al)     # trunc-toward-zero
+        for bi in range(len(band)):
+            row = shifted[bi]
+            nz = np.flatnonzero(row)              # skip zeros wholesale
+            prev_k = -1
+            for k in nz:
+                run = int(k) - prev_k - 1
+                prev_k = int(k)
                 while run > 15:
                     self.bw.write(*enc[0xF0])
                     run -= 16
+                v = int(row[k])
                 s = _category(v)
                 self.bw.write(*enc[(run << 4) | s])
                 self.bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-                emitted = True
-            if run or not emitted:
+            if len(nz) == 0 or int(nz[-1]) < se - ss:
                 self.bw.write(*enc[0x00])         # EOB (run length 1)
 
     def ac_refine(self, zz, indices, ci: int, ss: int, se: int,
@@ -970,18 +970,19 @@ class _ProgressiveEncoder:
             # past it, runs and corrections fold into the EOB
             # (libjpeg jcphuff.c discipline, which is what the
             # decoder's advance loop expects)
-            eob_pos = 0
-            for k in range(ss, se + 1):
-                v = int(row[k])
-                if v != 0 and _shift_to_zero(v, al + 1) == 0:
-                    eob_pos = k
+            band = np.asarray(row[ss:se + 1])
+            absb = np.abs(band)
+            newly = np.flatnonzero((band != 0) & ((absb >> (al + 1)) == 0))
+            eob_pos = int(newly[-1]) + ss if len(newly) else 0
+            nzk = np.flatnonzero(band) + ss       # skip zeros wholesale
             run = 0
             buffered: list = []
-            for k in range(ss, se + 1):
+            prev_k = ss - 1
+            for k in nzk:
+                k = int(k)
                 v = int(row[k])
-                if v == 0:
-                    run += 1
-                    continue
+                run += k - prev_k - 1
+                prev_k = k
                 while run > 15 and k <= eob_pos:
                     self.bw.write(*enc[0xF0])
                     run -= 16
@@ -997,6 +998,7 @@ class _ProgressiveEncoder:
                     self.bw.write(b, 1)
                 buffered = []
                 run = 0
+            run += se - prev_k                    # trailing zero run
             if run or buffered:
                 self.bw.write(*enc[0x00])         # EOB, run length 1
                 for b in buffered:
