@@ -2533,6 +2533,56 @@ FROM documents
 """
 
 
+def q_media_png_color(sf_dir: str):
+    """REAL truecolor-PNG pipeline (round 5): synthesize genuine
+    color-type-2 PNG (all five scanline filters cycled), decode it in
+    an actor pool (zlib inflate + per-byte-lane filter reconstruction
+    at 3 bytes/pixel) and — PNG being LOSSLESS — verify the decode
+    EXACTLY against the closed-form source rule in-pipeline, emitting
+    per-channel pixel sums the SQL oracle replays closed-form.  The
+    strongest media oracle in the registry: every output value is a
+    bit-exact function of (doc_id, text)."""
+    from ..stages.multimodal import (PngColorReconStage,
+                                     synthesize_png_color_column)
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synthesize_png_color_column(b)
+        return t.append_column("text", b.column("text"))
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
+          .map_batches(synth, batch_format="pyarrow"))
+    return ds.map_batches(PngColorReconStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=(2, 8))
+
+
+# synthesis rule (stages/multimodal.py::_color_png_source):
+# w = id%32+8, h = id%20+8; R = text bytes cycled (ascii corpus:
+# char position == byte position, same convention as media_jpeg's
+# oracle), G = (p*7+id)%256, B = (p+3*id)%256; lossless → exact.
+SQL_MEDIA_PNG_COLOR = """
+WITH src AS (
+  SELECT doc_id,
+         CAST(doc_id % 32 + 8 AS BIGINT) AS w,
+         CAST(doc_id % 20 + 8 AS BIGINT) AS h,
+         octet_length(encode(text)) AS n, text
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, p,
+         CASE WHEN n > 0
+              THEN ascii(substr(text, CAST(p % n + 1 AS BIGINT), 1))
+              ELSE 0 END AS r,
+         (p * 7 + doc_id) % 256 AS g,
+         (p + 3 * doc_id) % 256 AS b
+  FROM src CROSS JOIN unnest(range(w * h)) AS t(p))
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(g) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       TRUE AS exact
+FROM px GROUP BY doc_id
+"""
+
+
 def q_media_jpeg_progressive(sf_dir: str, quality: int = _JPEG_QUALITY,
                              tol: int = _JPEG_TOL):
     """REAL PROGRESSIVE JPEG pipeline (round 5): synthesize genuine
@@ -6292,6 +6342,7 @@ REGISTRY = {
     "media_jpeg_color": (q_media_jpeg_color, SQL_MEDIA_JPEG_COLOR),
     "media_jpeg_progressive": (q_media_jpeg_progressive,
                                SQL_MEDIA_JPEG_PROGRESSIVE),
+    "media_png_color": (q_media_png_color, SQL_MEDIA_PNG_COLOR),
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "text_tokens_pretok": (q_text_tokens_pretok, SQL_TEXT_TOKENS_PRETOK),
     "encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
@@ -6319,9 +6370,10 @@ REGISTRY = {
     "retention": (q_retention, SQL_RETENTION),
     "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
     "mad": (q_mad, SQL_MAD),
+    # --- beyond the 50-slot window: (fuzzy_pairs and co_occurrence
+    # rotated out for media_jpeg_progressive and media_png_color —
+    # both r04 green, untouched since)
     "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
-    # --- beyond the 50-slot window: (fuzzy_pairs rotated out for
-    # media_jpeg_progressive — r04 green, untouched since)
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     # every entry below is unchanged
     # since its green CORRECTNESS_r01-r04 hash row (round-5 diff did

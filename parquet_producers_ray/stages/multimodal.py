@@ -1184,6 +1184,82 @@ def _color_jpeg_source(i: int, text: str) -> "np.ndarray":
     return ycbcr_to_rgb(y, cb, cr)
 
 
+def _color_png_source(i: int, text: str) -> "np.ndarray":
+    """Closed-form truecolor source rule shared by synthesis and
+    verify (and replayed exactly by the SQL oracle — PNG is LOSSLESS,
+    so the decoded channel sums equal the rule's sums bit-for-bit):
+    w = id%32+8, h = id%20+8; R = text bytes cycled, G = (p*7+id)%256,
+    B = (p+3*id)%256."""
+    w = i % 32 + 8
+    h = i % 20 + 8
+    n = w * h
+    raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+    r = (raw[np.arange(n) % len(raw)] if len(raw)
+         else np.zeros(n, np.uint8))
+    p = np.arange(n, dtype=np.int64)
+    g = ((p * 7 + i) % 256).astype(np.uint8)
+    b = ((p + 3 * i) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1).reshape(h, w, 3)
+
+
+class PngColorReconStage:
+    """Actor-pool stage over GENUINE truecolor PNG: zlib inflate +
+    five-filter reconstruction at 3 bytes/pixel, then an EXACT
+    (lossless) compare against the closed-form source rule and
+    channel sums the SQL oracle replays closed-form."""
+
+    def __init__(self, binary_col: str = "image", id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, rs, gs, bs, ok = [], [], [], [], [], [], []
+        for i, v, t in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.binary_col).to_pylist(),
+                           batch.column(self.text_col).to_pylist()):
+            ids.append(i)
+            if v is None:
+                for lst in (ws, hs, rs, gs, bs, ok):
+                    lst.append(None)
+                continue
+            px = PngCodec.decode_pixels(v)
+            h, w = px.shape[:2]
+            want = _color_png_source(int(i), t)
+            s = px.astype(np.int64).sum(axis=(0, 1))
+            ws.append(w)
+            hs.append(h)
+            rs.append(int(s[0]))
+            gs.append(int(s[1]))
+            bs.append(int(s[2]))
+            ok.append(bool(np.array_equal(px, want)))   # LOSSLESS
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "r_sum": pa.array(rs, pa.int64()),
+            "g_sum": pa.array(gs, pa.int64()),
+            "b_sum": pa.array(bs, pa.int64()),
+            "exact": pa.array(ok, pa.bool_()),
+        })
+
+
+def synthesize_png_color_column(batch: pa.Table, text_col: str = "text",
+                                id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL truecolor-PNG column from the documents
+    table via `_color_png_source` (PngCodec color type 2, all five
+    filters cycled)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    blobs = [PngCodec.encode(_color_png_source(int(i), t))
+             for i, t in zip(ids, texts)]
+    return pa.table({
+        id_col: batch.column(id_col),
+        "image": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
 def synthesize_jpeg_color_column(batch: pa.Table, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  quality: int = 95) -> pa.Table:

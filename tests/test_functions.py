@@ -1876,3 +1876,29 @@ def test_wav_ima_adpcm_matches_audioop():
     want = ((np.array(refL, np.int32) + np.array(refR, np.int32))
             // 2).astype(np.int16)
     assert np.array_equal(out2, want)
+
+
+def test_png_color_recon_stage_exact():
+    """media_png_color's stage contract: truecolor PNG is LOSSLESS, so
+    the decode equals the closed-form source bit-for-bit and the
+    channel sums match a direct computation."""
+    from parquet_producers_ray.stages.multimodal import (
+        PngColorReconStage, _color_png_source,
+        synthesize_png_color_column)
+
+    docs = pa.table({"doc_id": pa.array([3, 70, 113], pa.int64()),
+                     "text": ["abc def " * 30, "", "zzz!" * 99]})
+    blobs = synthesize_png_color_column(docs)
+    blobs = blobs.append_column("text", docs.column("text"))
+    out = PngColorReconStage()(blobs).to_pylist()
+    for row in out:
+        i = row["doc_id"]
+        src = _color_png_source(
+            int(i), docs.column("text")[
+                docs.column("doc_id").to_pylist().index(i)].as_py())
+        assert row["exact"] is True
+        assert row["width"] == i % 32 + 8
+        assert row["height"] == i % 20 + 8
+        s = src.astype(np.int64).sum(axis=(0, 1))
+        assert (row["r_sum"], row["g_sum"], row["b_sum"]) == \
+            (int(s[0]), int(s[1]), int(s[2]))

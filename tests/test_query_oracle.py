@@ -29,7 +29,7 @@ NEW_QUERIES = [
     "salted_join", "row_number_global", "html_extract",
     "media_thumbnail", "embed_neardup_lsh", "dedup_substring",
     "audio_chunks", "video_frames_gif", "media_jpeg",
-    "media_jpeg_color", "media_jpeg_progressive",
+    "media_jpeg_color", "media_jpeg_progressive", "media_png_color",
 ]
 
 
